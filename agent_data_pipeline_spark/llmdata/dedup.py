@@ -1,0 +1,326 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, all expressed as declarative DataFrame plans so Catalyst
+handles pushdown/partial-agg, and every shuffle is on a key we chose:
+
+* exact_dedup            — hash-groupBy on a content fingerprint.
+* token_jaccard_pairs    — exact n-gram/token Jaccard via an inverted
+                           index join (posting-list self-join).
+* minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH:
+                           the 100 TB-scale near-dup path. Candidate
+                           generation is a band-bucket equi-join (shuffle
+                           on (band, bucket-hash)), never an all-pairs
+                           cross join.
+* simhash64              — 64-bit SimHash fingerprint per document,
+                           computed JVM-side with bitwise expressions.
+* embedding_neardup_pairs — cosine-similarity near-dup over an embedding
+                           column (delegates to similarity.cosine_pairs).
+
+Scale notes: all-pairs comparisons are O(n²) and never acceptable; every
+near-dup operator here goes through candidate generation (shared shingle,
+shared LSH bucket, shared projection bucket) so the join fans out only
+within buckets. Skewed buckets (a shingle present in half the corpus) are
+the classic failure: ``token_jaccard_pairs`` drops top-frequency shingles
+(document-frequency cap) exactly like large-scale dedup systems do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..fns import rnd
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add an md5 content fingerprint column (exact-dup key)."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content.
+
+    Plan: project(fingerprint) -> partial-agg -> shuffle on fingerprint ->
+    final agg. The shuffle carries fingerprints + ids only, not the text.
+    """
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def tokens(df: DataFrame, text_col: str = "text", distinct: bool = True):
+    """Whitespace tokens as an array column (lowercased)."""
+    arr = F.split(F.lower(F.col(text_col)), r"\s+")
+    if distinct:
+        arr = F.array_distinct(arr)
+    return arr
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles, distinct, as an array column ``shingles``.
+
+    Built with a JVM-side higher-order transform over the token array —
+    no Python in the loop.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.withColumn("shingles", sh)
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted-index self-join.
+
+    1. Explode distinct tokens -> (token, id) posting list.
+    2. Drop tokens with document frequency > max_df_ratio * n_docs
+       (stop-token cap: bounds posting-list skew, the O(df²) term).
+    3. Self-join postings on token -> co-occurrence counts = |A ∩ B|.
+    4. Jaccard = inter / (|A| + |B| - inter); keep pairs >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. Exact w.r.t. the
+    retained token vocabulary. DF-cap note: with the default 0.5 ratio a
+    pair can only lose tokens shared by half the corpus; for the oracle
+    query we disable the cap (ratio=1.0) so semantics are exactly Jaccard.
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(df, text_col)).alias("tok")
+    )
+    if max_df_ratio < 1.0:
+        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        keep = dfreq.filter(F.col("df") <= int(max_df_ratio * n_docs)).select("tok")
+        toks = toks.join(F.broadcast(keep), "tok")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, i). All JVM-side: explode shingles, compute
+    num_hashes seeded hashes per shingle, then num_hashes independent
+    ``min`` aggregates — each gets map-side partial aggregation, so the
+    shuffle carries one 64-long row per (partition, doc), not one row per
+    shingle.
+    """
+    sh = shingles(df, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), F.explode("shingles").alias("sh")
+    )
+    per_shingle = sh.select(
+        "id", *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    agg = per_shingle.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified with
+    estimated Jaccard (signature agreement ratio).
+
+    Banding: num_hashes/bands rows per band; a pair is a candidate iff
+    some band's sub-signature matches exactly. Candidate generation is an
+    equi-join on (band_id, band_hash) — shuffle co-locates same-bucket
+    docs; no cross join. With r rows/band and b bands the s-curve
+    threshold is (1/b)^(1/r).
+
+    Returns (id_a, id_b, est_jaccard) with est_jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("signature", bi * rows_per_band + ri + 1).cast("string")
+                            for ri in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("id", "signature", F.explode(band_arr).alias("bb")).select(
+        "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = rnd(
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    For each distinct token take xxhash64(token); for each of 64 bit
+    positions sum +1/-1 votes across tokens; fingerprint bit = 1 iff the
+    vote is positive. Near-dup docs differ in few bits (Hamming distance).
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(df, text_col)).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    agg = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(63)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(63):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with blocked candidate generation.
+
+    Split the 64-bit fingerprint into ``blocks`` chunks; by pigeonhole, a
+    pair within Hamming distance < blocks must agree on at least one
+    chunk. Join on (chunk_id, chunk_value), then verify exact Hamming
+    distance with bit_count(xor). Scales as an equi-join, not n².
+    """
+    sh = simhash64(df, text_col, id_col)
+    width = 64 // blocks
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                .alias("val"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    ch = sh.select(
+        F.col(id_col).alias("id"), "simhash", F.explode(chunk_arr).alias("c")
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a, b = ch.alias("a"), ch.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def keep_representatives(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Given near-dup pairs, drop every doc that appears as the larger id
+    of a pair (greedy min-id representative selection — one connected-
+    component pass would be exact; greedy matches common practice for
+    dedup at scale and needs no iterative join)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,139 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+Everything except language-ID is pure JVM expression work (split, regexp,
+higher-order array fns) — codegen'd, no Python, scan-bound at 100 TB.
+Language-ID uses a char-n-gram profile heuristic; profiles are plan-time
+literal maps so scoring is still JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..fns import rnd
+
+_WORD_RE = r"\s+"
+# BPE-ish token split: runs of letters, runs of digits, or single
+# non-space symbols — a cheap deterministic proxy for subword tokenizers.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), _WORD_RE)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (letters/digit runs + symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), 0)).cast("long")
+
+
+def stopword_count(text: Column) -> Column:
+    toks = F.split(F.lower(text), _WORD_RE)
+    return F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(0.0)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats columns: chars, tokens, distinct tokens,
+    avg token length, stopword ratio, punctuation ratio, quality score.
+
+    Quality score is the reference-style guarded-ratio shape: a [0,1]
+    blend of length sanity, stopword presence and type-token ratio —
+    deterministic, tunable, and entirely JVM-side.
+    """
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), _WORD_RE)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    sw = stopword_count(text)
+    ttr = F.when(n_tok > 0, n_distinct / n_tok).otherwise(0.0)
+    sw_ratio = F.when(n_tok > 0, sw / n_tok).otherwise(0.0)
+    len_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    quality = rnd(
+        0.4 * len_score + 0.3 * F.least(sw_ratio * 4, F.lit(1.0)) + 0.3 * ttr, 6
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct_tokens", n_distinct)
+        .withColumn(
+            "avg_token_len",
+            rnd(F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0), 6),
+        )
+        .withColumn("stopword_ratio", rnd(sw_ratio, 6))
+        .withColumn("punct_ratio", rnd(punct_ratio(text), 6))
+        .withColumn("quality_score", quality)
+    )
+
+
+# Tiny per-language character/stopword profiles for the n-gram heuristic.
+# Real systems learn these from corpora; the heuristic contract is:
+# score(lang) = sum of profile-hit counts, argmax wins, 'und' on no hits.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "ing", "tion"),
+    "es": ("que", "de", "la", "ción", "los"),
+    "fr": ("les", "des", "une", "ment", "tion"),
+    "de": ("der", "und", "ein", "sch", "ung"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _lang_score(text: Column, lang: str) -> Column:
+    total = F.lit(0).cast("long")
+    for pat in _LANG_PROFILES[lang]:
+        total = total + F.size(F.split(text, F.lit(pat), -1).cast("array<string>")) - 1
+    return total
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: per-language n-gram hit counts, argmax.
+
+    Note: the driver's synthetic `documents` fixture draws the same
+    vocabulary for all langs, so content-based ID cannot recover its
+    `lang` column there; the operator is exercised for mechanics (tests
+    use hand-built multilingual fixtures for accuracy).
+    """
+    text = F.lower(F.col(text_col))
+    scored = F.array(
+        *[
+            F.struct(_lang_score(text, lang).alias("score"), F.lit(lang).alias("lang"))
+            for lang in _LANG_PROFILES
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_pred", F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set. Detects bag-of-words-identical docs (e.g. shuffled copies)
+    that exact hashing misses; used as a cheap canonical-form dedup key.
+    """
+    toks = F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), _WORD_RE)))
+    return df.withColumn("bow_fingerprint", F.md5(F.array_join(toks, " ")))
+
+
+def rolling_hash(df: DataFrame, text_col: str = "text", mod: int = 1 << 31) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp shape) over characters,
+    computed with a JVM-side higher-order aggregate: h = h*31 + code
+    (mod 2^31). Deterministic and SQL-expressible for oracle parity.
+    """
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(mod).cast("long"),
+    )
+    return df.withColumn("rolling_hash", fp)

@@ -1,0 +1,76 @@
+"""Query-registry plumbing.
+
+Every operator the engine claims (SURVEY.md §2.B) is exposed as a
+``QuerySpec``: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus the
+equivalent ANSI SQL a DuckDB oracle can run over the same parquet tables.
+The driver's correctness harness (and ``tests/oracle.py``) diff the two.
+
+Determinism rules (these make order-insensitive value-hash compares work):
+
+* Every float aggregate is ``round(x, k)`` on BOTH sides, so summation-order
+  noise (different partial-aggregation trees in Spark vs DuckDB) cannot leak
+  into the hash. Per-row scalar math is bit-identical without rounding, but
+  transcendental fns (ln, pow) get rounded too (libm last-ulp differences).
+* Every LIMIT / top-k has a total-order sort key (unique key tie-break):
+  which rows are selected must not depend on engine internals.
+* Integer widths are aligned to BIGINT on both sides (DuckDB's count/len/
+  year all return BIGINT; Spark's size/year return INT — we cast).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fns import rnd  # noqa: F401  (re-exported for query modules)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One engine operator: Spark implementation + DuckDB oracle SQL.
+
+    ``oracle`` is None for genuinely non-SQL-expressible ops (hash-seeded
+    MinHash/SimHash, LSH ANN); those get a rows-only driver check and a
+    pytest check against a pure-Python reference instead.
+    """
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Fall back to
+    the legacy nanos-as-long read and rebuild a microsecond timestamp with
+    integer arithmetic (``div 1000`` — going through double would lose
+    sub-microsecond bits at 2024-epoch magnitudes).
+
+    ``to_utc_timestamp(_, session_tz)`` pins wall-clock semantics: the
+    nanos are a UTC wall-clock reading, and other readers (DuckDB) treat
+    them as naive — the shift makes the session-TZ rendering of ``ts``
+    equal that UTC wall clock, so a driver session in a non-UTC timezone
+    sees the same values (and window grids) as the oracle."""
+
+    def _fix_ts(df: DataFrame) -> DataFrame:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        micros = F.timestamp_micros(F.expr("ts div 1000"))
+        return df.withColumn("ts", F.to_utc_timestamp(micros, tz))
+
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = _fix_ts(df)
+        return df
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _fix_ts(spark.read.parquet(path))

@@ -1,0 +1,288 @@
+"""LLM-training-data queries: dedup, text analysis, similarity search,
+multimodal carriage — wired to the `documents` / `embeddings` fixtures.
+
+Queries with no ``oracle`` (MinHash-LSH, SimHash, SRP-LSH ANN) use
+engine-side hash seeds DuckDB cannot reproduce; they get rows-only driver
+checks plus pytest recall/parity checks against exact counterparts
+(tests/test_llmdata.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llmdata import dedup, multimodal, similarity, textstats
+from .core import QuerySpec, rnd, t
+
+
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.content_fingerprint(t(spark, sf_dir, "documents")).select(
+        "doc_id", "bow_fingerprint"
+    )
+
+
+_BOW_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(lower(text), '\s+'))), ' ')) AS bow_fingerprint
+FROM documents
+"""
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.with_text_stats(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "n_distinct_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+_TEXT_STATS_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(text), '\s+') AS ltoks,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars_calc,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(ltoks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stop,
+         n_punct
+  FROM s
+)
+SELECT doc_id, n_chars_calc, n_tokens, n_distinct_tokens,
+       floor((CASE WHEN n_tokens > 0
+                  THEN (n_chars_calc - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+       floor((CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+       floor((CASE WHEN n_chars_calc > 0 THEN n_punct / CAST(n_chars_calc AS DOUBLE)
+                  ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+       floor((0.4 * least(n_chars_calc / 200.0, 1.0)
+           + 0.3 * least(CASE WHEN n_tokens > 0
+                              THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+           + 0.3 * CASE WHEN n_tokens > 0
+                        THEN n_distinct_tokens / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS quality_score
+FROM c
+"""
+
+
+def _lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = textstats.with_text_stats(t(spark, sf_dir, "documents"))
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        rnd(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+_LANG_QUALITY_SQL = r"""
+WITH s AS (
+  SELECT lang, n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_distinct_tokens,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
+           AS n_stop
+  FROM documents
+), q AS (
+  SELECT lang, n_chars, n_tokens,
+         floor((0.4 * least(n_chars_calc / 200.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tokens > 0
+                                THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+             + 0.3 * CASE WHEN n_tokens > 0
+                          THEN n_distinct_tokens / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM s
+)
+SELECT lang, count(*) AS n_docs,
+       floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+       floor((avg(n_tokens)) * 10000 + 0.5) / 10000 AS avg_tokens,
+       floor((avg(quality_score)) * 1000000 + 0.5) / 1000000 AS avg_quality
+FROM q GROUP BY lang
+"""
+
+
+def _token_count_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (SURVEY north-star: token
+    counting as a first-class operator)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("ws_tokens"),
+        textstats.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard near-dup pairs on a bounded slice (df-cap off
+    so semantics are pure Jaccard; threshold tuned to the fixture's
+    shared-vocabulary density)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.token_jaccard_pairs(docs, threshold=0.8, max_df_ratio=1.0)
+
+
+_JACCARD_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
+  FROM documents WHERE doc_id < 100
+), sizes AS (
+  SELECT id, count(*) AS sz FROM toks GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       floor((inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE floor((inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 >= 0.8
+"""
+
+
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs (approx; hash-seeded => rows-only
+    driver check; recall measured vs exact Jaccard in tests)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_n=1, threshold=0.7
+    )
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (hash-seeded => rows-only driver check)."""
+    return dedup.simhash64(t(spark, sf_dir, "documents"))
+
+
+def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", "sim_rank"
+    )
+
+
+_EMBEDDING_TOPK_SQL = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT)
+              AS sim_rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, sim_rank FROM ranked WHERE sim_rank <= 5
+"""
+
+
+def _cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs above threshold."""
+    return similarity.cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.85)
+
+
+_COSINE_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 >= 0.85
+"""
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN (approx => rows-only driver check; recall@k
+    vs the brute-force oracle measured in tests)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=8, n_bits=8)
+
+
+def _binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal carriage: opaque binary payload + typed metadata
+    (decode kernels stubbed; plumbing real — llmdata/multimodal.py)."""
+    media = multimodal.text_as_media(t(spark, sf_dir, "documents"))
+    return media.select("media_id", "modality", "mime", "byte_len", "sha256")
+
+
+_BINARY_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       'text' AS modality,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/featurize pipeline over binary payloads (stub
+    kernel; Arrow batch plumbing real). Deterministic => oracle-free but
+    stable rows-only check."""
+    media = multimodal.text_as_media(t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_and_featurize(media)
+    return feats.select(
+        "media_id",
+        "byte_len",
+        "width",
+        "height",
+        "n_frames",
+        rnd(F.element_at(F.col("feature"), 1).cast("double"), 6).alias("f0"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "exact_dedup": QuerySpec(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via content hash"),
+    "bow_fingerprint": QuerySpec(_bow_fingerprint, _BOW_FINGERPRINT_SQL, "doc fingerprinting"),
+    "text_stats": QuerySpec(_text_stats, _TEXT_STATS_SQL, "per-doc text statistics"),
+    "lang_quality_summary": QuerySpec(_lang_quality, _LANG_QUALITY_SQL, "per-lang quality"),
+    "token_count_kit": QuerySpec(_token_count_kit, _TOKEN_COUNT_SQL, "ws + BPE-ish tokens"),
+    "jaccard_pairs": QuerySpec(_jaccard_pairs, _JACCARD_PAIRS_SQL, "exact n-gram Jaccard dedup"),
+    "minhash_lsh_pairs": QuerySpec(_minhash_lsh, None, "MinHash-LSH near-dup (approx)"),
+    "simhash_fingerprints": QuerySpec(_simhash, None, "SimHash fingerprints"),
+    "embedding_topk": QuerySpec(_embedding_topk, _EMBEDDING_TOPK_SQL, "brute-force cosine top-k"),
+    "cosine_neardup_pairs": QuerySpec(_cosine_neardup, _COSINE_NEARDUP_SQL, "cosine near-dup"),
+    "ann_lsh_topk": QuerySpec(_ann_lsh_topk, None, "SRP-LSH ANN top-k (approx)"),
+    "binary_media_meta": QuerySpec(_binary_media, _BINARY_MEDIA_SQL, "multimodal carriage"),
+    "media_features": QuerySpec(_media_features, None, "mapInPandas decode/featurize (stub)"),
+}

@@ -1,0 +1,372 @@
+"""Scalar-function queries: datetime, conditional/null, string, math,
+JSON, array (SURVEY.md §2.B "Scalar" rows), plus the reference-parity
+transform shape (E1-E7 semantics from /root/reference/dags/
+taxi_transform_dag.py:51-74 re-applied to the `events` fixture).
+
+All of these are pure per-row expressions: whole-stage-codegen'd JVM
+projections over the scan, no shuffle, no Python. At 100 TB these queries
+are scan-bound; the only knob that matters is column pruning + predicate
+pushdown, which Catalyst applies because everything here is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import QuerySpec, rnd, t
+
+
+def _datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime kit. Note `dow`: reference semantics are Postgres
+    EXTRACT(dow) = 0..6 Sunday-start (taxi_transform_dag.py:56); Spark
+    dayofweek() is 1..7 Sunday-start, hence the -1 (SURVEY §2.C gotcha 1).
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("o_dow"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("o_month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus_3_months"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+_DATETIME_SCALARS_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)      AS o_year,
+       CAST(month(o_orderdate) AS BIGINT)     AS o_month,
+       CAST(day(o_orderdate) AS BIGINT)       AS o_day,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS o_dow,
+       CAST(quarter(o_orderdate) AS BIGINT)   AS o_quarter,
+       date_trunc('month', o_orderdate)       AS o_month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+                                              AS days_to_2002,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3_months,
+       CAST(epoch(o_orderdate) AS BIGINT)     AS epoch_s
+FROM orders
+"""
+
+
+def _conditional_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E3-E7 expression shapes on lineitem:
+    E3 guarded ratio + cap (CASE WHEN + LEAST; 0 not NULL on bad denom),
+    E4 simple-CASE decode, E6 range-CASE bucketing, E7 COALESCE/NULLIF.
+    Cites /root/reference/dags/taxi_transform_dag.py:59,61-64,67-73.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    discount_pct = (
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.least(
+                rnd(F.col("l_discount") * F.col("l_extendedprice") / F.col("l_quantity"), 4),
+                F.lit(999.99),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("disc_per_unit")
+    )
+    flag_label = (
+        F.when(F.col("l_returnflag") == "R", "Returned")
+        .when(F.col("l_returnflag") == "A", "Accepted")
+        .when(F.col("l_returnflag") == "N", "None")
+        .otherwise("Other")
+        .alias("flag_label")
+    )
+    qty_bucket = (
+        F.when(F.col("l_quantity") < 5, "Very Small")
+        .when(F.col("l_quantity") < 15, "Small")
+        .when(F.col("l_quantity") < 30, "Medium")
+        .when(F.col("l_quantity") < 45, "Large")
+        .otherwise("Very Large")
+        .alias("qty_bucket")
+    )
+    safe_disc = F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(0.05)).alias(
+        "effective_discount"
+    )
+    capped = F.greatest(
+        F.least(rnd(F.col("l_extendedprice") / 1000, 4), F.lit(60.0)), F.lit(10.0)
+    ).alias("price_k_clamped")
+    return li.select(
+        "l_orderkey", "l_linenumber", discount_pct, flag_label, qty_bucket, safe_disc, capped
+    )
+
+
+_CONDITIONAL_SCALARS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_extendedprice > 0
+            THEN least(floor((l_discount * l_extendedprice / l_quantity) * 10000 + 0.5) / 10000, 999.99)
+            ELSE 0.0 END AS disc_per_unit,
+       CASE l_returnflag WHEN 'R' THEN 'Returned' WHEN 'A' THEN 'Accepted'
+                         WHEN 'N' THEN 'None' ELSE 'Other' END AS flag_label,
+       CASE WHEN l_quantity < 5  THEN 'Very Small'
+            WHEN l_quantity < 15 THEN 'Small'
+            WHEN l_quantity < 30 THEN 'Medium'
+            WHEN l_quantity < 45 THEN 'Large'
+            ELSE 'Very Large' END AS qty_bucket,
+       coalesce(nullif(l_discount, 0.0), 0.05) AS effective_discount,
+       greatest(least(floor((l_extendedprice / 1000) * 10000 + 0.5) / 10000, 60.0), 10.0) AS price_k_clamped
+FROM lineitem
+"""
+
+
+def _string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.col("p_type").like("%steel%").alias("is_steel"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+_STRING_SCALARS_SQL = """
+SELECT p_partkey,
+       upper(p_name)                    AS name_upper,
+       lower(p_brand)                   AS brand_lower,
+       CAST(length(p_name) AS BIGINT)   AS name_len,
+       substring(p_name, 1, 8)          AS name_prefix,
+       concat_ws('|', p_brand, p_type)  AS brand_type,
+       trim('  pad  ')                  AS trimmed,
+       coalesce(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num,
+       regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+       string_split(p_name, ' ')[1]     AS first_word,
+       p_type LIKE '%steel%'            AS is_steel,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       reverse(p_brand)                 AS brand_rev
+FROM part
+"""
+
+
+def _math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("discount_amt"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        rnd(F.log("l_extendedprice"), 6).alias("ln_price"),
+        rnd(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        rnd(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        (F.col("l_linenumber") % 3).cast("long").alias("line_mod3"),
+        rnd(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_compound"),
+        F.sign(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+_MATH_SCALARS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       floor((l_extendedprice * l_discount) * 100 + 0.5) / 100       AS discount_amt,
+       CAST(floor(l_extendedprice) AS BIGINT)       AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT)        AS price_ceil,
+       abs(l_discount - 0.05)                       AS disc_dev,
+       l_quantity * l_quantity                      AS qty_sq,
+       floor((ln(l_extendedprice)) * 1000000 + 0.5) / 1000000                AS ln_price,
+       floor((log10(l_extendedprice)) * 1000000 + 0.5) / 1000000             AS log10_price,
+       floor((sqrt(l_quantity)) * 1000000 + 0.5) / 1000000                   AS sqrt_qty,
+       CAST(l_linenumber % 3 AS BIGINT)             AS line_mod3,
+       floor((pow(1.0 + l_tax, 2)) * 1000000 + 0.5) / 1000000                AS tax_compound,
+       CAST(sign(l_discount - 0.05) AS DOUBLE)      AS disc_sign,
+FROM lineitem
+"""
+
+
+def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the events.props JSON column, then aggregate."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*)             AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def _array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kit over the embedding column: size, element_at, slice,
+    higher-order aggregate (L2 norm via F.aggregate — JVM-side lambda,
+    no Python)."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at(dbl, 1).alias("first_val"),
+        F.element_at(dbl, -1).alias("last_val"),
+        rnd(
+            F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)), 4
+        ).alias("l2_norm"),
+        rnd(F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "head8_sum"
+        ),
+    )
+
+
+_ARRAY_OPS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(embedding[1] AS DOUBLE)   AS first_val,
+       CAST(embedding[-1] AS DOUBLE)  AS last_val,
+       floor((sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                              (a, b) -> a + b))) * 10000 + 0.5) / 10000 AS l2_norm,
+       floor((list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
+                         (a, b) -> a + b)) * 10000 + 0.5) / 10000       AS head8_sum
+FROM embeddings
+"""
+
+
+def _posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (ordinal-preserving array unnest) on a filtered slice."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("long"), F.col("val").cast("double"))
+
+
+_POSEXPLODE_SQL = """
+SELECT vec_id,
+       unnest(range(len(embedding)))              AS pos,
+       CAST(unnest(embedding) AS DOUBLE)          AS val
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _events_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference transform parity on the events fixture — the full shape of
+    /root/reference/dags/taxi_transform_dag.py:42-79 (filter gate F1,
+    derivations E1-E7) with events standing in for taxi trips."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("value") >= 0) & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.hour("ts").cast("long").alias("event_hour"),
+            (F.dayofweek("ts") - 1).cast("long").alias("event_dow"),
+            F.month("ts").cast("long").alias("event_month"),
+            F.when(F.col("event_type") == "click", "Click")
+            .when(F.col("event_type") == "view", "View")
+            .when(F.col("event_type") == "purchase", "Purchase")
+            .when(F.col("event_type") == "signup", "Signup")
+            .otherwise("Other")
+            .alias("event_label"),
+            F.when(F.col("value") < 5, "Very Low")
+            .when(F.col("value") < 15, "Low")
+            .when(F.col("value") < 30, "Medium")
+            .when(F.col("value") < 60, "High")
+            .otherwise("Very High")
+            .alias("value_band"),
+            rnd(
+                F.when(
+                    F.col("value") > 0,
+                    F.least(F.get_json_object("props", "$.k").cast("double") / F.col("value") * 100, F.lit(999.99)),
+                ).otherwise(0.0),
+                4,
+            ).alias("k_per_value_pct"),
+            F.coalesce(F.get_json_object("props", "$.missing").cast("double"), F.lit(0.0)).alias(
+                "missing_defaulted"
+            ),
+        )
+    )
+
+
+_EVENTS_CLEANED_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(hour(ts) AS BIGINT)      AS event_hour,
+       CAST(dayofweek(ts) AS BIGINT) AS event_dow,
+       CAST(month(ts) AS BIGINT)     AS event_month,
+       CASE event_type WHEN 'click' THEN 'Click' WHEN 'view' THEN 'View'
+                       WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+                       ELSE 'Other' END AS event_label,
+       CASE WHEN value < 5  THEN 'Very Low'
+            WHEN value < 15 THEN 'Low'
+            WHEN value < 30 THEN 'Medium'
+            WHEN value < 60 THEN 'High'
+            ELSE 'Very High' END AS value_band,
+       floor((CASE WHEN value > 0
+                  THEN least(CAST(json_extract_string(props, '$.k') AS DOUBLE) / value * 100,
+                             999.99)
+                  ELSE 0.0 END) * 10000 + 0.5) / 10000 AS k_per_value_pct,
+       coalesce(CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0)
+         AS missing_defaulted
+FROM events
+WHERE value >= 0 AND user_id IS NOT NULL
+"""
+
+
+def _filter_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter surface: BETWEEN, IN, IS NULL, LIKE, NOT, OR (SURVEY §2.B
+    "Filters" row), aggregated to a compact deterministic result."""
+    o = t(spark, sf_dir, "orders")
+    kept = o.filter(
+        (F.col("o_totalprice").between(50000, 200000))
+        & (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        & (F.col("o_orderstatus") != "P")
+        & (F.col("o_orderdate").isNotNull())
+        & (~F.col("o_orderpriority").like("%LOW%"))
+        & ((F.year("o_orderdate") == 1997) | (F.year("o_orderdate") == 1998))
+    )
+    return kept.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_FILTER_KIT_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus <> 'P'
+  AND o_orderdate IS NOT NULL
+  AND o_orderpriority NOT LIKE '%LOW%'
+  AND (year(o_orderdate) = 1997 OR year(o_orderdate) = 1998)
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "datetime_scalars": QuerySpec(_datetime_scalars, _DATETIME_SCALARS_SQL, "datetime kit"),
+    "conditional_scalars": QuerySpec(
+        _conditional_scalars, _CONDITIONAL_SCALARS_SQL, "E3-E7 CASE/COALESCE shapes"
+    ),
+    "string_scalars": QuerySpec(_string_scalars, _STRING_SCALARS_SQL, "string kit"),
+    "math_scalars": QuerySpec(_math_scalars, _MATH_SCALARS_SQL, "math kit"),
+    "json_extract_agg": QuerySpec(_json_extract, _JSON_EXTRACT_SQL, "JSON path extract"),
+    "array_ops": QuerySpec(_array_ops, _ARRAY_OPS_SQL, "array kit + higher-order agg"),
+    "posexplode_embeddings": QuerySpec(_posexplode_embeddings, _POSEXPLODE_SQL, "posexplode"),
+    "events_cleaned": QuerySpec(
+        _events_cleaned, _EVENTS_CLEANED_SQL, "reference transform parity (E1-E7 on events)"
+    ),
+    "filter_kit": QuerySpec(_filter_kit, _FILTER_KIT_SQL, "filter surface"),
+}

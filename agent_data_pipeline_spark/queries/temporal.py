@@ -1,0 +1,168 @@
+"""Temporal / streaming-analog queries over the `events` fixture.
+
+Each is the BATCH expression of a streaming operator (SURVEY §2.B
+"Streaming" row): the same plans run under readStream in
+``streaming/jobs.py``, and tests/test_streaming.py asserts
+batch == streaming output. The DuckDB oracle checks the batch semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..ops.asof import asof_join
+from ..ops.sessionize import session_summary
+from .core import QuerySpec, rnd, t
+
+
+def _tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (epoch-aligned, same grid as
+    DuckDB date_trunc).
+
+    Known limit: under a session TZ with a non-whole-hour UTC offset
+    (Asia/Kolkata), F.window's epoch-aligned grid diverges from the
+    oracle's wall-clock date_trunc. Whole-hour TZs and UTC agree."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_TUMBLING_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in 2
+    windows. Oracle reproduces the assignment by unnesting the two
+    epoch-aligned window starts per event."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+_SLIDING_WINDOWS_SQL = """
+WITH assigned AS (
+  SELECT unnest([make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)),
+                 make_timestamp(CAST((floor(epoch(ts) / 1800) - 1) * 1800 * 1000000 AS BIGINT))])
+           AS window_start,
+         value
+  FROM events
+)
+SELECT window_start, count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+FROM assigned GROUP BY window_start
+"""
+
+
+def _session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user — batch analog of
+    streaming session_window, via ops.sessionize (lag + cumsum)."""
+    e = t(spark, sf_dir, "events")
+    return session_summary(e, "user_id", "ts", 1800, "value").select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+
+
+_SESSION_WINDOWS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts)                       AS session_start,
+       max(ts) + INTERVAL 30 MINUTE  AS session_end,
+       count(*)                      AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100          AS sum_value
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+def _first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, type) — batch analog of streaming
+    dropDuplicatesWithinWatermark (deterministic tie-break on event_id)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("first_ts"),
+                F.col("event_id").alias("first_event_id"))
+    )
+
+
+_FIRST_EVENT_DEDUP_SQL = """
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events) x
+WHERE rn = 1
+"""
+
+
+def _asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (ops/asof.py union+window construction — an operator
+    Spark lacks natively; DuckDB oracle uses its native ASOF JOIN)."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_event_id")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts", "click_event_id"],
+    )
+
+
+_ASOF_PURCHASES_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_event_id
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tumbling_hourly": QuerySpec(_tumbling_hourly, _TUMBLING_HOURLY_SQL, "tumbling windows"),
+    "sliding_windows": QuerySpec(_sliding_windows, _SLIDING_WINDOWS_SQL, "sliding windows"),
+    "session_windows": QuerySpec(_session_windows, _SESSION_WINDOWS_SQL, "session windows"),
+    "first_event_dedup": QuerySpec(_first_event_dedup, _FIRST_EVENT_DEDUP_SQL, "keep-first dedup"),
+    "asof_purchases": QuerySpec(_asof_purchases, _ASOF_PURCHASES_SQL, "as-of join"),
+}
