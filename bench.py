@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the `noop` sink — every column
+is materialized (a bare count() would let Catalyst prune the projections
+and undercount the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from agent_data_pipeline_spark.queries import REGISTRY
+from agent_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "brand_revenue",
+    "left_join_counts",
+    "range_join_60d",
+    "top3_orders_per_customer",
+    "moving_avg",
+    "running_total",
+    "filter_kit",
+    "conditional_scalars",
+    "json_extract_agg",
+    "tumbling_hourly",
+    "session_windows",
+    "asof_purchases",
+    "exact_dedup",
+    "text_stats",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="agent_data_pipeline_spark-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        start = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
