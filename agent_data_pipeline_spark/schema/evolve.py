@@ -1,0 +1,154 @@
+"""D2-D4: catalog introspection, schema diff + additive evolution, DDL run.
+
+Reference contract (agent-schema/app.py):
+  D2  ``get_existing_columns`` reads information_schema (app.py:61-73)
+      -> here: ``spark.catalog.listColumns`` over the Spark catalog.
+  D3  evolution policy (app.py:95-124, fallback :204-218):
+      create schema if missing (:109); infer zone raw/staging/analytics
+      from the file path when none given (:93, :111); create table if
+      absent (:112); ADD missing columns only -- never drop or rename
+      (:113); ignore case-only differences (:107); sanitize identifiers
+      (:110).
+  D4  execute DDL statement-by-statement, split on ';' (app.py:226-231).
+
+Everything here is driver-side metadata work: the only cluster I/O is the
+100-row sampled read in ``infer_csv_schema``. At 100 TB the catalog calls
+are identical — schema evolution never touches data files (Parquet tables
+resolve added columns as NULL on old files, the same additive semantics
+the reference gets from ``ALTER TABLE ADD COLUMN``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from .infer import infer_csv_schema, sanitize_identifier
+
+_ZONES = ("raw", "staging", "analytics")
+
+
+def zone_from_path(path: str) -> str:
+    """Infer a warehouse zone from the file path (app.py:93, :111):
+    any path segment naming a zone wins; default ``raw``."""
+    lowered = path.lower().replace("\\", "/")
+    segments = set(lowered.strip("/").split("/"))
+    for zone in _ZONES:
+        if zone in segments:
+            return zone
+    return "raw"
+
+
+def existing_columns(spark: SparkSession, qualified_table: str) -> dict[str, str]:
+    """D2: ``{lowercase_column_name: spark_ddl_type}`` for a catalog table,
+    empty dict when the table (or its database) does not exist.
+
+    Mirrors the reference's dialect-portable information_schema read
+    (app.py:61-73) via the Spark catalog."""
+    if not spark.catalog.tableExists(qualified_table):
+        return {}
+    return {
+        c.name.lower(): c.dataType for c in spark.catalog.listColumns(qualified_table)
+    }
+
+
+def diff_schemas(
+    existing: dict[str, str], inferred: T.StructType
+) -> list[T.StructField]:
+    """D3 core: fields in ``inferred`` missing from ``existing``,
+    compared case-insensitively (app.py:107). Never reports drops or
+    renames — evolution is additive-only (app.py:113)."""
+    have = {name.lower() for name in existing}
+    return [f for f in inferred.fields if f.name.lower() not in have]
+
+
+@dataclass
+class EvolutionPlan:
+    """The DDL the evolve step decided on, plus what it saw."""
+
+    zone: str
+    table: str
+    statements: list[str] = field(default_factory=list)
+    added_columns: list[str] = field(default_factory=list)
+    created_table: bool = False
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.zone}.{self.table}"
+
+
+def evolve_ddl(
+    spark: SparkSession,
+    inferred: T.StructType,
+    table: str,
+    zone: str | None = None,
+    source_path: str = "",
+    location: str | None = None,
+) -> EvolutionPlan:
+    """D3: generate additive-only DDL to make ``zone.table`` carry the
+    inferred schema. Pure metadata decision — nothing is executed.
+
+    ``table`` may be qualified (``analytics.trips``); an explicit ``zone``
+    or the path-derived zone is used otherwise (app.py:90-93)."""
+    if "." in table:
+        zone, table = table.split(".", 1)
+    if not zone:
+        zone = zone_from_path(source_path)
+    zone = sanitize_identifier(zone).lower()
+    table = sanitize_identifier(table).lower()
+    plan = EvolutionPlan(zone=zone, table=table)
+
+    plan.statements.append(f"CREATE DATABASE IF NOT EXISTS {zone}")
+
+    current = existing_columns(spark, f"{zone}.{table}")
+    cols_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in inferred.fields)
+    if not current:
+        loc = f" LOCATION '{location}'" if location else ""
+        plan.statements.append(
+            f"CREATE TABLE IF NOT EXISTS {zone}.{table} ({cols_ddl}) USING PARQUET{loc}"
+        )
+        plan.created_table = True
+        plan.added_columns = [f.name for f in inferred.fields]
+        return plan
+
+    missing = diff_schemas(current, inferred)
+    if missing:
+        add_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in missing)
+        plan.statements.append(f"ALTER TABLE {zone}.{table} ADD COLUMNS ({add_ddl})")
+        plan.added_columns = [f.name for f in missing]
+    return plan
+
+
+def run_ddl(spark: SparkSession, ddl: str | list[str]) -> int:
+    """D4: execute DDL statement-by-statement (app.py:226-231 splits on
+    ';'); returns the number of statements run."""
+    statements = ddl if isinstance(ddl, list) else ddl.split(";")
+    n = 0
+    for stmt in statements:
+        stmt = stmt.strip()
+        if stmt:
+            spark.sql(stmt)
+            n += 1
+    return n
+
+
+def ensure_table(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    zone: str | None = None,
+    sample_rows: int = 100,
+    location: str | None = None,
+) -> EvolutionPlan:
+    """§3.3 entry point: sample -> infer -> diff -> additive DDL -> execute.
+
+    The Spark collapse of the reference's POST /nifi_table_create
+    (agent-schema/app.py:167-243): one driver-side call, no services."""
+    inferred = infer_csv_schema(spark, path, sample_rows=sample_rows)
+    plan = evolve_ddl(
+        spark, inferred, table, zone=zone, source_path=path, location=location
+    )
+    run_ddl(spark, plan.statements)
+    return plan

@@ -11,8 +11,12 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="agent_data_pipeline_spark-tests")
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
+    spark = get_spark(
+        app_name="agent_data_pipeline_spark-tests",
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield spark
 
 
