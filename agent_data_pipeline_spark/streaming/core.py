@@ -1,0 +1,185 @@
+"""Structured Streaming operators: file source, event-time windows,
+watermarked dedup, foreachBatch sinks, O2-style drain.
+
+Reference parity (SURVEY.md §2.A S2/O2): the reference's only streaming
+construct is NiFi continuously draining a file queue, with Airflow polling
+``flowFilesQueued`` until empty (dags/pipeline_orchestrator.py:59-86).
+Here that whole contract is the Structured Streaming file source plus
+``drain`` (processAllAvailable). The window/watermark/dedup surface is
+the declared north-star extension (§2.B streaming row).
+
+Design rules for scale:
+  * every aggregation takes the SAME shape as its batch counterpart
+    (groupBy window + agg) — batch-stream equivalence is tested, and the
+    incremental state store gives true incrementality the reference's
+    TRUNCATE+INSERT full refresh lacks (SURVEY §4 "incrementality").
+  * watermarks bound state: an unbounded streaming agg on a 100 TB/day
+    firehose is a driver OOM without one, so every window helper takes
+    ``watermark`` and applies it before grouping.
+  * sinks go through foreachBatch so one micro-batch write reuses the
+    whole batch sink surface (parquet partitioning, JDBC fan-out).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (S2 analog): new parquet files appearing under
+    ``path`` become micro-batches. ``max_files_per_trigger=1`` gives
+    deterministic one-file-per-batch replay — how the equivalence tests
+    step watermarks forward."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark else df
+
+
+def _flatten_window(agged: DataFrame, prefix: str) -> DataFrame:
+    """Unnest the struct the window groupBy produced into
+    ``{prefix}_start``/``{prefix}_end`` + the remaining flat columns."""
+    rest = [c for c in agged.columns if c != "w"]
+    return agged.select(
+        F.col("w.start").alias(f"{prefix}_start"),
+        F.col("w.end").alias(f"{prefix}_end"),
+        *rest,
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: list,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregate; identical call works on a
+    batch DataFrame (no watermark) and a stream (watermark bounds state +
+    drops late rows)."""
+    grouped = _with_watermark(df, ts_col, watermark).groupBy(
+        F.window(ts_col, duration).alias("w"), *(keys or [])
+    )
+    return _flatten_window(grouped.agg(*aggs), "window")
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: list,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows — each row lands in
+    duration/slide windows."""
+    grouped = _with_watermark(df, ts_col, watermark).groupBy(
+        F.window(ts_col, duration, slide).alias("w"), *(keys or [])
+    )
+    return _flatten_window(grouped.agg(*aggs), "window")
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based): consecutive events of a key closer
+    than ``gap`` merge into one session. Streaming requires a watermark
+    (sessions can only close once the watermark passes the gap)."""
+    grouped = _with_watermark(df, ts_col, watermark).groupBy(
+        F.session_window(ts_col, gap).alias("w"), *keys
+    )
+    return _flatten_window(grouped.agg(*aggs), "session")
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication. With a watermark the state for a key is
+    dropped once the watermark passes it (bounded state — the only viable
+    shape at firehose scale); without one, global exact dedup with
+    unbounded state (batch parity)."""
+    if watermark and ts_col:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def stream_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Memory sink — the test/debug harness. NOT a scale path (results
+    collect on the driver); production goes through foreachBatch."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def foreach_batch_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    output_mode: str = "append",
+    batch_hook: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """foreachBatch sink: each micro-batch is written with the full batch
+    parquet writer (partitioning, overwrite semantics), the pattern that
+    also carries JDBC and multi-sink fan-out. Checkpointing makes the
+    stream exactly-once at the sink for idempotent writers."""
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        writer = batch.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        if batch_hook is not None:
+            batch_hook(batch, epoch_id)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def drain(query: StreamingQuery, timeout: float = 600.0) -> dict:
+    """O2 analog (dags/pipeline_orchestrator.py:59-86): the reference
+    polls NiFi's queue depth until empty with backoff and a 600 s cap.
+    Structured Streaming exposes exactly that contract natively:
+    ``processAllAvailable`` blocks until the source is drained; progress
+    counters replace the queue-depth poll. Returns the last progress."""
+    query.processAllAvailable()
+    progress = query.lastProgress or {}
+    query.stop()
+    query.awaitTermination(timeout)
+    return progress
