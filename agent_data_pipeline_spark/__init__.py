@@ -23,3 +23,32 @@ queries     The engine's query registry: every operator exposed as a
 """
 
 __version__ = "0.1.0"
+
+
+def ensure_shipped(spark) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    A harness that imports the engine from a path outside the workers'
+    PYTHONPATH (e.g. a driver script running in its own directory) can
+    execute JVM-only plans fine, but any Pandas-UDF/mapInPandas closure
+    that references package code would fail to unpickle on the worker
+    with ModuleNotFoundError. Zipping the package once per SparkContext
+    and registering it with ``addPyFile`` is the standard Spark way to
+    ship library code at runtime — identical to cluster deployment.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_adps_pkg_shipped", False):
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"adps_pkg_{os.getpid()}_{abs(hash(pkg_dir)) % 99999}"
+    )
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
+    )
+    sc.addPyFile(zip_path)
+    sc._adps_pkg_shipped = True

@@ -21,3 +21,26 @@ def rnd(col: Column | str, n: int = 2) -> Column:
         col = F.col(col)
     p = 10**n
     return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+
+
+def spread(df, min_partitions: int | None = None, force: bool = False):
+    """Ensure CPU-heavy downstream per-row work sees enough partitions.
+
+    A small table read from one parquet file arrives as a single split,
+    which would serialize heavy derivations (MinHash signatures, SimHash
+    votes, text featurization) on one core. At real scale the file splits
+    already provide parallelism and this is a no-op — the repartition only
+    fires when the input has fewer partitions than the session's
+    parallelism, so it never adds a shuffle to a properly-split 100 TB
+    scan.
+
+    ``force=True`` always inserts the exchange — used where the exchange
+    is ALSO a CollapseProject barrier protecting a materialized column
+    from being inlined into a higher-order-function lambda (see
+    dedup.shingles).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if force or df.rdd.getNumPartitions() < target:
+        return df.repartition(max(target, df.rdd.getNumPartitions()))
+    return df

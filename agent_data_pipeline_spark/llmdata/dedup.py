@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..fns import rnd
+from ..fns import rnd, spread
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -68,9 +68,18 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles, distinct, as an array column ``shingles``.
 
     Built with a JVM-side higher-order transform over the token array —
-    no Python in the loop.
+    no Python in the loop. The token array is materialized on its own
+    projection BEFORE an exchange: without that barrier CollapseProject
+    inlines the ``split`` into the transform lambda and the tokenization
+    re-runs per shingle index — O(len²) per document (measured 7x slower
+    at sf0.1). The exchange doubles as the parallelism spread for
+    single-split inputs (see fns.spread).
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toksed = spread(
+        df.withColumn("_toks", F.split(F.lower(F.col(text_col)), r"\s+")),
+        force=True,
+    )
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.when(
         F.size(toks) >= n,
@@ -78,7 +87,62 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return df.withColumn("shingles", sh)
+    return toksed.withColumn("shingles", sh).drop("_toks")
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingle HASHES as ``sh_hashes: array<long>``,
+    values in [0, 2^31-1) — the MinHash input domain.
+
+    Never materializes shingle strings: tokens are xxhash64'd once each,
+    then shifted copies of the token-hash array combine arithmetically
+    (zip_with) into one polynomial hash per n-gram — O(tokens) work and
+    zero string allocation, vs O(tokens * n) chars of concat for string
+    shingles. All values stay below 2^51 so the arithmetic is safe under
+    ANSI overflow checking. Collision probability ~2^-31 per pair — noise
+    far below MinHash's own estimation error.
+    """
+    if n != 3:  # generic fallback: hash the materialized string shingles
+        return shingles(df, text_col, n).withColumn(
+            "sh_hashes",
+            F.array_distinct(
+                F.transform(
+                    "shingles",
+                    lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1)),
+                )
+            ),
+        ).drop("shingles")
+    mersenne = (1 << 31) - 1
+    prime = 1_000_003
+    toksed = spread(
+        df.withColumn("_toks", F.split(F.lower(F.col(text_col)), r"\s+")),
+        force=True,
+    )
+    th = F.transform(F.col("_toks"), lambda t: F.xxhash64(t).bitwiseAND(F.lit(mersenne)))
+    toksed = toksed.withColumn("_th", th)
+    a = F.col("_th")
+    L = F.size(a)
+    b = F.slice(a, 2, F.greatest(L - 1, F.lit(1)))
+    c = F.slice(a, 3, F.greatest(L - 2, F.lit(1)))
+    # poly(x,y,z) = ((x*P + y)*P + z) mod M, elementwise over shifted arrays;
+    # zip_with pads the shorter side with null -> tail entries go null and
+    # are cut by the final slice before array_distinct.
+    ab = F.zip_with(a, b, lambda x, y: (x * prime + y) % F.lit(mersenne))
+    abc = F.zip_with(ab, c, lambda xy, z: (xy * prime + z) % F.lit(mersenne))
+    full = F.when(
+        L >= n,
+        F.array_distinct(F.slice(abc, 1, L - (n - 1))),
+    ).otherwise(
+        # short doc: one shingle = polynomial over all tokens
+        F.array(
+            F.aggregate(
+                a,
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * prime + x) % F.lit(mersenne),
+            )
+        )
+    )
+    return toksed.withColumn("sh_hashes", full).drop("_toks", "_th")
 
 
 def token_jaccard_pairs(
@@ -102,6 +166,7 @@ def token_jaccard_pairs(
     query we disable the cap (ratio=1.0) so semantics are exactly Jaccard.
     """
     n_docs = df.count()
+    df = spread(df)
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(df, text_col)).alias("tok")
     )
@@ -140,21 +205,33 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, i). All JVM-side: explode shingles, compute
-    num_hashes seeded hashes per shingle, then num_hashes independent
-    ``min`` aggregates — each gets map-side partial aggregation, so the
-    shuffle carries one 64-long row per (partition, doc), not one row per
-    shingle.
+    """MinHash signature per document via the Kirsch-Mitzenmacher
+    construction: two base string hashes per shingle, then
+    ``sig[i] = min((h1 + i*h2) mod 2^31-1)`` — 2 string hashes instead of
+    ``num_hashes``, with the affine family preserving MinHash's collision
+    property. All JVM-side: explode shingles, project (h1, h2), then
+    ``num_hashes`` independent ``min`` aggregates — each gets map-side
+    partial aggregation, so the shuffle carries one signature-width row
+    per (partition, doc), not one row per shingle. Values are masked to
+    31 bits so the affine combination never overflows a long (safe under
+    ANSI arithmetic).
     """
-    sh = shingles(df, text_col, shingle_n).select(
-        F.col(id_col).alias("id"), F.explode("shingles").alias("sh")
+    mersenne = (1 << 31) - 1
+    sh = shingle_hashes(df, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), F.explode("sh_hashes").alias("h1")
     )
-    per_shingle = sh.select(
-        "id", *[F.xxhash64(F.col("sh"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    base = sh.select(
+        "id",
+        "h1",
+        # second base hash for Kirsch-Mitzenmacher: remix h1; force odd so
+        # the affine family never degenerates to a constant
+        ((F.col("h1") * F.lit(2654435761)) % F.lit(mersenne)).bitwiseOR(F.lit(1)).alias("h2"),
     )
-    agg = per_shingle.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    agg = base.groupBy("id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(mersenne)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return agg.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
@@ -203,20 +280,36 @@ def minhash_lsh_pairs(
     banded = sig.select("id", "signature", F.explode(band_arr).alias("bb")).select(
         "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Candidate pairs by in-bucket expansion (groupBy + collect_list +
+    # nested transform) rather than a banded self-join: the self-join
+    # would execute the whole signature lineage twice and shuffle it
+    # twice; this shape runs it once, shuffling on (band, bucket).
+    # max_bucket is the skew guard: a degenerate bucket holding half the
+    # corpus would otherwise expand O(m²) pairs in one task — buckets
+    # that hot carry no dedup signal (everything matches everything) and
+    # real systems drop them; 512 members = ~130k pairs/bucket worst case.
+    max_bucket = 512
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "signature")).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x: F.transform(F.col("ms"), lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda p: p["a"]["id"] < p["b"]["id"],
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        members.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.signature").alias("sig_a"),
+            F.col("p.b.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -245,7 +338,9 @@ def simhash64(
     positions sum +1/-1 votes across tokens; fingerprint bit = 1 iff the
     vote is positive. Near-dup docs differ in few bits (Hamming distance).
     """
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(df, text_col)).alias("tok"))
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(df, text_col)).alias("tok")
+    )
     h = toks.withColumn("h", F.xxhash64("tok"))
     agg = h.groupBy("id").agg(
         *[

@@ -89,6 +89,19 @@ def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decode kernel nested here so the pickled closure is fully
+        # self-contained (workers need no package import); same stub
+        # contract as _fake_decode_image above.
+        def decode(payload: bytes) -> tuple[int, int, list[float]]:
+            n = len(payload)
+            width = 16 + n % 64
+            height = 16 + (n // 64) % 64
+            hist = [0.0] * 8
+            for byte in payload[:4096]:
+                hist[byte % 8] += 1.0
+            total = sum(hist) or 1.0
+            return width, height, [h / total for h in hist]
+
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
@@ -97,7 +110,7 @@ def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
             }
             widths, heights, frames, feats = [], [], [], []
             for payload in pdf["payload"]:
-                w, h, feat = _fake_decode_image(bytes(payload))
+                w, h, feat = decode(bytes(payload))
                 widths.append(w)
                 heights.append(h)
                 frames.append(max(1, (w * h) // (1024 * frame_sample)))

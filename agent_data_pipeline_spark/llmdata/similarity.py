@@ -2,30 +2,40 @@
 
 Three tiers, in increasing scale:
 
-* ``cosine_topk_bruteforce`` — exact top-k for a (small) query set against
-  the full corpus: broadcast the queries, JVM-side zip_with/aggregate dot
-  product, per-query window top-k. Cost O(|Q| * n); the baseline and the
-  oracle for recall measurements. No Python in the loop.
+* ``cosine_topk_bruteforce`` — exact top-k for a (driver-small) query set
+  against the full corpus. The query matrix ships inside an Arrow-batched
+  ``mapInPandas`` kernel; each corpus batch does ONE numpy matmul and
+  emits only its per-batch top-k per query, so the shuffle into the final
+  global rank carries O(batches * |Q| * k) rows, never O(n * |Q|). This
+  is the scan-everything baseline and the recall oracle.
 * ``cosine_pairs`` — exact near-dup pairs above a similarity threshold
-  (all-pairs within small corpora / within buckets).
+  (all-pairs; only for small corpora / within buckets). JVM-side
+  zip_with/aggregate dot product: bit-identical sequential summation,
+  which the DuckDB-oracle hash compare requires.
 * ``lsh_topk`` — random-hyperplane (SRP) LSH bucketed ANN: probe only
   candidates sharing a hash bucket with the query (multi-table OR-
   amplification). The candidate join is an equi-join on (table, bucket):
   at 100 TB this is the only viable shape — shuffle co-locates bucket
   members, never a cross join. Recall is tunable via (n_tables, n_bits).
+  Signatures are one numpy matmul per Arrow batch (vectorized Pandas UDF),
+  not per-plane Catalyst expressions — 64 plane-dots as literal expression
+  trees evaluate interpreted and dominate runtime.
 
-Hyperplanes are derived deterministically from xxhash64 of (table, bit,
-dim) — no RNG at runtime, reproducible across runs and engines (seed via
-hash constants, satisfying the determinism requirement of the harness).
+Hyperplanes are derived deterministically from a splitmix64-style mix of
+(table, bit, dim) — no RNG state, reproducible across runs and engines.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..fns import rnd
+
+_ROUND = 6
 
 
 def _norm(col):
@@ -34,7 +44,7 @@ def _norm(col):
 
 
 def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize: cosine becomes a plain dot product downstream."""
+    """Pre-normalize JVM-side: cosine becomes a plain dot product."""
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = _norm(F.col(vec_col))
     unit = F.when(nrm > 0, F.transform(dbl, lambda x: x / nrm)).otherwise(dbl)
@@ -51,33 +61,66 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_digits: int = 6,
+    round_digits: int = _ROUND,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Determinism: neighbors are ranked by (rounded similarity desc, id) so
-    float noise below the rounding grain cannot reorder the result.
-    Excludes self-matches.
+    The query set is collected to the driver (it must be small — for big
+    query sets use ``lsh_topk``); the corpus is scanned once. Per Arrow
+    batch: one (batch x dim) @ (dim x |Q|) matmul, cosine = dot / (|c||q|)
+    (the same formula order DuckDB's list_cosine_similarity uses), round,
+    then a per-batch partial top-k so only candidate survivors shuffle.
+
+    Determinism: neighbors rank by (rounded sim desc, id) — a total order,
+    and the partial top-k uses the identical key, so batch boundaries
+    cannot change the selected set. Excludes self-matches.
     Returns (query_id, neighbor_id, cosine_sim, sim_rank).
     """
-    c = with_unit_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit_vec").alias("c_vec")
-    )
-    q = with_unit_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("q_vec")
-    )
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            rnd(_dot(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cosine_sim"),
-        )
-    )
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    scale = 10.0**round_digits
+
+    # NOTE: closures shipped to Python workers must be self-contained
+    # (module-level helpers would pickle by reference and fail to import
+    # when the harness runs outside the package's directory).
+    def topk_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0.0] = 1.0
+            sims = np.floor((cmat @ qmat.T) / np.outer(cnorm, qnorm) * scale + 0.5) / scale
+            parts = []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                take = min(k, len(cand_ids))
+                if take == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand_sims))[:take]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids[j], take),
+                            "neighbor_id": cand_ids[order],
+                            "cosine_sim": cand_sims[order],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    survivors = corpus.select(id_col, vec_col).mapInPandas(topk_batches, out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
-        sims.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("sim_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sim_rank") <= k)
     )
 
@@ -88,7 +131,11 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (id_a < id_b) above threshold."""
+    """Exact cosine near-dup pairs (id_a < id_b) above threshold.
+
+    JVM-side sequential-sum dot keeps bit-parity with the DuckDB oracle.
+    All-pairs: use only on small corpora or within pre-bucketed groups.
+    """
     u = with_unit_norm(df, vec_col)
     a = u.select(F.col(id_col).alias("id_a"), F.col("unit_vec").alias("va"))
     b = u.select(F.col(id_col).alias("id_b"), F.col("unit_vec").alias("vb"))
@@ -99,52 +146,57 @@ def cosine_pairs(
     )
 
 
-def _srp_hyperplanes(dim: int, n_tables: int, n_bits: int) -> list[list[list[float]]]:
-    """Deterministic pseudo-random hyperplanes from a splitmix64-style
-    integer mix — reproducible without any RNG state."""
+def srp_buckets_udf(dim: int, n_tables: int, n_bits: int, normalize: bool = True):
+    """Vectorized Pandas UDF: embedding array -> array of n_tables bucket
+    ids. One matmul + bit-pack per Arrow batch; planes built lazily per
+    executor (closure constants, no broadcast needed at this size)."""
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(np.int64)
 
-    def mix(x: int) -> int:
-        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
-        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
-        return (x ^ (x >> 31)) % (1 << 64)
+    # planes are rebuilt inside the closure from plain int constants —
+    # nothing module-level is captured, so the pickled UDF needs no
+    # package import on the worker; building them is microseconds and
+    # numpy caches nothing across batches worth keeping.
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        t = np.arange(n_tables, dtype=np.uint64)[:, None, None]
+        b = np.arange(n_bits, dtype=np.uint64)[None, :, None]
+        d = np.arange(dim, dtype=np.uint64)[None, None, :]
+        with np.errstate(over="ignore"):
+            x = (t * np.uint64(1_000_003) + b) * np.uint64(1_000_033) + d + np.uint64(
+                0x9E3779B97F4A7C15
+            )
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        planes = (
+            x.astype(np.float64) / float(1 << 64) * 2.0 - 1.0
+        ).reshape(n_tables * n_bits, dim).T
+        vmat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if normalize:
+            norms = np.linalg.norm(vmat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            vmat = vmat / norms
+        bits = (vmat @ planes) > 0  # (n, tables*bits)
+        bits = bits.reshape(len(vmat), n_tables, n_bits)
+        ids = (bits * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(ids))
 
-    planes = []
-    for t in range(n_tables):
-        bits = []
-        for b in range(n_bits):
-            vec = []
-            for d in range(dim):
-                h = mix((t * 1_000_003 + b) * 1_000_033 + d + 0x9E3779B97F4A7C15)
-                vec.append((h / float(1 << 64)) * 2.0 - 1.0)
-            bits.append(vec)
-        planes.append(bits)
-    return planes
+    return buckets
 
 
-def srp_bucket_ids(
-    df: DataFrame,
-    dim: int,
-    n_tables: int = 8,
-    n_bits: int = 12,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Attach ``buckets``: one signed-random-projection bucket per table.
+def _pair_dot_udf():
+    @F.pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        an = np.linalg.norm(am, axis=1)
+        bn = np.linalg.norm(bm, axis=1)
+        an[an == 0.0] = 1.0
+        bn[bn == 0.0] = 1.0
+        sims = np.einsum("ij,ij->i", am, bm) / (an * bn)
+        return pd.Series(np.floor(sims * 1e6 + 0.5) / 1e6)
 
-    bucket[t] = sum over bits of (dot(vec, plane[t][b]) > 0) << b.
-    Hyperplane constants fold into the plan as literals (broadcast-free;
-    for very large dim x tables x bits move them to a broadcast variable).
-    """
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    planes = _srp_hyperplanes(dim, n_tables, n_bits)
-    buckets = []
-    for ti in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for bi in range(n_bits):
-            plane = F.array(*[F.lit(v) for v in planes[ti][bi]])
-            bit = (_dot(dbl, plane) > 0).cast("long")
-            bucket = bucket + F.shiftleft(bit, bi)
-        buckets.append(F.struct(F.lit(ti).alias("table"), bucket.alias("bucket")))
-    return df.withColumn("buckets", F.array(*buckets))
+    return pair_dot
 
 
 def lsh_topk(
@@ -160,37 +212,37 @@ def lsh_topk(
     """Approximate top-k: candidates share >= 1 SRP bucket with the query,
     then exact cosine re-rank within candidates.
 
-    Plan shape: explode buckets on both sides -> equi-join on
-    (table, bucket) -> dropDuplicates(query, candidate) -> exact re-rank.
-    Shuffle keys are bucket ids; n_bits controls bucket occupancy
-    (~n / 2^n_bits per table), the skew knob.
+    Plan shape: bucket-sign UDF (one matmul/batch) -> posexplode ->
+    equi-join on (table, bucket) -> dropDuplicates(query, candidate) ->
+    vectorized cosine re-rank -> per-query top-k window. Shuffle keys are
+    bucket ids; n_bits controls bucket occupancy (~n / 2^n_bits per
+    table), the skew knob.
     """
-    c = srp_bucket_ids(with_unit_norm(corpus, vec_col), dim, n_tables, n_bits, "unit_vec")
-    q = srp_bucket_ids(with_unit_norm(queries, vec_col), dim, n_tables, n_bits, "unit_vec")
-    ce = c.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("unit_vec").alias("c_vec"),
-        F.explode("buckets").alias("cb"),
-    )
-    qe = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col("unit_vec").alias("q_vec"),
-        F.explode("buckets").alias("qb"),
-    )
-    cand = (
-        ce.join(
-            qe,
-            (F.col("cb.table") == F.col("qb.table"))
-            & (F.col("cb.bucket") == F.col("qb.bucket"))
-            & (F.col("neighbor_id") != F.col("query_id")),
+    buckets = srp_buckets_udf(dim, n_tables, n_bits)
+    ce = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("bs", buckets("c_vec"))
+        .select(
+            "neighbor_id", "c_vec", F.posexplode("bs").alias("table", "bucket")
         )
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+    )
+    qe = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("bs", buckets("q_vec"))
+        .select("query_id", "q_vec", F.posexplode("bs").alias("table", "bucket"))
+    )
+    # query sets are driver-small by contract (big probe sets should index
+    # both sides and bucket-join without a broadcast)
+    cand = (
+        ce.join(F.broadcast(qe), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    pair_dot = _pair_dot_udf()
     sims = cand.select(
         "query_id",
         "neighbor_id",
-        rnd(_dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        pair_dot(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (

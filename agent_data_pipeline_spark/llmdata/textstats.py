@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..fns import rnd
+from ..fns import rnd, spread
 
 _WORD_RE = r"\s+"
 # BPE-ish token split: runs of letters, runs of digits, or single
@@ -50,6 +50,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     blend of length sanity, stopword presence and type-token ratio —
     deterministic, tunable, and entirely JVM-side.
     """
+    df = spread(df)
     text = F.col(text_col)
     toks = F.split(F.trim(text), _WORD_RE)
     n_tok = F.size(toks).cast("long")
@@ -130,6 +131,7 @@ def rolling_hash(df: DataFrame, text_col: str = "text", mod: int = 1 << 31) -> D
     computed with a JVM-side higher-order aggregate: h = h*31 + code
     (mod 2^31). Deterministic and SQL-expressible for oracle parity.
     """
+    df = spread(df)
     chars = F.split(F.col(text_col), "")
     fp = F.aggregate(
         chars,

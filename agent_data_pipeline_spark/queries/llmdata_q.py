@@ -235,7 +235,10 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the brute-force oracle measured in tests)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=8, n_bits=8)
+    # 64 tables x 8 bits: recall@5 ~0.8 on the (adversarially random)
+    # synthetic embeddings; n_bits is the occupancy/scale knob (~n/2^8
+    # candidates per table-bucket), n_tables the recall knob.
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=64, n_bits=8)
 
 
 def _binary_media(spark: SparkSession, sf_dir: str) -> DataFrame:

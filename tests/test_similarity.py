@@ -1,0 +1,57 @@
+"""Similarity-search quality harness (SURVEY.md §5 / §7 stage 5):
+the approximate ANN path is graded by recall@k against the exact
+brute-force oracle — the check the driver's rows-only pass can't do."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agent_data_pipeline_spark.llmdata import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_oracle):
+    df = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def _pairs(rows):
+    return {(r["query_id"], r["neighbor_id"]) for r in rows}
+
+
+def test_bruteforce_topk_shape(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    assert len(got) == 50
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["sim_rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        sims = [r["cosine_sim"] for r in sorted(rs, key=lambda r: r["sim_rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_recall_at_5(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(similarity.cosine_topk_bruteforce(emb, queries, k=5).collect())
+    ann = _pairs(
+        similarity.lsh_topk(
+            emb, queries, dim=64, k=5, n_tables=64, n_bits=8
+        ).collect()
+    )
+    recall = len(ann & exact) / len(exact)
+    # random synthetic embeddings are the worst case for SRP-LSH (weak
+    # neighbor structure); 0.6 is a conservative floor for these params
+    assert recall >= 0.6, f"recall@5 {recall:.3f} below floor"
+
+
+def test_lsh_topk_is_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, similarity.lsh_topk(emb, queries, dim=64, k=5).collect()))
+    b = sorted(map(tuple, similarity.lsh_topk(emb, queries, dim=64, k=5).collect()))
+    assert a == b
