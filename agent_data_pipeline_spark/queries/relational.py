@@ -772,7 +772,72 @@ WHERE rn = 1
 """
 
 
+def _grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (SURVEY §2.B "UDF surface" row):
+    applyInPandas computing a per-customer z-score of order totals.
+    Semantically a window avg/stddev (the oracle states it that way) —
+    chosen precisely so the grouped-map path is hash-checkable. Shuffles
+    once on the grouping key, same as the window formulation; group
+    cardinality ~orders/customer stays tiny so pandas per-group overhead
+    is bounded."""
+    o = t(spark, sf_dir, "orders")
+
+    def zscore(pdf):
+        import numpy as np  # self-contained closure
+
+        x = pdf["o_totalprice"].to_numpy(dtype="float64")
+        if len(x) > 1:
+            s = x.std(ddof=1)
+            z = (x - x.mean()) / s if s > 0 else np.zeros(len(x))
+        else:
+            z = np.zeros(len(x))
+        out = pdf[["o_orderkey", "o_custkey"]].copy()
+        out["zscore"] = np.floor(z * 1e6 + 0.5) / 1e6
+        return out
+
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, "o_orderkey long, o_custkey long, zscore double"
+    )
+
+
+_GROUPED_ZSCORE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN count(*) OVER w > 1 AND stddev_samp(o_totalprice) OVER w > 0
+            THEN floor(((o_totalprice - avg(o_totalprice) OVER w)
+                        / stddev_samp(o_totalprice) OVER w) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS zscore
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)
+"""
+
+
+def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (SURVEY §2.B: declared approx-only — no oracle;
+    tests/test_approx.py bounds them against exact values): HyperLogLog++
+    count-distinct and KLL-style quantiles. At 100 TB these replace exact
+    count(DISTINCT)/percentile whenever a bounded error is acceptable:
+    they partial-aggregate map-side (constant-size sketch per partition,
+    mergeable), so the shuffle carries sketches, not keys."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            pct.alias("pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.col("pcts")[0].alias("p50_price"),
+            F.col("pcts")[1].alias("p95_price"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "grouped_zscore": QuerySpec(_grouped_zscore, _GROUPED_ZSCORE_SQL, "applyInPandas grouped map"),
+    "approx_stats": QuerySpec(_approx_stats, None, "HLL++ distinct + approx quantiles"),
     "pricing_summary": QuerySpec(_pricing_summary, _PRICING_SUMMARY_SQL, "TPC-H Q1 shape"),
     "global_summary": QuerySpec(_global_summary, _GLOBAL_SUMMARY_SQL, "reference A2 global agg"),
     "count_distinct_by_flag": QuerySpec(_count_distinct, _COUNT_DISTINCT_SQL, "count distinct"),

@@ -11,6 +11,7 @@ pushdown, which Catalyst applies because everything here is declarative.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -355,8 +356,71 @@ GROUP BY o_orderstatus, o_orderpriority
 """
 
 
+def _parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_timestamp / date_format round trip (SURVEY §2.B datetime row):
+    format a timestamp to a string and parse it back — the CSV-ingest
+    datetime path (reference's inferred TIMESTAMP columns arrive as
+    strings; agent-schema/app.py:39-40)."""
+    o = t(spark, sf_dir, "orders")
+    formatted = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        formatted.alias("ts_str"),
+        F.to_timestamp(formatted, "yyyy-MM-dd HH:mm:ss").alias("ts_roundtrip"),
+        F.to_date(formatted.substr(1, 10), "yyyy-MM-dd").cast("timestamp").alias("date_part"),
+    )
+
+
+_PARSE_TIMESTAMPS_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+         AS ts_roundtrip,
+       CAST(CAST(substr(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), 1, 10) AS DATE)
+            AS TIMESTAMP) AS date_part
+FROM orders
+"""
+
+
+def _udf_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface (SURVEY §2.B "UDF surface" row): a row-at-a-time Python
+    UDF and a vectorized pandas_udf in one plan. Both are deterministic so
+    the DuckDB oracle hash-checks them. The pandas_udf path is the one to
+    imitate at scale (Arrow batches); the plain UDF exists for parity and
+    is deliberately trivial — anything hot belongs in builtins or Arrow.
+    Closures are self-contained (no module-level refs) so they unpickle on
+    workers without the package installed."""
+
+    @F.udf("string")
+    def py_reverse(s):
+        return None if s is None else s[::-1]
+
+    @F.pandas_udf("long")
+    def digit_sum(keys: pd.Series) -> pd.Series:
+        return keys.astype("string").apply(lambda s: sum(int(c) for c in s)).astype("int64")
+
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        py_reverse(F.col("p_name")).alias("name_rev"),
+        digit_sum(F.col("p_partkey")).alias("key_digit_sum"),
+    )
+
+
+_UDF_KIT_SQL = """
+SELECT p_partkey,
+       reverse(p_name) AS name_rev,
+       CAST(list_aggregate(list_transform(string_split(CAST(p_partkey AS VARCHAR), ''),
+                                          x -> CAST(x AS BIGINT)), 'sum') AS BIGINT)
+         AS key_digit_sum
+FROM part
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "datetime_scalars": QuerySpec(_datetime_scalars, _DATETIME_SCALARS_SQL, "datetime kit"),
+    "parse_timestamps": QuerySpec(_parse_timestamps, _PARSE_TIMESTAMPS_SQL, "to_timestamp round trip"),
+    "udf_kit": QuerySpec(_udf_kit, _UDF_KIT_SQL, "Python UDF + pandas_udf surface"),
     "conditional_scalars": QuerySpec(
         _conditional_scalars, _CONDITIONAL_SCALARS_SQL, "E3-E7 CASE/COALESCE shapes"
     ),

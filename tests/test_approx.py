@@ -1,0 +1,35 @@
+"""Tolerance checks for the approx-only aggregates (SURVEY §2.B: these
+are declared approximate, so the driver gives them rows-only checks —
+the error bounds are asserted here against exact values)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from agent_data_pipeline_spark.queries import REGISTRY
+
+
+def test_approx_stats_within_tolerance(spark, sf_oracle):
+    got = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["approx_stats"].spark(spark, sf_oracle).collect()
+    }
+    exact = {
+        r[0]: r
+        for r in duckdb.sql(
+            f"""
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS n,
+                   quantile_cont(l_extendedprice, 0.5)  AS p50,
+                   quantile_cont(l_extendedprice, 0.95) AS p95
+            FROM read_parquet('{sf_oracle}/lineitem.parquet')
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["approx_orders"] - e[1]) / e[1] < 0.05, (flag, "distinct")
+        assert abs(g["p50_price"] - e[2]) / e[2] < 0.02, (flag, "p50")
+        assert abs(g["p95_price"] - e[3]) / e[3] < 0.02, (flag, "p95")
