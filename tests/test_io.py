@@ -1,0 +1,77 @@
+"""Source/sink round-trip tests (SURVEY §2.B Sources/Sinks rows).
+
+JDBC is exercised only at the option-plumbing level (no database server
+in this container); file formats round-trip through real writes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agent_data_pipeline_spark.io import sinks, sources
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/orders.parquet")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_parquet_round_trip_partitioned(spark, orders, tmp_path):
+    out = str(tmp_path / "orders_pq")
+    sinks.write_parquet(
+        orders.withColumn("o_year", F.year("o_orderdate")), out, partition_by=["o_year"]
+    )
+    back = sources.read_parquet(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: a year filter must scan only that partition
+    pruned = back.filter(F.col("o_year") == 1997)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == orders.filter(F.year("o_orderdate") == 1997).count()
+
+
+def test_csv_round_trip(spark, orders, tmp_path):
+    out = str(tmp_path / "orders_csv")
+    subset = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    sinks.write_csv(subset, out)
+    back = sources.read_csv(
+        spark, out, schema="o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    assert _sorted_rows(back) == _sorted_rows(subset)
+
+
+def test_csv_append_mode(spark, orders, tmp_path):
+    out = str(tmp_path / "orders_csv_app")
+    subset = orders.select("o_orderkey").limit(10)
+    sinks.write_csv(subset, out)
+    sinks.write_csv(subset, out, mode="append")
+    back = sources.read_csv(spark, out, schema="o_orderkey long")
+    assert back.count() == 20
+
+
+def test_json_round_trip(spark, orders, tmp_path):
+    out = str(tmp_path / "orders_json")
+    subset = orders.select("o_orderkey", "o_orderpriority").limit(100)
+    subset.write.mode("overwrite").json(out)
+    back = sources.read_json(spark, out, schema="o_orderkey long, o_orderpriority string")
+    assert _sorted_rows(back) == _sorted_rows(subset)
+
+
+def test_sample_csv_head_bounds_rows(spark, orders, tmp_path):
+    out = str(tmp_path / "orders_head_csv")
+    sinks.write_csv(orders.select("o_orderkey", "o_totalprice"), out)
+    head = sources.sample_csv_head(spark, out, n=100)
+    assert head.count() == 100
+    assert dict(head.dtypes)["o_orderkey"] in ("int", "bigint")
+
+
+def test_overwrite_is_full_refresh(spark, orders, tmp_path):
+    """S5 semantics: overwrite replaces, never appends (§2.C gotcha 5)."""
+    out = str(tmp_path / "refresh_pq")
+    sinks.write_parquet(orders.limit(50), out)
+    sinks.write_parquet(orders.limit(50), out)
+    assert spark.read.parquet(out).count() == 50

@@ -1,0 +1,87 @@
+"""Physical-plan regression tests (SURVEY §4, §7 stage 6).
+
+Correctness tests can't catch a plan regression that is merely 100x
+slower at scale — these assert the *shape* Catalyst should pick:
+broadcast joins for dims, pushed filters, pruned scans, partial
+aggregation. A failure here means a code change silently degraded the
+100 TB story even if sf0.01 results still match.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from agent_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    """Joins against region/nation/customer/part must broadcast: a
+    sort-merge shuffle of lineitem on a dim key is the classic at-scale
+    regression."""
+    for name in ["revenue_by_nation", "brand_revenue"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_fact_scan_is_pruned(spark):
+    """The lineitem scan must read only the columns the query needs —
+    a full-width scan of the fact table is wrong at any scale."""
+    plan = plan_of(spark, "revenue_by_nation")
+    li = [s for s in read_schemas(plan) if "l_" in s]
+    assert li, "no lineitem scan found"
+    width = max(s.count(",") + 1 for s in li)
+    assert width <= 4, f"lineitem scan reads {width} columns: {li}"
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = plan_of(spark, "filter_kit")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, "no pushed filters at all"
+    body = pushed.group(1)
+    assert "o_totalprice" in body, body
+    # the dim-filter in brand_revenue must also push into the part scan
+    plan2 = plan_of(spark, "brand_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_brand", plan2), plan2[:500]
+
+
+def test_aggregates_are_partial(spark):
+    """groupBy aggs must partial-aggregate map-side (two HashAggregate
+    nodes around the exchange) so the shuffle carries combined state,
+    not raw rows."""
+    plan = plan_of(spark, "pricing_summary")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan[:800]
+
+
+def test_no_cartesian_in_lsh_paths(spark):
+    """The LSH near-dup/ANN paths exist precisely to avoid all-pairs
+    joins — a CartesianProduct or BroadcastNestedLoopJoin over the corpus
+    side means candidate generation regressed to O(n²)."""
+    for name in ["ann_lsh_topk", "minhash_lsh_pairs"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_range_join_prunes_with_band_condition(spark):
+    """The 60-day range join must keep an equi component (broadcast hash
+    on the equi key with the band as post-filter), not degenerate to a
+    nested-loop over both facts."""
+    plan = plan_of(spark, "range_join_60d")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
