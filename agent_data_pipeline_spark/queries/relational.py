@@ -785,17 +785,23 @@ def _grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf):
         import numpy as np  # self-contained closure
 
-        x = pdf["o_totalprice"].to_numpy(dtype="float64")
-        if len(x) > 1:
-            s = x.std(ddof=1)
-            z = (x - x.mean()) / s if s > 0 else np.zeros(len(x))
-        else:
-            z = np.zeros(len(x))
+        g = pdf.groupby("o_custkey")["o_totalprice"]
+        mean = g.transform("mean")
+        std = g.transform("std")  # ddof=1; NaN for singleton groups
+        x = pdf["o_totalprice"]
+        z = ((x - mean) / std).where(std.notna() & (std > 0), 0.0).to_numpy("float64")
         out = pdf[["o_orderkey", "o_custkey"]].copy()
         out["zscore"] = np.floor(z * 1e6 + 0.5) / 1e6
         return out
 
-    return o.groupBy("o_custkey").applyInPandas(
+    # Coarsened grouped-map: grouping directly on o_custkey would make one
+    # Python call per customer (tiny groups — call overhead dominates).
+    # Group on a 256-bucket hash of the key and vectorize the per-customer
+    # stats inside each call with pandas groupby.transform — identical
+    # semantics, ~256 calls instead of ~|customers|. The standard pattern
+    # for grouped-map UDFs over high-cardinality keys at scale.
+    bucketed = o.withColumn("bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(256)))
+    return bucketed.groupBy("bucket").applyInPandas(
         zscore, "o_orderkey long, o_custkey long, zscore double"
     )
 

@@ -1,8 +1,8 @@
 """Temporal / streaming-analog queries over the `events` fixture.
 
 Each is the BATCH expression of a streaming operator (SURVEY §2.B
-"Streaming" row): the same plans run under readStream in
-``streaming/jobs.py``, and tests/test_streaming.py asserts
+"Streaming" row): the same plans run under readStream via
+``streaming/core.py``, and tests/test_streaming.py asserts
 batch == streaming output. The DuckDB oracle checks the batch semantics.
 """
 
@@ -14,7 +14,7 @@ from pyspark.sql.window import Window as W
 
 from ..ops.asof import asof_join
 from ..ops.sessionize import session_summary
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, read_events, rnd, t
 
 
 def _tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,8 +159,60 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def _stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation as `tumbling_hourly`, but executed
+    through Structured Streaming end-to-end: file-source readStream ->
+    windowed agg -> memory sink drained with processAllAvailable. Shares
+    the batch oracle — the driver hash-checks that stream == batch, the
+    strongest streaming guarantee we can state (SURVEY §5.4).
+
+    Complete output mode (no watermark): the fixture is a finite replay
+    and we want every window in the sink; production unbounded streams
+    use the watermarked append path (streaming/core.py + late-data test).
+    Memory sink is test-scale by design — the production sink is
+    foreachBatch parquet/JDBC.
+    """
+    import uuid
+
+    from ..streaming import drain, stream_to_memory
+
+    path = f"{sf_dir}/events.parquet"
+    # the fixture stores ts as TIMESTAMP(NANOS): batch-probe how to read
+    # it (read_events handles both nanos-as-long and native layouts).
+    # FileStreamSource requires a directory, so stream the sf dir with a
+    # glob filter selecting just the events table.
+    batch = read_events(spark, path)
+    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        raw = reader.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(sf_dir)
+        stream = raw.withColumn(
+            "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
+        )
+    else:
+        stream = reader.schema(batch.schema).parquet(sf_dir)
+
+    agged = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(agged, name, output_mode="complete")
+    drain(q)
+    return spark.table(name)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tumbling_hourly": QuerySpec(_tumbling_hourly, _TUMBLING_HOURLY_SQL, "tumbling windows"),
+    "stream_tumbling_hourly": QuerySpec(
+        _stream_tumbling_hourly, _TUMBLING_HOURLY_SQL, "tumbling windows via readStream"
+    ),
     "sliding_windows": QuerySpec(_sliding_windows, _SLIDING_WINDOWS_SQL, "sliding windows"),
     "session_windows": QuerySpec(_session_windows, _SESSION_WINDOWS_SQL, "session windows"),
     "first_event_dedup": QuerySpec(_first_event_dedup, _FIRST_EVENT_DEDUP_SQL, "keep-first dedup"),

@@ -42,6 +42,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "grouped_zscore",
+    "udf_kit",
+    "stream_tumbling_hourly",
 ]
 
 

@@ -50,6 +50,16 @@ def test_lsh_recall_at_5(emb):
     assert recall >= 0.6, f"recall@5 {recall:.3f} below floor"
 
 
+def test_ivf_recall_at_5(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(similarity.cosine_topk_bruteforce(emb, queries, k=5).collect())
+    ivf = _pairs(
+        similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
+    )
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall@5 {recall:.3f} below floor"
+
+
 def test_lsh_topk_is_deterministic(emb):
     queries = emb.filter(F.col("vec_id") < 3)
     a = sorted(map(tuple, similarity.lsh_topk(emb, queries, dim=64, k=5).collect()))
