@@ -355,6 +355,33 @@ GROUP BY c_custkey, c_name
 """
 
 
+def _right_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving every supplier even when no lineitem
+    survives the quantity filter (NULL-extended left side)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("l_orderkey").alias("n_big_items"),
+            rnd(F.sum(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))), 2).alias(
+                "big_item_value"
+            ),
+        )
+    )
+
+
+_RIGHT_JOIN_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name,
+       count(l_orderkey) AS n_big_items,
+       floor((sum(coalesce(l_extendedprice, 0.0))) * 100 + 0.5) / 100 AS big_item_value
+FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) li
+RIGHT JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
 def _full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two derived key sets (big spenders vs AUTOMOBILE)."""
     orders = t(spark, sf_dir, "orders")
@@ -857,6 +884,9 @@ QUERIES: dict[str, QuerySpec] = {
     "semi_join_urgent": QuerySpec(_semi_join, _SEMI_JOIN_SQL, "left_semi / EXISTS"),
     "anti_join_idle": QuerySpec(_anti_join, _ANTI_JOIN_SQL, "left_anti / NOT EXISTS"),
     "left_join_counts": QuerySpec(_left_join_counts, _LEFT_JOIN_COUNTS_SQL, "left outer join"),
+    "right_join_suppliers": QuerySpec(
+        _right_join_suppliers, _RIGHT_JOIN_SUPPLIERS_SQL, "right outer join"
+    ),
     "full_outer_join": QuerySpec(_full_outer_join, _FULL_OUTER_JOIN_SQL, "full outer join"),
     "cross_join_small": QuerySpec(_cross_join, _CROSS_JOIN_SQL, "cartesian of tiny sets"),
     "range_join_60d": QuerySpec(_range_join, _RANGE_JOIN_SQL, "equi + band predicate join"),

@@ -54,6 +54,13 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="agent_data_pipeline_spark-bench")
 
+    # Warm up the JVM (codegen, parquet reader, Arrow) and prime file
+    # footers so timings measure steady-state query cost, not first-call
+    # JIT — standard benchmark hygiene.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for tbl in ("lineitem", "orders", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
