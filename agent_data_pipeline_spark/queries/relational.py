@@ -799,6 +799,48 @@ WHERE rn = 1
 """
 
 
+def _sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end (SURVEY §2.B: `spark.sql` surface): a TPC-H-Q3
+    shaped query over registered temp views, exercising multi-way join +
+    agg + deterministic top-k entirely through SQL text. Catalyst plans
+    it identically to the DataFrame API — one engine, two front ends."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"adps_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM adps_customer
+        JOIN adps_orders   ON c_custkey = o_custkey
+        JOIN adps_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """
+    )
+
+
+_SQL_SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def _grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDF surface (SURVEY §2.B "UDF surface" row):
     applyInPandas computing a per-customer z-score of order totals.
@@ -870,6 +912,9 @@ def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "grouped_zscore": QuerySpec(_grouped_zscore, _GROUPED_ZSCORE_SQL, "applyInPandas grouped map"),
+    "sql_shipping_priority": QuerySpec(
+        _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL, "spark.sql front end (TPC-H Q3 shape)"
+    ),
     "approx_stats": QuerySpec(_approx_stats, None, "HLL++ distinct + approx quantiles"),
     "pricing_summary": QuerySpec(_pricing_summary, _PRICING_SUMMARY_SQL, "TPC-H Q1 shape"),
     "global_summary": QuerySpec(_global_summary, _GLOBAL_SUMMARY_SQL, "reference A2 global agg"),
