@@ -22,6 +22,13 @@ shared LSH bucket, shared projection bucket) so the join fans out only
 within buckets. Skewed buckets (a shingle present in half the corpus) are
 the classic failure: ``token_jaccard_pairs`` drops top-frequency shingles
 (document-frequency cap) exactly like large-scale dedup systems do.
+
+Order of operations on duplicate-heavy corpora (the 100 TB norm): run
+``exact_dedup`` FIRST and feed only unique representatives into
+``minhash_lsh_pairs``/``simhash_hamming_pairs``. Near-dup *pair* output
+is inherently O(m²) per duplicate group — collapsing exact duplicates up
+front (linear) keeps the pair expansion linear in practice (measured in
+SCALING.md).
 """
 
 from __future__ import annotations
