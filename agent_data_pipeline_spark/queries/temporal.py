@@ -18,22 +18,21 @@ from .core import QuerySpec, read_events, rnd, t
 
 
 def _tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows (epoch-aligned, same grid as
-    DuckDB date_trunc).
+    """Tumbling 1-hour event-time windows.
 
-    Known limit: under a session TZ with a non-whole-hour UTC offset
-    (Asia/Kolkata), F.window's epoch-aligned grid diverges from the
-    oracle's wall-clock date_trunc. Whole-hour TZs and UTC agree."""
+    Batch formulation uses ``date_trunc`` — wall-clock truncation in the
+    session TZ, which matches the oracle's DuckDB ``date_trunc`` under
+    ANY session timezone including non-whole-hour offsets (Asia/Kolkata),
+    where ``F.window``'s epoch-aligned grid renders half-hour-shifted.
+    The streaming variant (`stream_tumbling_hourly`) keeps ``F.window``
+    (the streaming-native op, grid identical under whole-hour TZs)."""
     e = t(spark, sf_dir, "events")
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
         )
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
+        .select("window_start", "event_type", "n_events", "sum_value")
     )
 
 
@@ -195,6 +194,12 @@ def _stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         stream = reader.schema(batch.schema).parquet(sf_dir)
 
+    # window on TIMESTAMP_NTZ: the cast renders the instant in the
+    # session TZ and keeps the naive wall clock, so F.window's grid
+    # aligns to naive hours — matching the oracle's date_trunc under ANY
+    # session timezone (incl. half-hour offsets, where an instant-epoch
+    # grid would render :30-shifted).
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     agged = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))

@@ -6,6 +6,7 @@ from .core import (
     session_window_agg,
     sliding_window_agg,
     stream_dedup,
+    stream_ingest_csv,
     stream_parquet,
     stream_to_memory,
     tumbling_window_agg,
@@ -17,6 +18,7 @@ __all__ = [
     "session_window_agg",
     "sliding_window_agg",
     "stream_dedup",
+    "stream_ingest_csv",
     "stream_parquet",
     "stream_to_memory",
     "tumbling_window_agg",

@@ -172,6 +172,33 @@ def foreach_batch_parquet_sink(
     )
 
 
+def stream_ingest_csv(
+    spark: SparkSession,
+    input_dir: str,
+    target_path: str,
+    checkpoint: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """S2 as a stream: the reference's NiFi box — CSV files appearing in
+    a watched directory, continuously landed into the warehouse
+    (docker-compose.yml:66, pipeline_orchestrator.py:59-86) — as a
+    Structured Streaming file source feeding a foreachBatch parquet sink.
+    New files become micro-batches; the checkpoint makes ingest resume
+    exactly where it stopped (the reference's queue-drain semantics plus
+    restart durability it never had). Drain with ``drain(query)`` for the
+    batch-style 'queue empty' completion contract."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", str(header).lower())
+        .csv(input_dir)
+    )
+    return foreach_batch_parquet_sink(
+        stream, target_path, checkpoint, partition_by=partition_by
+    )
+
+
 def drain(query: StreamingQuery, timeout: float = 600.0) -> dict:
     """O2 analog (dags/pipeline_orchestrator.py:59-86): the reference
     polls NiFi's queue depth until empty with backoff and a 600 s cap.

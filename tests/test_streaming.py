@@ -181,3 +181,29 @@ def test_foreach_batch_parquet_sink(spark, events_batch, events_dir, tmp_path):
     want = events_batch.filter(F.col("event_type") == "click")
     assert written.count() == want.count()
     assert set(written.columns) == set(want.columns)
+
+
+def test_stream_ingest_csv_incremental(spark, tmp_path):
+    """S2 streaming ingest: files dropped into the watched dir land in
+    the parquet target; a second drop is picked up incrementally (the
+    checkpoint remembers processed files)."""
+    from agent_data_pipeline_spark.streaming import stream_ingest_csv
+
+    watch = tmp_path / "incoming"
+    target = tmp_path / "landed"
+    ckpt = tmp_path / "ingest_ckpt"
+    watch.mkdir()
+    (watch / "batch1.csv").write_text("id,v\n1,a\n2,b\n")
+
+    q = stream_ingest_csv(
+        spark, str(watch), str(target), str(ckpt), "id long, v string"
+    )
+    q.processAllAvailable()
+    assert spark.read.parquet(str(target)).count() == 2
+
+    (watch / "batch2.csv").write_text("id,v\n3,c\n")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    landed = spark.read.parquet(str(target))
+    assert sorted(r["id"] for r in landed.collect()) == [1, 2, 3]
