@@ -75,3 +75,32 @@ def test_overwrite_is_full_refresh(spark, orders, tmp_path):
     sinks.write_parquet(orders.limit(50), out)
     sinks.write_parquet(orders.limit(50), out)
     assert spark.read.parquet(out).count() == 50
+
+
+def test_bucketed_join_skips_shuffle(spark, orders, tmp_path):
+    """Two tables co-bucketed on the join key must join WITHOUT an
+    exchange on either side — the write-time shuffle replaces every
+    future join shuffle (the core fact-to-fact join strategy at scale)."""
+    from agent_data_pipeline_spark.io.tables import save_bucketed
+
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li_orders = orders.select("o_orderkey", "o_totalprice")
+    save_bucketed(lineitem, "t_li_bucketed", ["l_orderkey"], n_buckets=8)
+    save_bucketed(li_orders, "t_o_bucketed", ["o_orderkey"], n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_li_bucketed")
+        b = spark.table("t_o_bucketed")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        n = joined.count()
+        assert n == lineitem.join(li_orders,
+                                  lineitem.l_orderkey == li_orders.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
