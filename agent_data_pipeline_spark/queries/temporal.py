@@ -158,6 +158,27 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture. The fixture stores ts as
+    TIMESTAMP(NANOS): batch-probe how to read it (read_events handles
+    both nanos-as-long and native layouts). FileStreamSource requires a
+    directory, so stream the sf dir with a glob filter selecting just
+    the events table."""
+    path = f"{sf_dir}/events.parquet"
+    batch = read_events(spark, path)
+    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        raw = reader.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(sf_dir)
+        return raw.withColumn(
+            "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
+        )
+    return reader.schema(batch.schema).parquet(sf_dir)
+
+
 def _stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation as `tumbling_hourly`, but executed
     through Structured Streaming end-to-end: file-source readStream ->
@@ -175,25 +196,7 @@ def _stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import drain, stream_to_memory
 
-    path = f"{sf_dir}/events.parquet"
-    # the fixture stores ts as TIMESTAMP(NANOS): batch-probe how to read
-    # it (read_events handles both nanos-as-long and native layouts).
-    # FileStreamSource requires a directory, so stream the sf dir with a
-    # glob filter selecting just the events table.
-    batch = read_events(spark, path)
-    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
-    if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
-        tz = spark.conf.get("spark.sql.session.timeZone")
-        raw = reader.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        ).parquet(sf_dir)
-        stream = raw.withColumn(
-            "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
-        )
-    else:
-        stream = reader.schema(batch.schema).parquet(sf_dir)
-
+    stream = _read_events_stream(spark, sf_dir)
     # window on TIMESTAMP_NTZ: the cast renders the instant in the
     # session TZ and keeps the naive wall clock, so F.window's grid
     # aligns to naive hours — matching the oracle's date_trunc under ANY
@@ -213,10 +216,59 @@ def _stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count/sum/min/max kept in the state store, emitted
+    incrementally in update mode. After the finite fixture drains, the
+    LATEST state per key must equal the batch groupBy aggregate — which
+    is exactly the DuckDB oracle, so the driver hash-checks the stateful
+    operator end-to-end. The update log is reduced to latest-per-key by
+    max(n_events) (the counter is strictly monotone per key)."""
+    import uuid
+
+    from ..streaming import drain, stateful_running_agg, stream_to_memory
+
+    stream = stateful_running_agg(
+        _read_events_stream(spark, sf_dir), ["user_id"], "value"
+    )
+    name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(stream, name, output_mode="update")
+    drain(q)
+    upd = spark.table(name)
+    return (
+        upd.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "sum_value", "min_value", "max_value")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            rnd(F.col("s.sum_value"), 2).alias("sum_value"),
+            F.col("s.min_value").alias("min_value"),
+            F.col("s.max_value").alias("max_value"),
+        )
+    )
+
+
+_STREAM_STATEFUL_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tumbling_hourly": QuerySpec(_tumbling_hourly, _TUMBLING_HOURLY_SQL, "tumbling windows"),
     "stream_tumbling_hourly": QuerySpec(
         _stream_tumbling_hourly, _TUMBLING_HOURLY_SQL, "tumbling windows via readStream"
+    ),
+    "stream_stateful_totals": QuerySpec(
+        _stream_stateful_totals,
+        _STREAM_STATEFUL_TOTALS_SQL,
+        "applyInPandasWithState running per-key aggregate",
     ),
     "sliding_windows": QuerySpec(_sliding_windows, _SLIDING_WINDOWS_SQL, "sliding windows"),
     "session_windows": QuerySpec(_session_windows, _SESSION_WINDOWS_SQL, "session windows"),

@@ -11,8 +11,10 @@ from .core import (
     stream_to_memory,
     tumbling_window_agg,
 )
+from .stateful import stateful_running_agg
 
 __all__ = [
+    "stateful_running_agg",
     "drain",
     "foreach_batch_parquet_sink",
     "session_window_agg",

@@ -207,3 +207,59 @@ def test_stream_ingest_csv_incremental(spark, tmp_path):
     q.awaitTermination(60)
     landed = spark.read.parquet(str(target))
     assert sorted(r["id"] for r in landed.collect()) == [1, 2, 3]
+
+
+def test_stateful_running_agg_accumulates(spark, events_batch, tmp_path):
+    """applyInPandasWithState running per-key agg: replay the source one
+    file per micro-batch; state must accumulate ACROSS batches (keys seen
+    in several files get several monotone updates) and the latest row per
+    key must equal the global batch aggregate."""
+    from agent_data_pipeline_spark.streaming import stateful_running_agg
+
+    src = str(tmp_path / "stateful_src")
+    # repartition (not coalesce): force 4 real files -> 4 micro-batches
+    events_batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = stateful_running_agg(
+        stream_parquet(spark, src, events_batch.schema,
+                       max_files_per_trigger=1),
+        ["user_id"],
+        "value",
+    )
+    q = stream_to_memory(stream, "t_stateful", output_mode="update")
+    drain(q)
+    upd = spark.table("t_stateful")
+    # 4 source files -> 4 micro-batches; active keys span files, so the
+    # update log must contain MORE rows than keys (state persisted and
+    # re-emitted) ...
+    assert upd.count() > upd.select("user_id").distinct().count()
+    # ... and n_events must be strictly monotone per key (cumulative, not
+    # per-batch): max row per key is the final state.
+    final = (
+        upd.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value", "min_value", "max_value")).alias("s"))
+        .select("user_id", "s.*")
+    )
+    batch = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    r = 6  # pandas incremental sum vs JVM sum: equal to float noise
+    canon = lambda df: df.select(
+        "user_id", "n_events",
+        F.round("sum_value", r).alias("s"),
+        F.round("min_value", r).alias("mn"),
+        F.round("max_value", r).alias("mx"),
+    )
+    assert _rows(canon(final)) == _rows(canon(batch))
+
+
+def test_running_agg_tws_gated_in_this_env(spark, events_batch):
+    """transformWithStateInPandas needs google.protobuf (absent here);
+    the TWS variant must fail fast at the import gate with a pointer to
+    the supported operator, not crash the streaming driver worker."""
+    from agent_data_pipeline_spark.streaming.stateful import running_agg_tws
+
+    with pytest.raises(NotImplementedError, match="stateful_running_agg"):
+        running_agg_tws(events_batch, ["user_id"], "value")
