@@ -1,5 +1,24 @@
 from .asof import asof_join
 from .sessionize import sessionize
 from .skew import salted_agg, salted_join
+from .timeseries import (
+    bucket_agg,
+    gap_fill,
+    hypertable_rollup,
+    interpolate_linear,
+    locf,
+    time_bucket,
+)
 
-__all__ = ["asof_join", "sessionize", "salted_agg", "salted_join"]
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "salted_agg",
+    "salted_join",
+    "bucket_agg",
+    "gap_fill",
+    "hypertable_rollup",
+    "interpolate_linear",
+    "locf",
+    "time_bucket",
+]

@@ -1,0 +1,154 @@
+"""Time-series operators: hypertable-style rollup, gap-fill, LOCF,
+linear interpolation.
+
+The reference handles time only as plain TIMESTAMP columns cleaned by
+SQL expressions (dags/taxi_transform_dag.py:52-57); nothing in it
+downsamples or regularizes series. These operators are the north-star
+extension for telemetry/training-data pipelines, composed entirely from
+DataFrame primitives so Catalyst plans them (no UDFs anywhere).
+
+Scale design:
+  * ``hypertable_rollup`` computes the FINEST bucket aggregate from the
+    raw table once, then derives every coarser level from the next finer
+    one — at 100 TB the raw scan happens a single time and each rollup
+    level reads the (orders-of-magnitude smaller) previous level. All
+    aggregates carried are re-aggregable (count/sum/min/max compose;
+    avg is derived at the end as sum/n).
+  * ``gap_fill`` builds each key's bucket grid with sequence+explode:
+    the grid is generated distributed (one row per key expands to its
+    span), never on the driver.
+  * interpolation avoids timestamp arithmetic entirely: on a uniform
+    grid, linear-in-time == linear-in-row-index, so the weights are
+    integer row offsets — immune to session-TZ/DST rendering skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def time_bucket(ts: str | Column, width: str) -> Column:
+    """Arbitrary-width epoch-aligned bucket (TimescaleDB ``time_bucket``
+    shape): the window's start. Works in any select/groupBy expression."""
+    return F.window(ts, width)["start"]
+
+
+def bucket_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """count/sum/min/max of ``value_col`` per (time bucket, keys)."""
+    return df.groupBy(
+        time_bucket(ts_col, width).alias("bucket"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    widths: list[str],
+    keys: list[str],
+    value_col: str,
+    cache_levels: bool = False,
+) -> DataFrame:
+    """Multi-resolution rollup: one row set per width in ``widths``
+    (ascending, each width an integer multiple of the previous so the
+    epoch-aligned grids nest), tagged with a ``bucket_width`` column.
+
+    Level 0 scans the raw table; level i>0 re-aggregates level i-1 —
+    the continuous-aggregate pattern: the expensive scan is paid once.
+    BUT lazy lineage alone does not deliver that: each level's plan
+    would re-execute the finer level (three raw scans for three
+    widths). ``cache_levels=True`` persists each level before deriving
+    the next, making the raw scan happen once — the in-memory analog of
+    the production shape, which WRITES each level to its own table and
+    derives the next from the stored one (see `io/tables.py`).
+    """
+    base = bucket_agg(df, ts_col, widths[0], keys, value_col)
+    if cache_levels:
+        base = base.persist()
+    out = base.withColumn("bucket_width", F.lit(widths[0]))
+    prev = base
+    for width in widths[1:]:
+        lvl = prev.groupBy(
+            time_bucket("bucket", width).alias("bucket"), *keys
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        if cache_levels:
+            lvl = lvl.persist()
+        out = out.unionByName(lvl.withColumn("bucket_width", F.lit(width)))
+        prev = lvl
+    return out
+
+
+def gap_fill(
+    df: DataFrame,
+    bucket_col: str,
+    step: str,
+    keys: list[str],
+) -> DataFrame:
+    """Left-join ``df`` onto each key's full uniform bucket grid
+    (min..max bucket, ``step`` apart — e.g. ``"15 minutes"``). Missing
+    buckets appear with NULL measures and ``is_gap = 1``."""
+    spans = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr(f"INTERVAL {step}"))
+        ).alias(bucket_col),
+    )
+    joined = grid.join(df, on=[*keys, bucket_col], how="left")
+    measure = [c for c in df.columns if c not in {*keys, bucket_col}][0]
+    return joined.withColumn(
+        "is_gap", F.when(F.col(measure).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def locf(df: DataFrame, bucket_col: str, keys: list[str], col: str) -> DataFrame:
+    """Last observation carried forward: latest non-null ``col`` at or
+    before each row, per key, ordered by bucket."""
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(f"locf_{col}", F.last(col, ignorenulls=True).over(w))
+
+
+def interpolate_linear(
+    df: DataFrame, bucket_col: str, keys: list[str], col: str
+) -> DataFrame:
+    """Linear interpolation of NULL ``col`` between its nearest non-null
+    neighbors on a UNIFORM grid (gap_fill output): weights are row-index
+    offsets, not timestamp deltas, so no TZ/DST arithmetic exists.
+    Rows before the first / after the last observation stay NULL."""
+    order = W.partitionBy(*keys).orderBy(bucket_col)
+    w_prev = order.rowsBetween(W.unboundedPreceding, -1)
+    w_next = order.rowsBetween(1, W.unboundedFollowing)
+    idx = F.row_number().over(order)
+    anchor = F.when(F.col(col).isNotNull(), F.struct(idx.alias("i"), F.col(col).alias("v")))
+    with_idx = df.withColumn("_i", idx).withColumn("_a", anchor)
+    prev, nxt = F.last("_a", ignorenulls=True).over(w_prev), F.first(
+        "_a", ignorenulls=True
+    ).over(w_next)
+    frac = (F.col("_i") - prev["i"]) / (nxt["i"] - prev["i"])
+    interp = F.when(F.col(col).isNotNull(), F.col(col)).otherwise(
+        prev["v"] + (nxt["v"] - prev["v"]) * frac
+    )
+    return with_idx.withColumn(f"interp_{col}", interp).drop("_i", "_a")

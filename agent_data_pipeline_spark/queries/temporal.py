@@ -260,6 +260,124 @@ FROM events GROUP BY user_id
 """
 
 
+def _hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution hypertable rollup (15 min -> 1 h -> 6 h): level 0
+    scans raw events once, coarser levels re-aggregate the finer level
+    (ops/timeseries.py). Oracle computes every level from raw — equal
+    because count/sum/min/max compose. NTZ cast: wall-clock grid matches
+    DuckDB's epoch math under any session TZ (same pattern as
+    `stream_tumbling_hourly`)."""
+    from ..ops.timeseries import hypertable_rollup
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    r = hypertable_rollup(
+        e, "ts", ["15 minutes", "1 hour", "6 hours"], ["event_type"], "value",
+        cache_levels=True,
+    )
+    return r.select(
+        "bucket_width",
+        "bucket",
+        "event_type",
+        "n_events",
+        rnd(F.col("sum_value"), 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_HYPERTABLE_ROLLUP_SQL = """
+WITH lvl AS (
+  SELECT w AS width_s, CASE w WHEN 900 THEN '15 minutes' WHEN 3600 THEN '1 hour'
+                              ELSE '6 hours' END AS bucket_width
+  FROM (SELECT unnest([900, 3600, 21600]) AS w)
+)
+SELECT l.bucket_width,
+       make_timestamp(CAST(floor(epoch(e.ts) / l.width_s) * l.width_s * 1000000 AS BIGINT)) AS bucket,
+       e.event_type,
+       count(*) AS n_events,
+       floor(sum(e.value) * 100 + 0.5) / 100 AS sum_value,
+       min(e.value) AS min_value,
+       max(e.value) AS max_value
+FROM events e CROSS JOIN lvl l
+GROUP BY 1, 2, 3
+"""
+
+
+def _gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a per-type 15-minute series: build each key's full
+    uniform bucket grid (gap_fill), then fill the holes two ways — LOCF
+    and linear interpolation between nearest observations. Interpolation
+    weights are row-index offsets (uniform grid => linear-in-index ==
+    linear-in-time), so the whole query is TZ-arithmetic-free."""
+    from ..ops.timeseries import gap_fill, interpolate_linear, locf, time_bucket
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    b = e.groupBy(
+        time_bucket("ts", "15 minutes").alias("bucket"), "event_type"
+    ).agg(rnd(F.avg("value"), 2).alias("avg_value"))
+    g = locf(gap_fill(b, "bucket", "15 minutes", ["event_type"]),
+             "bucket", ["event_type"], "avg_value")
+    g = interpolate_linear(g, "bucket", ["event_type"], "avg_value")
+    return g.select(
+        "event_type",
+        "bucket",
+        "avg_value",
+        "is_gap",
+        "locf_avg_value",
+        rnd(F.col("interp_avg_value"), 6).alias("interp_avg_value"),
+    )
+
+
+_GAPFILL_INTERPOLATE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts) / 900) * 900 * 1000000 AS BIGINT)) AS bucket,
+         floor(avg(value) * 100 + 0.5) / 100 AS avg_value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 15 MINUTE)) AS bucket
+  FROM spans
+), j AS (
+  SELECT g.event_type, g.bucket, b.avg_value,
+         CASE WHEN b.avg_value IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+), ji AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i
+  FROM j
+), w AS (
+  SELECT *,
+    last_value(avg_value IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value,
+    last_value(avg_value IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN i END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_i,
+    first_value(avg_value IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN i END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
+  FROM ji
+)
+SELECT event_type, bucket, avg_value, is_gap, locf_avg_value,
+       floor(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN prev_v + (next_v - prev_v) * ((i - prev_i) / (next_i - prev_i))
+             END * 1000000 + 0.5) / 1000000 AS interp_avg_value
+FROM w
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tumbling_hourly": QuerySpec(_tumbling_hourly, _TUMBLING_HOURLY_SQL, "tumbling windows"),
     "stream_tumbling_hourly": QuerySpec(
@@ -274,4 +392,10 @@ QUERIES: dict[str, QuerySpec] = {
     "session_windows": QuerySpec(_session_windows, _SESSION_WINDOWS_SQL, "session windows"),
     "first_event_dedup": QuerySpec(_first_event_dedup, _FIRST_EVENT_DEDUP_SQL, "keep-first dedup"),
     "asof_purchases": QuerySpec(_asof_purchases, _ASOF_PURCHASES_SQL, "as-of join"),
+    "hypertable_rollup": QuerySpec(
+        _hypertable_rollup, _HYPERTABLE_ROLLUP_SQL, "multi-resolution time rollup"
+    ),
+    "gapfill_interpolate": QuerySpec(
+        _gapfill_interpolate, _GAPFILL_INTERPOLATE_SQL, "gap-fill + LOCF + linear interp"
+    ),
 }
