@@ -319,6 +319,9 @@ def _gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.groupBy(
         time_bucket("ts", "15 minutes").alias("bucket"), "event_type"
     ).agg(rnd(F.avg("value"), 2).alias("avg_value"))
+    # gap_fill reads b twice (span bounds + grid join): persist the small
+    # aggregate so the raw scan + agg runs once.
+    b = b.persist()
     g = locf(gap_fill(b, "bucket", "15 minutes", ["event_type"]),
              "bucket", ["event_type"], "avg_value")
     g = interpolate_linear(g, "bucket", ["event_type"], "avg_value")

@@ -36,6 +36,8 @@ HEADLINE = [
     "tumbling_hourly",
     "session_windows",
     "asof_purchases",
+    "hypertable_rollup",
+    "gapfill_interpolate",
     "exact_dedup",
     "text_stats",
     "jaccard_pairs",

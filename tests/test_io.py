@@ -104,3 +104,37 @@ def test_bucketed_join_skips_shuffle(spark, orders, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_jdbc_round_trip_embedded_derby(spark, orders, tmp_path):
+    """Real JDBC source/sink round trip (S3/S4/S5, read path of
+    taxi_transform_dag.py:75) against the Derby embedded driver that
+    ships with Spark — no external server needed. Covers: append write,
+    truncate-overwrite full refresh, serial read-back, and a partitioned
+    (fan-out) read."""
+    from agent_data_pipeline_spark.io.sinks import write_jdbc
+    from agent_data_pipeline_spark.io.sources import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = orders.select("o_orderkey", "o_totalprice", "o_orderstatus").limit(200)
+
+    write_jdbc(src, url, "orders_t", mode="append", properties=props)
+    back = read_jdbc(spark, url, "orders_t", properties=props)
+    assert back.count() == 200
+    assert {f.name.lower() for f in back.schema.fields} == {
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    }
+
+    # full refresh must TRUNCATE (not drop+recreate) then land the new rows
+    write_jdbc(src.limit(50), url, "orders_t", mode="overwrite", properties=props)
+    assert read_jdbc(spark, url, "orders_t", properties=props).count() == 50
+
+    # partitioned read: same rows, split across bound ranges
+    part = read_jdbc(
+        spark, url, "orders_t", properties=props,
+        partition_column="o_orderkey", lower_bound=0,
+        upper_bound=10_000_000, num_partitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 50
