@@ -162,21 +162,30 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture. The fixture stores ts as
     TIMESTAMP(NANOS): batch-probe how to read it (read_events handles
     both nanos-as-long and native layouts). FileStreamSource requires a
-    directory, so stream the sf dir with a glob filter selecting just
-    the events table."""
+    directory: when events.parquet is a single file (the driver
+    fixtures), stream the sf dir with a glob filter selecting it; when
+    it is itself a directory of part files (standard Spark table
+    layout), stream it directly — pathGlobFilter matches leaf file
+    names, so the single-file glob would silently match nothing."""
+    import os
+
     path = f"{sf_dir}/events.parquet"
     batch = read_events(spark, path)
-    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
+    if os.path.isdir(path):
+        stream_dir, reader = path, spark.readStream
+    else:
+        stream_dir = sf_dir
+        reader = spark.readStream.option("pathGlobFilter", "events.parquet")
     if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
         tz = spark.conf.get("spark.sql.session.timeZone")
         raw = reader.schema(
             "event_id long, ts long, user_id long, event_type string, "
             "value double, props string"
-        ).parquet(sf_dir)
+        ).parquet(stream_dir)
         return raw.withColumn(
             "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
         )
-    return reader.schema(batch.schema).parquet(sf_dir)
+    return reader.schema(batch.schema).parquet(stream_dir)
 
 
 def _stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
