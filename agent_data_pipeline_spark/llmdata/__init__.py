@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, textstats
+from . import dedup, multimodal, sampling, similarity, textstats
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal"]
+__all__ = ["dedup", "similarity", "textstats", "multimodal", "sampling"]

@@ -1,0 +1,98 @@
+"""Deterministic sampling / splitting / sequence packing for training
+pipelines.
+
+Why not ``df.sample()``/``randomSplit()``: their outputs depend on
+partitioning and Spark's internal RNG stream — re-running after a
+repartition (or in another engine) yields a different subset, which is
+poison for dataset reproducibility. The scalable pattern is CONTENT
+hashing: a pure arithmetic function of the row's id decides membership,
+so any engine, any partitioning, any day produces the same split —
+and the decision needs no shuffle at all (a map-side filter).
+
+The hash here is Knuth's multiplicative scheme on the id column — weak
+as a cryptographic hash but perfectly adequate for decorrelating ids
+from buckets, and expressible in ANY SQL engine (the DuckDB oracle runs
+the same integer arithmetic; Spark's xxhash64 would be faster but is
+not portable). Production variant: swap ``_bucket`` for
+``F.xxhash64`` when cross-engine parity is not required.
+
+Sequence packing fills fixed token-budget context windows ("bins") from
+documents: per shard, documents in deterministic id order are packed
+contiguously by running token count. One window partitioned by shard —
+no global sort, no driver state; shard count scales the parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, Knuth vol. 3 §6.4
+
+
+def hash_bucket(id_col: str | Column, buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(c * F.lit(_KNUTH), F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    buckets: int = 1000,
+) -> DataFrame:
+    """Assign every row a split label with the given fractions, e.g.
+    ``[("train", 0.8), ("val", 0.1), ("test", 0.1)]``. Pure map-side
+    expression: no shuffle, no RNG, stable under re-partitioning."""
+    b = hash_bucket(id_col, buckets)
+    expr: Column | None = None
+    edge = 0.0
+    for name, frac in splits[:-1]:
+        edge += frac
+        cond = b < F.lit(int(round(edge * buckets)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, buckets: int = 1000
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — reproducible and
+    shuffle-free (unlike ``df.sample``)."""
+    return df.filter(hash_bucket(id_col, buckets) < int(round(fraction * buckets)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: per shard (id mod n_shards),
+    documents in id order accumulate into bins of ~``budget`` tokens;
+    a document lands in the bin its RUNNING total (exclusive of itself)
+    falls into. Documents longer than ``budget`` occupy bins alone (the
+    running total still advances past them — chunking oversized docs is
+    a separate upstream op).
+
+    Deterministic and window-expressible, so the DuckDB oracle can check
+    it exactly; greedy best-fit packing would need per-group state
+    (applyInPandas) and is NOT order-stable under re-partitioning.
+    """
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "_cum_before", F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    )
+    return out.withColumn(
+        "bin_id", F.floor(F.col("_cum_before") / F.lit(budget))
+    ).drop("_cum_before")

@@ -284,7 +284,78 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 dataset split by multiplicative id hash
+    (llmdata/sampling.py): pure map-side arithmetic, reproducible across
+    engines/partitionings — the oracle runs the SAME integer math, which
+    df.sample()/randomSplit() could never satisfy."""
+    from ..llmdata.sampling import hash_split
+
+    d = hash_split(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT *, (doc_id * 2654435761) % 1000 AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT source) AS n_sources
+FROM b GROUP BY 1
+"""
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents fill 512-token context-window bins
+    per shard, contiguous in doc_id order (llmdata/sampling.py
+    pack_sequences — window cumsum, no driver state, shards set the
+    parallelism). Result: per-bin document count and token load."""
+    from ..llmdata.sampling import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
+_SEQUENCE_PACKING_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hash_split_summary": QuerySpec(
+        _hash_split_summary, _HASH_SPLIT_SQL, "deterministic train/val/test split"
+    ),
+    "sequence_packing": QuerySpec(
+        _sequence_packing, _SEQUENCE_PACKING_SQL, "token-budget sequence packing"
+    ),
     "exact_dedup": QuerySpec(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via content hash"),
     "bow_fingerprint": QuerySpec(_bow_fingerprint, _BOW_FINGERPRINT_SQL, "doc fingerprinting"),
     "text_stats": QuerySpec(_text_stats, _TEXT_STATS_SQL, "per-doc text statistics"),

@@ -1,0 +1,76 @@
+"""Deterministic sampling / splitting / sequence packing
+(llmdata/sampling.py): reproducibility and packing invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agent_data_pipeline_spark.llmdata.sampling import (
+    deterministic_sample,
+    hash_split,
+    pack_sequences,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_split_stable_under_repartition(spark):
+    """The split must be a pure function of the id — identical labels no
+    matter how the data is partitioned (randomSplit fails this)."""
+    d = _docs(spark)
+    s1 = hash_split(d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    s2 = hash_split(
+        d.repartition(17), "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    a = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert a == b
+    # fractions land near targets (multiplicative hash decorrelates ids)
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 < train / n < 0.9
+
+
+def test_deterministic_sample_is_subset_and_stable(spark):
+    d = _docs(spark)
+    ids1 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.2).collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(7), "doc_id", 0.2).collect()
+    }
+    assert ids1 == ids2
+    assert 0 < len(ids1) < d.count()
+    # sampling at a higher fraction with the same bucketing nests:
+    ids_half = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.5).collect()}
+    assert ids1 <= ids_half
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, t) for i, t in enumerate([100, 200, 300, 250, 50, 700, 120, 80])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=512, n_shards=1)
+    got = sorted(
+        (r["doc_id"], r["bin_id"]) for r in packed.collect()
+    )
+    # cumulative-before: 0,100,300,600,850,900,1600,1720 -> //512
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1), (6, 3), (7, 3)]
+    # bins are contiguous in id order and nondecreasing
+    bins = [b for _, b in got]
+    assert bins == sorted(bins)
+
+
+def test_pack_sequences_oversized_doc_isolated(spark):
+    """A document larger than the budget consumes its bin range alone:
+    the next document starts in a strictly later bin."""
+    df = spark.createDataFrame(
+        [(0, 100), (1, 2000), (2, 100)], "doc_id long, n_tokens long"
+    )
+    packed = {r["doc_id"]: r["bin_id"]
+              for r in pack_sequences(df, "doc_id", "n_tokens", 512, 1).collect()}
+    assert packed[0] == 0
+    assert packed[1] == 0  # starts in the open bin...
+    assert packed[2] == 4  # ...but the follower is pushed past it entirely
