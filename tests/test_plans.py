@@ -85,3 +85,47 @@ def test_range_join_prunes_with_band_condition(spark):
     plan = plan_of(spark, "range_join_60d")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_split_and_sample_are_shuffle_free(spark):
+    """Deterministic split/sample must stay pure map-side expressions —
+    one Exchange anywhere before the (intentional) summary aggregation
+    means the 'no-shuffle reproducible split' contract broke. The
+    sample's bucket predicate must also not block column pruning."""
+    from agent_data_pipeline_spark.llmdata.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    split_plan = hash_split(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in split_plan
+
+    sample_plan = (
+        deterministic_sample(docs, "doc_id", 0.1)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in sample_plan
+    assert "text" not in read_schemas(sample_plan)[0]
+
+
+def test_sequence_packing_single_window_shuffle(spark):
+    """Packing shuffles exactly once (the per-shard window); a second
+    exchange would mean the bin assignment re-partitioned needlessly."""
+    from agent_data_pipeline_spark.llmdata.sampling import pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "n_chars as n_tokens"
+    )
+    plan = (
+        pack_sequences(d, "doc_id", "n_tokens", 512, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
