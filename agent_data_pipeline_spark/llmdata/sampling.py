@@ -96,3 +96,58 @@ def pack_sequences(
     return out.withColumn(
         "bin_id", F.floor(F.col("_cum_before") / F.lit(budget))
     ).drop("_cum_before")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    buckets: int = 1000,
+) -> DataFrame:
+    """``df.sampleBy`` analog with deterministic membership: per-stratum
+    keep-fraction decided by the id hash. Strata missing from
+    ``fractions`` are dropped (sampleBy semantics). Map-side only."""
+    import math
+
+    b = hash_bucket(id_col, buckets)
+    thr: Column | None = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(math.floor(frac * buckets + 0.5)))
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    return df.filter(b < thr.otherwise(F.lit(0)))
+
+
+def weighted_mix(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Mix datasets to target proportions WITHOUT upsampling: keep
+    fraction ``f_i = w_i * C / n_i`` of source i, where
+    ``C = min_i(n_i / w_i)`` — the largest total size at which every
+    source can meet its weight share from real rows. Membership is the
+    deterministic id hash; output carries a ``mix_source`` tag.
+
+    The count() per source is a metadata-scale aggregate; the filters
+    and union stay map-side (no shuffle), so the mix is reproducible
+    and re-runnable on any partitioning — the property training-data
+    freezes require.
+    """
+    import math
+
+    counts = {name: df.count() for name, (df, _) in sources.items()}
+    c = min(counts[n] / w for n, (_, w) in sources.items())
+    parts = []
+    for name, (df, w) in sources.items():
+        thr = int(math.floor(w * c / counts[name] * buckets + 0.5))
+        parts.append(
+            df.filter(hash_bucket(id_col, buckets) < thr).withColumn(
+                "mix_source", F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -349,7 +349,87 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampleBy analog with deterministic per-stratum keep fractions
+    (llmdata/sampling.py stratified_sample): rebalancing a multilingual
+    corpus by downsampling dominant languages, reproducibly."""
+    from ..llmdata.sampling import stratified_sample
+
+    s = stratified_sample(
+        t(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1},
+        "doc_id",
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """
+WITH b AS (
+  SELECT *, (doc_id * 2654435761) % 1000 AS bucket FROM documents
+), kept AS (
+  SELECT * FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000
+                           WHEN 'fr' THEN 250 WHEN 'es' THEN 250
+                           WHEN 'zh' THEN 100 ELSE 0 END
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang
+"""
+
+
+def _weighted_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing (llmdata/sampling.py weighted_mix):
+    three language corpora mixed toward 50/30/20 target proportions by
+    downsampling (keep fraction w_i*C/n_i, C = min n_i/w_i), membership
+    by id hash. The oracle reproduces the same double arithmetic."""
+    from ..llmdata.sampling import weighted_mix
+
+    d = t(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        {
+            "en": (d.filter(F.col("lang") == "en"), 0.5),
+            "fr": (d.filter(F.col("lang") == "fr"), 0.3),
+            "zh": (d.filter(F.col("lang") == "zh"), 0.2),
+        },
+        "doc_id",
+    )
+    return mixed.groupBy("mix_source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+_WEIGHTED_MIX_SQL = """
+WITH src AS (
+  SELECT *, lang AS mix_source,
+         CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3 ELSE 0.2 END
+              AS DOUBLE) AS w
+  FROM documents WHERE lang IN ('en', 'fr', 'zh')
+), n AS (
+  SELECT mix_source, w, count(*) AS cnt FROM src GROUP BY 1, 2
+), c AS (
+  SELECT min(cnt / w) AS c FROM n
+), thr AS (
+  SELECT n.mix_source,
+         CAST(floor(n.w * c.c / n.cnt * 1000 + 0.5) AS BIGINT) AS thr
+  FROM n, c
+)
+SELECT s.mix_source, count(*) AS n_docs, CAST(sum(s.n_chars) AS BIGINT) AS sum_chars
+FROM src s JOIN thr ON s.mix_source = thr.mix_source
+WHERE (s.doc_id * 2654435761) % 1000 < thr.thr
+GROUP BY s.mix_source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stratified_sample_counts": QuerySpec(
+        _stratified_sample_counts, _STRATIFIED_SAMPLE_SQL, "deterministic sampleBy"
+    ),
+    "weighted_mix_summary": QuerySpec(
+        _weighted_mix_summary, _WEIGHTED_MIX_SQL, "weighted dataset mixing"
+    ),
     "hash_split_summary": QuerySpec(
         _hash_split_summary, _HASH_SPLIT_SQL, "deterministic train/val/test split"
     ),

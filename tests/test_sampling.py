@@ -74,3 +74,32 @@ def test_pack_sequences_oversized_doc_isolated(spark):
     assert packed[0] == 0
     assert packed[1] == 0  # starts in the open bin...
     assert packed[2] == 4  # ...but the follower is pushed past it entirely
+
+
+def test_stratified_sample_respects_fractions_and_drops_unlisted(spark):
+    from agent_data_pipeline_spark.llmdata.sampling import stratified_sample
+
+    d = _docs(spark)
+    s = stratified_sample(d, "lang", {"en": 1.0, "de": 0.0}, "doc_id")
+    got = {r["lang"]: r["cnt"] for r in
+           s.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_en = d.filter(F.col("lang") == "en").count()
+    assert got == {"en": n_en}  # de sampled at 0, others dropped entirely
+
+
+def test_weighted_mix_hits_target_proportions(spark):
+    from agent_data_pipeline_spark.llmdata.sampling import weighted_mix
+
+    d = _docs(spark)
+    mixed = weighted_mix(
+        {"en": (d.filter(F.col("lang") == "en"), 0.5),
+         "rest": (d.filter(F.col("lang") != "en"), 0.5)},
+        "doc_id",
+    )
+    got = {r["mix_source"]: r["cnt"] for r in
+           mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(got.values())
+    # hash-threshold sampling is exact only in expectation: allow slack
+    assert abs(got["en"] / total - 0.5) < 0.15
+    # no upsampling ever: each part is a subset of its source
+    assert got["en"] <= d.filter(F.col("lang") == "en").count()
