@@ -151,3 +151,39 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token windows of ``budget`` tokens with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    budget - overlap) — the upstream op that makes every document fit a
+    ``pack_sequences`` bin. One row per chunk: (id, chunk_id,
+    chunk_tokens, chunk_text).
+
+    Pure array arithmetic (split + sequence + explode + slice): chunk
+    fan-out happens where the row lives, no shuffle, no UDF; a 100 TB
+    corpus chunks in a single map stage.
+    """
+    step = budget - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than budget")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= budget, F.lit(1)).otherwise(
+        (F.ceil((n - budget) / F.lit(step)) + 1).cast("int")
+    )
+    chunked = df.withColumn("_toks", toks).withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * step + 1, budget)
+    return (
+        chunked.withColumn("chunk_tokens", F.size(piece).cast("long"))
+        .withColumn("chunk_text", F.concat_ws(" ", piece))
+        .drop("_toks")
+    )

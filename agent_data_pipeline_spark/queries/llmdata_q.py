@@ -423,7 +423,46 @@ GROUP BY s.mix_source
 """
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (llmdata/sampling.py
+    chunk_documents): 64-token windows, stride 48 — each chunk then fits
+    a pack_sequences bin. Chunk text is carried as an md5 fingerprint so
+    the result stays compact while still value-checking the slicing."""
+    from ..llmdata.sampling import chunk_documents
+
+    c = chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text", budget=64, overlap=16
+    )
+    return c.select(
+        "doc_id", "chunk_id", "chunk_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+_CHUNK_DOCUMENTS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 64 THEN 0
+                ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, chunk_id,
+       CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+         AS chunk_tokens,
+       md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+         AS chunk_md5
+FROM e
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "chunk_documents": QuerySpec(
+        _chunk_documents, _CHUNK_DOCUMENTS_SQL, "token-window doc chunking"
+    ),
     "stratified_sample_counts": QuerySpec(
         _stratified_sample_counts, _STRATIFIED_SAMPLE_SQL, "deterministic sampleBy"
     ),

@@ -103,3 +103,23 @@ def test_weighted_mix_hits_target_proportions(spark):
     assert abs(got["en"] / total - 0.5) < 0.15
     # no upsampling ever: each part is a subset of its source
     assert got["en"] <= d.filter(F.col("lang") == "en").count()
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from agent_data_pipeline_spark.llmdata.sampling import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", budget=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 2 fits in one window untouched
+    assert rows[(2, 0)] == (2, "a b")
+    # doc 1: stride 2 -> chunks start at 0,2,4,6 ; 1+ceil((10-4)/2)=4 chunks
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0, 1, 2, 3]
+    assert rows[(1, 0)][1] == "t0 t1 t2 t3"
+    assert rows[(1, 1)][1] == "t2 t3 t4 t5"   # 2-token overlap with chunk 0
+    assert rows[(1, 3)][1] == "t6 t7 t8 t9"   # final chunk ends at the last token
+    # every token appears in at least one chunk
+    covered = {t for v in (rows[(1, i)][1] for i in range(4)) for t in v.split()}
+    assert covered == {f"t{i}" for i in range(10)}
