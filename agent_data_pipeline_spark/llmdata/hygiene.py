@@ -1,0 +1,164 @@
+"""Training-set hygiene operators: eval-set decontamination, intra-doc
+repetition signals, PII detection/redaction, deterministic global
+shuffle-sharding.
+
+Nothing in the reference touches these (its whole surface is the taxi
+ELT, SURVEY §2.A); they are north-star LLM-pipeline operators mandated by
+BASELINE.json. All four are pure JVM expression/join work — no Python in
+the hot path — so they stay scan-bound at 100 TB:
+
+* Decontamination joins the (huge) training corpus against a (small)
+  eval-set n-gram table: explode train n-grams, broadcast-semi-join the
+  eval grams, distinct doc ids. One shuffle (the distinct), no cartesian.
+* Repetition stats are per-row higher-order array fns — shuffle-free.
+* PII scrub is regexp_extract_all / regexp_replace — shuffle-free.
+* Shuffle-sharding assigns shards from a content hash (md5), NOT a global
+  row_number — at 100 TB a global sort-for-ordering is one range-
+  partitioned sort, but shard ASSIGNMENT must not serialize through a
+  single-partition window, so it hashes instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..fns import rnd, spread
+
+_WS = r"\s+"
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of lowercase word ``n``-grams (space-joined). Empty array when
+    the doc has fewer than ``n`` words — guarded because ``F.sequence``
+    with start > stop yields a DESCENDING sequence, not an empty one."""
+    toks = F.split(F.trim(F.lower(text)), _WS)
+    n_out = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_out),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(n_out >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams of an eval/benchmark set — the blocklist side
+    of decontamination. Eval sets are tiny relative to a training corpus
+    (thousands of docs vs billions), so the result is broadcast-sized."""
+    return (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def flag_contaminated(
+    df: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Mark training docs sharing any word ``n``-gram with the eval set
+    (``is_contaminated`` 1/0) — the standard benchmark-decontamination
+    gate (e.g. GPT-3/PaLM appendix methodology: 8-13 word overlap).
+
+    Plan shape: explode train grams -> broadcast LEFT SEMI join against
+    the eval gram set -> distinct hit ids -> broadcast the (small) hit
+    list back onto the corpus. The corpus is scanned once; nothing wide
+    shuffles the full text."""
+    grams = spread(df.select(id_col, text_col)).select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(1))
+    )
+    out = df.join(F.broadcast(hits), id_col, "left")
+    return out.withColumn(
+        "is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(0))
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Per-doc duplicate-n-gram fractions (Gopher-style repetition
+    signals): ``dup_{n}gram_frac`` = 1 - distinct/total n-grams, plus
+    ``top_word_frac`` = frequency share of the most common word. All
+    higher-order array fns — per-row, shuffle-free, codegen'd."""
+    df = spread(df)
+    text = F.col(text_col)
+    for n in ns:
+        grams = word_ngrams(text, n)
+        total = F.size(grams)
+        frac = F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
+        ).otherwise(0.0)
+        df = df.withColumn(f"dup_{n}gram_frac", rnd(frac, 6))
+    toks = F.split(F.trim(F.lower(text)), _WS)
+    # max count of any single word: for each distinct word, count its
+    # occurrences via a filter-size scan (vocab per doc is small).
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    top_frac = F.when(F.size(toks) > 0, top / F.size(toks)).otherwise(0.0)
+    return df.withColumn("top_word_frac", rnd(top_frac, 6))
+
+
+# Conservative, deterministic PII shapes. Real pipelines layer model-based
+# NER on top; the regex tier is the scan-bound first pass.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact emails / NANP phone numbers / IPv4 literals:
+    adds ``n_emails``/``n_phones``/``n_ips`` counts and a ``redacted``
+    text with typed placeholders. Order matters: emails first (an email
+    can contain digits), then phones, then IPs."""
+    df = spread(df)
+    text = F.col(text_col)
+    counts = {
+        "n_emails": EMAIL_RE,
+        "n_phones": PHONE_RE,
+        "n_ips": IPV4_RE,
+    }
+    for name, pat in counts.items():
+        df = df.withColumn(
+            name, F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        )
+    red = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PHONE_RE, "[PHONE]")
+    red = F.regexp_replace(red, IPV4_RE, "[IP]")
+    return df.withColumn("redacted", red)
+
+
+def shard_assign(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 8, seed: str = "s42"
+) -> DataFrame:
+    """Deterministic pseudo-random shard assignment for training-data
+    interleave: shard = md5(seed||id) mapped to [0, n_shards) via the
+    first two hex digits. Engine-portable (md5+ascii only), shuffle-free,
+    and stable under repartitioning — the property a resumable 100 TB
+    training-data writer needs. Within-shard order is md5 ascending
+    (a range-partitioned sort at scale, never a single-partition window).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    # two hex chars -> int in [0,255]: ascii arithmetic is identical in
+    # Spark and DuckDB (no conv() in DuckDB, no from_hex in Spark).
+    def hexval(c: Column) -> Column:
+        a = F.ascii(c)
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    v = hexval(F.substring(h, 1, 1)) * 16 + hexval(F.substring(h, 2, 1))
+    return df.withColumn("shuffle_key", h).withColumn(
+        "shard", (v % F.lit(n_shards)).cast("long")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llmdata import dedup, multimodal, similarity, textstats
+from ..llmdata import dedup, hygiene, multimodal, similarity, textstats
 from .core import QuerySpec, rnd, t
 
 
@@ -459,7 +459,177 @@ FROM e
 """
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (llmdata/hygiene.py): docs with doc_id%97==0
+    act as the held-out benchmark; every other doc sharing any word 3-gram
+    with it is flagged. Real pipelines use 8-13-gram overlap (GPT-3/PaLM
+    methodology); the fixture's ~30-word vocabulary needs n=3 for signal.
+    Plan: explode train grams -> broadcast semi-join eval grams -> distinct
+    ids -> broadcast flag join. One narrow corpus scan, no cartesian."""
+    docs = t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = hygiene.flag_contaminated(
+        train, hygiene.eval_ngram_set(eval_df, n=3), n=3
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_contaminated").cast("bigint").alias("n_contaminated"),
+    )
+
+
+_DECONTAMINATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words
+), grams AS (
+  SELECT doc_id, source, array_to_string(w[i:i+2], ' ') AS gram FROM pos
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN eval_grams e USING (gram)
+  WHERE g.doc_id % 97 <> 0
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+"""
+
+
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals: duplicate-2/3-gram
+    fraction + top-word frequency share. Pure higher-order array fns —
+    per-row, shuffle-free (llmdata/hygiene.py)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hygiene.with_repetition_stats(docs).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_word_frac"
+    )
+
+
+_REPETITION_STATS_SQL = r"""
+WITH s AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+    list_transform(generate_series(1, len(toks)-1),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+    list_transform(generate_series(1, len(toks)-2),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS g3
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN len(g2) > 0 THEN floor((1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(g3) > 0 THEN floor((1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_3gram_frac,
+  CASE WHEN len(toks) > 0 THEN floor((list_max(list_transform(list_distinct(toks),
+       w -> len(list_filter(toks, t -> t = w)))) / CAST(len(toks) AS DOUBLE)) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS top_word_frac
+FROM g
+"""
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (llmdata/hygiene.py). The synthetic corpus
+    carries no PII, so deterministic emails/phones/IPs are injected first
+    (doc_id-derived on BOTH engine and oracle sides), then scrubbed:
+    counts per type + md5 of the redacted text prove exact redaction."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" call 415-555-0"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit(" or visit 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return hygiene.scrub_pii(injected).select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+_PII_SCRUB_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         WHEN doc_id % 3 = 1 THEN text || ' call 415-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                       || ' or visit 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
+FROM inj
+"""
+
+
+def _global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle-sharding for training-data interleave
+    (llmdata/hygiene.py): shard from md5(seed:doc_id) hex digits — hash
+    assignment, never a single-partition row_number, so it scales to any
+    corpus. Per-shard count/bytes plus the md5 order endpoints (the
+    within-shard interleave order) are hash-checked."""
+    docs = t(spark, sf_dir, "documents")
+    s = hygiene.shard_assign(docs, "doc_id", n_shards=8)
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("shuffle_key").alias("first_key"),
+        F.max("shuffle_key").alias("last_key"),
+    )
+
+
+_GLOBAL_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id, n_chars, md5('s42:' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+), v AS (
+  SELECT *,
+    (CASE WHEN ascii(substr(k,1,1)) >= 97 THEN ascii(substr(k,1,1)) - 87
+          ELSE ascii(substr(k,1,1)) - 48 END) * 16
+  + (CASE WHEN ascii(substr(k,2,1)) >= 97 THEN ascii(substr(k,2,1)) - 87
+          ELSE ascii(substr(k,2,1)) - 48 END) AS hv
+  FROM h
+)
+SELECT CAST(hv % 8 AS BIGINT) AS shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(k) AS first_key, max(k) AS last_key
+FROM v GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "decontaminate_ngrams": QuerySpec(
+        _decontaminate, _DECONTAMINATE_SQL, "eval-set n-gram decontamination"
+    ),
+    "repetition_stats": QuerySpec(
+        _repetition_stats, _REPETITION_STATS_SQL, "intra-doc repetition signals"
+    ),
+    "pii_scrub": QuerySpec(_pii_scrub, _PII_SCRUB_SQL, "PII detect + redact"),
+    "global_shuffle_shards": QuerySpec(
+        _global_shuffle_shards, _GLOBAL_SHUFFLE_SQL, "deterministic shuffle-sharding"
+    ),
     "chunk_documents": QuerySpec(
         _chunk_documents, _CHUNK_DOCUMENTS_SQL, "token-window doc chunking"
     ),

@@ -910,7 +910,66 @@ def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) per order priority —
+    complements the declared-approx `approx_stats`. Spark `percentile`
+    and DuckDB `quantile_cont` share the percentile_cont definition
+    (index = p·(n-1), linear between neighbors). Exact percentile is a
+    sort-based agg: at 100 TB prefer `approx_percentile` unless exactness
+    is contractual — that trade-off is the point of having both queries."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25_price"),
+        rnd(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        rnd(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95_price"),
+    )
+
+
+_PERCENTILE_BY_GROUP_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       floor(quantile_cont(o_totalprice, 0.25) * 100 + 0.5) / 100 AS p25_price,
+       floor(quantile_cont(o_totalprice, 0.5)  * 100 + 0.5) / 100 AS median_price,
+       floor(quantile_cont(o_totalprice, 0.95) * 100 + 0.5) / 100 AS p95_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): per-returnflag metric sums pivoted into
+    (flag, metric, value) rows via `DataFrame.unpivot`. The unpivot runs
+    on the already-aggregated (tiny) table — at scale, always aggregate
+    first: melting the raw fact table would multiply its row count by the
+    metric count before the shuffle."""
+    l = t(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        rnd(F.sum("l_quantity"), 2).alias("qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("price"),
+        rnd(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return agg.unpivot("l_returnflag", ["qty", "price", "disc"], "metric", "value")
+
+
+_UNPIVOT_METRICS_SQL = """
+WITH a AS (
+  SELECT l_returnflag,
+         floor(sum(l_quantity)      * 100 + 0.5) / 100 AS qty,
+         floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS price,
+         floor(sum(l_discount)      * 100 + 0.5) / 100 AS disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM a UNPIVOT (value FOR metric IN (qty, price, disc))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "percentile_by_group": QuerySpec(
+        _percentile_by_group, _PERCENTILE_BY_GROUP_SQL, "exact group percentiles"
+    ),
+    "unpivot_metrics": QuerySpec(
+        _unpivot_metrics, _UNPIVOT_METRICS_SQL, "wide-to-long unpivot/melt"
+    ),
     "grouped_zscore": QuerySpec(_grouped_zscore, _GROUPED_ZSCORE_SQL, "applyInPandas grouped map"),
     "sql_shipping_priority": QuerySpec(
         _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL, "spark.sql front end (TPC-H Q3 shape)"

@@ -1,0 +1,71 @@
+"""Unit tests for llmdata/hygiene.py edge semantics: short-doc n-grams,
+contamination flagging, PII redaction order, shard determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from agent_data_pipeline_spark.llmdata import hygiene
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = spark.createDataFrame(
+        [Row(t="one two"), Row(t="a b c"), Row(t="")]
+    ).select(hygiene.word_ngrams(F.col("t"), 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == []          # 2 words < n=3 (guard against descending sequence)
+    assert rows[1] == ["a b c"]
+    assert rows[2] == []
+
+
+def test_flag_contaminated_exact_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="completely different words here now"),
+        ]
+    )
+    eval_df = spark.createDataFrame([Row(doc_id=9, text="quick brown fox goes home")])
+    out = hygiene.flag_contaminated(
+        train, hygiene.eval_ngram_set(eval_df, n=3), n=3
+    )
+    flags = {r.doc_id: r.is_contaminated for r in out.collect()}
+    assert flags == {1: 1, 2: 0}  # "quick brown fox" shared; doc 2 clean
+
+
+def test_scrub_pii_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a1@b.co or a2@b.co call 415-555-0100 ip 10.0.0.1")]
+    )
+    row = hygiene.scrub_pii(df).collect()[0]
+    assert (row.n_emails, row.n_phones, row.n_ips) == (2, 1, 1)
+    assert row.redacted == "mail [EMAIL] or [EMAIL] call [PHONE] ip [IP]"
+
+
+def test_scrub_pii_email_digits_not_double_counted(spark):
+    # the email contains digit runs — email must be scrubbed first so the
+    # phone/ip patterns never fire inside it
+    df = spark.createDataFrame([Row(doc_id=1, text="x 123-456-7890@mail.com y")])
+    row = hygiene.scrub_pii(df).collect()[0]
+    assert (row.n_emails, row.n_ips) == (1, 0)
+    assert row.redacted == "x [EMAIL] y"
+
+
+def test_shard_assign_deterministic_and_partition_stable(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = hygiene.shard_assign(df, "doc_id", n_shards=8)
+    b = hygiene.shard_assign(df.repartition(13), "doc_id", n_shards=8)
+    assert {r.doc_id: r.shard for r in a.collect()} == {
+        r.doc_id: r.shard for r in b.collect()
+    }
+    counts = [r["count"] for r in a.groupBy("shard").count().collect()]
+    assert len(counts) == 8 and min(counts) > 20  # roughly balanced
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a a a b")])
+    row = hygiene.with_repetition_stats(df).collect()[0]
+    # 2-grams: "a a","a a","a b" -> 1 dup of 3
+    assert abs(row.dup_2gram_frac - (1 / 3)) < 1e-6
+    assert abs(row.top_word_frac - 0.75) < 1e-6
