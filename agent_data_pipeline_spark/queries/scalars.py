@@ -417,7 +417,37 @@ FROM part
 """
 
 
+def _map_explode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface: build a map<string,double> per row with
+    `create_map`, explode it to (key, value) pairs, aggregate per key.
+    The explode doubles row count BEFORE the shuffle — fine here because
+    the shuffle carries only the partial aggregates (map-side combine),
+    the melted rows never move."""
+    l = t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("disc"), F.col("l_discount").cast("double"),
+    )
+    return (
+        l.select(F.explode(m).alias("metric", "val"))
+        .groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("val"), 2).alias("total"))
+    )
+
+
+_MAP_EXPLODE_METRICS_SQL = """
+SELECT metric, count(*) AS n, floor(sum(val) * 100 + 0.5) / 100 AS total
+FROM (SELECT unnest([{'metric': 'qty',  'val': l_quantity},
+                     {'metric': 'disc', 'val': l_discount}], recursive := true)
+      FROM lineitem)
+GROUP BY metric
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "map_explode_metrics": QuerySpec(
+        _map_explode_metrics, _MAP_EXPLODE_METRICS_SQL, "map construction + explode"
+    ),
     "datetime_scalars": QuerySpec(_datetime_scalars, _DATETIME_SCALARS_SQL, "datetime kit"),
     "parse_timestamps": QuerySpec(_parse_timestamps, _PARSE_TIMESTAMPS_SQL, "to_timestamp round trip"),
     "udf_kit": QuerySpec(_udf_kit, _UDF_KIT_SQL, "Python UDF + pandas_udf surface"),

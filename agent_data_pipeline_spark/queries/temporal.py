@@ -225,6 +225,31 @@ def _stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding aggregation as `sliding_windows` (1 h window,
+    30 min slide — every event in 2 windows), executed through Structured
+    Streaming end-to-end like `stream_tumbling_hourly` (complete mode,
+    memory sink, drained). Shares the sliding batch oracle; the NTZ cast
+    pins the window grid to the naive wall clock so the epoch-math oracle
+    matches under any whole-hour session TZ."""
+    import uuid
+
+    from ..streaming import drain, stream_to_memory
+
+    stream = _read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    agged = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(agged, name, output_mode="complete")
+    drain(q)
+    return spark.table(name)
+
+
 def _stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running count/sum/min/max kept in the state store, emitted
@@ -401,6 +426,9 @@ QUERIES: dict[str, QuerySpec] = {
         "applyInPandasWithState running per-key aggregate",
     ),
     "sliding_windows": QuerySpec(_sliding_windows, _SLIDING_WINDOWS_SQL, "sliding windows"),
+    "stream_sliding_windows": QuerySpec(
+        _stream_sliding_windows, _SLIDING_WINDOWS_SQL, "readStream sliding windows"
+    ),
     "session_windows": QuerySpec(_session_windows, _SESSION_WINDOWS_SQL, "session windows"),
     "first_event_dedup": QuerySpec(_first_event_dedup, _FIRST_EVENT_DEDUP_SQL, "keep-first dedup"),
     "asof_purchases": QuerySpec(_asof_purchases, _ASOF_PURCHASES_SQL, "as-of join"),

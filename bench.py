@@ -39,6 +39,10 @@ HEADLINE = [
     "hypertable_rollup",
     "gapfill_interpolate",
     "exact_dedup",
+    "decontaminate_ngrams",
+    "repetition_stats",
+    "pii_scrub",
+    "global_shuffle_shards",
     "text_stats",
     "jaccard_pairs",
     "minhash_lsh_pairs",
