@@ -619,7 +619,97 @@ FROM v GROUP BY 1
 """
 
 
+def _training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end: hold out an eval
+    set -> quality gate (token floor + quality score) -> exact dedup
+    (min-id representative per content hash) -> eval-set decontamination
+    -> deterministic shuffle-sharding -> per-shard manifest. This is the
+    production order of operations at 100 TB: each gate shrinks the data
+    before the next, pricier one (quality is a scan, dedup one shuffle,
+    decontamination an explode over survivors only), and every stage is a
+    library call (textstats / dedup-shape / hygiene) composed lazily into
+    ONE Catalyst plan — no materialization between stages."""
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    stats = textstats.with_text_stats(train)
+    kept = stats.filter(
+        (F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.45)
+    )
+    reps = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    uniq = kept.join(reps.select("doc_id"), "doc_id", "left_semi")
+    eval_grams = hygiene.eval_ngram_set(
+        docs.filter(F.col("doc_id") % 97 == 0), n=3
+    )
+    clean = hygiene.flag_contaminated(uniq, eval_grams, n=3).filter(
+        F.col("is_contaminated") == 0
+    )
+    sharded = hygiene.shard_assign(clean, "doc_id", n_shards=4)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_TRAINING_DATA_PREP_SQL = r"""
+WITH stats AS (
+  SELECT doc_id, text, n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stop
+  FROM documents WHERE doc_id % 97 <> 0
+), q AS (
+  SELECT doc_id, text, n_chars, n_tokens,
+         floor((0.4 * least(n_chars_calc / 200.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+             + 0.3 * CASE WHEN n_tokens > 0 THEN n_distinct_tokens / CAST(n_tokens AS DOUBLE) ELSE 0.0 END)
+           * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM stats
+), kept AS (
+  SELECT * FROM q WHERE n_tokens >= 20 AND quality_score >= 0.45
+), reps AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), uniq AS (
+  SELECT k.* FROM kept k JOIN reps r USING (doc_id)
+), ew AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE doc_id % 97 = 0
+), ep AS (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i FROM ew),
+eval_grams AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS gram FROM ep),
+uw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM uniq
+), up AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM uw),
+ug AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram FROM up),
+contaminated AS (SELECT DISTINCT ug.doc_id FROM ug JOIN eval_grams USING (gram)),
+clean AS (
+  SELECT u.* FROM uniq u LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+), sh AS (
+  SELECT *, md5('s42:' || CAST(doc_id AS VARCHAR)) AS k FROM clean
+), v AS (
+  SELECT *,
+    (CASE WHEN ascii(substr(k,1,1)) >= 97 THEN ascii(substr(k,1,1)) - 87
+          ELSE ascii(substr(k,1,1)) - 48 END) * 16
+  + (CASE WHEN ascii(substr(k,2,1)) >= 97 THEN ascii(substr(k,2,1)) - 87
+          ELSE ascii(substr(k,2,1)) - 48 END) AS hv
+  FROM sh
+)
+SELECT CAST(hv % 4 AS BIGINT) AS shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM v GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "training_data_prep": QuerySpec(
+        _training_data_prep, _TRAINING_DATA_PREP_SQL,
+        "composed pipeline: quality -> dedup -> decontaminate -> shard",
+    ),
     "decontaminate_ngrams": QuerySpec(
         _decontaminate, _DECONTAMINATE_SQL, "eval-set n-gram decontamination"
     ),

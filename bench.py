@@ -39,6 +39,7 @@ HEADLINE = [
     "hypertable_rollup",
     "gapfill_interpolate",
     "exact_dedup",
+    "training_data_prep",
     "decontaminate_ngrams",
     "repetition_stats",
     "pii_scrub",
