@@ -705,7 +705,37 @@ FROM v GROUP BY 1
 """
 
 
+def _vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the reduce step of k-means /
+    class-prototype computation): posexplode to (label, pos, val), then
+    groupBy(label, pos) avg. Map-side partial aggregation collapses the
+    exploded rows to labels x dim per task BEFORE the shuffle, so the
+    exchange carries centroids, not vectors — the plan that survives a
+    billion-vector corpus."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+    )
+
+
+_VECTOR_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT label, pos, count(*) AS n_vecs,
+       floor(avg(val) * 1000000 + 0.5) / 1000000 AS centroid_val
+FROM ex GROUP BY label, pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "vector_centroids": QuerySpec(
+        _vector_centroids, _VECTOR_CENTROIDS_SQL, "per-label embedding centroids"
+    ),
     "training_data_prep": QuerySpec(
         _training_data_prep, _TRAINING_DATA_PREP_SQL,
         "composed pipeline: quality -> dedup -> decontaminate -> shard",

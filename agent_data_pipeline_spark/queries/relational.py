@@ -963,7 +963,42 @@ FROM a UNPIVOT (value FOR metric IN (qty, price, disc))
 """
 
 
+def _price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals via `width_bucket` (10 buckets
+    over [0, 600000)): one scan, partial-agg'd groupBy — the shuffle
+    carries at most 12 rows per task. Oracle replicates width_bucket's
+    boundary semantics (0 below min, n+1 at/above max) with floor math,
+    since DuckDB lacks the function."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.expr("width_bucket(o_totalprice, 0, 600000, 10)").cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.min("o_totalprice"), 2).alias("min_price"),
+            rnd(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+_PRICE_HISTOGRAM_SQL = """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 11
+            ELSE floor(o_totalprice / 60000) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       floor(min(o_totalprice) * 100 + 0.5) / 100 AS min_price,
+       floor(max(o_totalprice) * 100 + 0.5) / 100 AS max_price
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "price_histogram": QuerySpec(
+        _price_histogram, _PRICE_HISTOGRAM_SQL, "equi-width histogram (width_bucket)"
+    ),
     "percentile_by_group": QuerySpec(
         _percentile_by_group, _PERCENTILE_BY_GROUP_SQL, "exact group percentiles"
     ),

@@ -129,3 +129,25 @@ def test_sequence_packing_single_window_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The eval-gram set and the hit-id list must broadcast back onto the
+    corpus — a shuffle of the full corpus on gram (or a cartesian) is the
+    at-scale regression. Holds for the standalone query and inside the
+    composed training_data_prep plan."""
+    for name in ["decontaminate_ngrams", "training_data_prep"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_hygiene_row_ops_have_no_join_or_extra_shuffle(spark):
+    """pii_scrub and repetition_stats are per-row: any join node in their
+    plan means an accidental blow-up; the only exchange allowed is the
+    parallelism spread/round-robin."""
+    for name in ["pii_scrub", "repetition_stats"]:
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, name
+        exchanges = plan.count("Exchange")
+        assert exchanges <= 2, f"{name}: {exchanges} exchanges"
