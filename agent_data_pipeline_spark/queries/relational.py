@@ -995,7 +995,37 @@ FROM orders GROUP BY 1
 """
 
 
+def _argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregation): each customer's highest- and
+    lowest-value order in ONE pass — no self-join, no window sort; the
+    shuffle carries one row per group. Ties on price are broken by a
+    zero-padded string key (lexicographic == numeric for non-negative
+    fixed-width), since neither engine's arg_max takes a struct key."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr(
+            "max_by(o_orderkey, format_string('%020.2f|%012d', o_totalprice, o_orderkey))"
+        ).alias("best_order"),
+        F.expr(
+            "min_by(o_orderkey, format_string('%020.2f|%012d', o_totalprice, o_orderkey))"
+        ).alias("worst_order"),
+        rnd(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+_ARGMAX_ORDERS_SQL = """
+SELECT o_custkey,
+       arg_max(o_orderkey, printf('%020.2f|%012d', o_totalprice, o_orderkey)) AS best_order,
+       arg_min(o_orderkey, printf('%020.2f|%012d', o_totalprice, o_orderkey)) AS worst_order,
+       floor(max(o_totalprice) * 100 + 0.5) / 100 AS best_price
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "argmax_orders": QuerySpec(
+        _argmax_orders, _ARGMAX_ORDERS_SQL, "max_by/min_by argmax aggregation"
+    ),
     "price_histogram": QuerySpec(
         _price_histogram, _PRICE_HISTOGRAM_SQL, "equi-width histogram (width_bucket)"
     ),
