@@ -635,10 +635,16 @@ def _training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = stats.filter(
         (F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.45)
     )
-    reps = kept.groupBy(F.md5("text").alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
+    # min-id representative per content hash via one window pass: a
+    # groupBy + semi-join-back would scan `kept` twice and shuffle twice.
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    uniq = kept.join(reps.select("doc_id"), "doc_id", "left_semi")
     eval_grams = hygiene.eval_ngram_set(
         docs.filter(F.col("doc_id") % 97 == 0), n=3
     )
