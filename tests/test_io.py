@@ -28,9 +28,12 @@ def test_parquet_round_trip_partitioned(spark, orders, tmp_path):
     )
     back = sources.read_parquet(spark, out)
     assert back.count() == orders.count()
-    # partition pruning: a year filter must scan only that partition
+    # partition pruning: a year filter must become a PartitionFilter on
+    # the scan (metadata-only skip), not a data Filter over all files
     pruned = back.filter(F.col("o_year") == 1997)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "o_year" in pf[1][:200], plan[:2000]
     assert pruned.count() == orders.filter(F.year("o_orderdate") == 1997).count()
 
 
