@@ -124,6 +124,51 @@ def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "media_id BIGINT, frame_idx BIGINT, frame_key STRING"
+
+
+def sample_frames(
+    media: DataFrame, stride: int = 4, bytes_per_frame: int = 16
+) -> DataFrame:
+    """Video frame-sampling plumbing: every ``stride``-th frame of each
+    media item as its own row (the 1→N explode shape a frame extractor
+    needs), via mapInPandas. The decode kernel is STUBBED — frame count
+    derives from payload length and the frame key from the content hash —
+    but the contract (Arrow batch in, multi-row batch out, typed schema)
+    is exactly what a real ffmpeg/opencv kernel drops into.
+
+    Only metadata columns ship to Python: a real kernel would add
+    ``payload`` to the select, but nothing else changes — and the
+    metadata-only variant is itself the production fast path for
+    building frame MANIFESTS without moving payload bytes."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            keys: list[str] = []
+            for mid, sha, blen in zip(
+                pdf["media_id"], pdf["sha256"], pdf["byte_len"]
+            ):
+                n_frames = max(1, int(blen) // bytes_per_frame)
+                for i in range(0, n_frames, stride):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    keys.append(hashlib.md5(f"{sha}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_key": keys,
+                }
+            )
+
+    return media.select("media_id", "sha256", "byte_len").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize operator — decode step not available in this
     container. The plumbing (signature, schema) is the engine contract;

@@ -738,7 +738,35 @@ FROM ex GROUP BY label, pos
 """
 
 
+def _frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling manifest (llmdata/multimodal.py sample_frames):
+    documents-as-media -> every 4th frame as its own row. The stub frame
+    count/key derive deterministically from payload bytes, so DuckDB can
+    oracle the full 1->N explode contract."""
+    media = multimodal.text_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, stride=4, bytes_per_frame=16)
+
+
+_FRAME_SAMPLE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS sha,
+         octet_length(encode(text)) AS blen
+  FROM documents
+), f AS (
+  SELECT media_id, sha,
+         unnest(range(0, greatest(blen // 16, 1), 4)) AS frame_idx
+  FROM m
+)
+SELECT media_id, frame_idx,
+       md5(sha || ':' || CAST(frame_idx AS VARCHAR)) AS frame_key
+FROM f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "frame_sample_manifest": QuerySpec(
+        _frame_sample_manifest, _FRAME_SAMPLE_SQL, "mapInPandas frame sampling (stub kernel)"
+    ),
     "vector_centroids": QuerySpec(
         _vector_centroids, _VECTOR_CENTROIDS_SQL, "per-label embedding centroids"
     ),
