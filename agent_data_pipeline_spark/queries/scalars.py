@@ -444,7 +444,35 @@ GROUP BY metric
 """
 
 
+def _null_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covers the two §2.B scalar items no other query exercises:
+    DataFrame.fillna (null default over a nullif-derived column) and
+    array_contains membership."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.expr("nullif(o_orderstatus, 'O')").alias("status_nn"),
+        F.array(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("arr"),
+    )
+    return base.fillna({"status_nn": "OPEN"}).select(
+        "o_orderkey",
+        "status_nn",
+        F.array_contains("arr", "1-URGENT").alias("is_urgent"),
+    )
+
+
+_NULL_ARRAY_KIT_SQL = """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_nn,
+       list_contains([o_orderpriority, o_orderstatus], '1-URGENT') AS is_urgent
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "null_array_kit": QuerySpec(
+        _null_array_kit, _NULL_ARRAY_KIT_SQL, "fillna + array_contains"
+    ),
     "map_explode_metrics": QuerySpec(
         _map_explode_metrics, _MAP_EXPLODE_METRICS_SQL, "map construction + explode"
     ),
