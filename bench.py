@@ -31,6 +31,7 @@ HEADLINE = [
     "moving_avg",
     "running_total",
     "filter_kit",
+    "events_cleaned",
     "conditional_scalars",
     "json_extract_agg",
     "tumbling_hourly",
