@@ -176,6 +176,52 @@ WHERE floor((inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1
 """
 
 
+def _neardup_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP (not just pair detection): exact-Jaccard
+    pairs -> greedy min-id representative keep (dedup.keep_representatives)
+    -> per-source survivor counts. The greedy keep is one anti-join —
+    no iterative connected components — matching production dedup at
+    scale; exact pairs make the whole path oracle-checkable."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.token_jaccard_pairs(docs, threshold=0.8, max_df_ratio=1.0)
+    kept = dedup.keep_representatives(docs, pairs).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+_NEARDUP_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
+  FROM documents WHERE doc_id < 100
+), sizes AS (
+  SELECT id, count(*) AS sz FROM toks GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+), losers AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE floor((inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 >= 0.8
+), d AS (
+  SELECT doc_id, source FROM documents WHERE doc_id < 100
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM d LEFT JOIN losers l USING (doc_id)
+GROUP BY source
+"""
+
+
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs (approx; hash-seeded => rows-only
     driver check; recall measured vs exact Jaccard in tests)."""
@@ -805,6 +851,9 @@ QUERIES: dict[str, QuerySpec] = {
     "lang_quality_summary": QuerySpec(_lang_quality, _LANG_QUALITY_SQL, "per-lang quality"),
     "token_count_kit": QuerySpec(_token_count_kit, _TOKEN_COUNT_SQL, "ws + BPE-ish tokens"),
     "jaccard_pairs": QuerySpec(_jaccard_pairs, _JACCARD_PAIRS_SQL, "exact n-gram Jaccard dedup"),
+    "neardup_dedup_summary": QuerySpec(
+        _neardup_dedup_summary, _NEARDUP_DEDUP_SQL, "near-dup pairs -> greedy keep"
+    ),
     "minhash_lsh_pairs": QuerySpec(_minhash_lsh, None, "MinHash-LSH near-dup (approx)"),
     "simhash_fingerprints": QuerySpec(_simhash, None, "SimHash fingerprints"),
     "embedding_topk": QuerySpec(_embedding_topk, _EMBEDDING_TOPK_SQL, "brute-force cosine top-k"),
