@@ -69,12 +69,19 @@ def main() -> None:
     for tbl in ("lineitem", "orders", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(1).collect()
 
+    # min of 2 runs per query: the machine hosting the bench shows bursty
+    # background load, and a single sample conflates scheduler contention
+    # with query cost. Min-of-N is standard practice (hyperfine et al.)
+    # for isolating the code's own steady-state cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        start = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +92,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "policy": "min",
             }
         )
     )
