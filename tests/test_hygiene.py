@@ -69,3 +69,18 @@ def test_repetition_stats_known_values(spark):
     # 2-grams: "a a","a a","a b" -> 1 dup of 3
     assert abs(row.dup_2gram_frac - (1 / 3)) < 1e-6
     assert abs(row.top_word_frac - 0.75) < 1e-6
+
+
+def test_sample_frames_empty_payload_yields_one_frame(spark):
+    from pyspark.sql import Row
+
+    from agent_data_pipeline_spark.llmdata import multimodal
+
+    docs = spark.createDataFrame([Row(doc_id=1, text=""), Row(doc_id=2, text="x" * 64)])
+    media = multimodal.text_as_media(docs)
+    rows = multimodal.sample_frames(media, stride=4, bytes_per_frame=16).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_id[1] == [0]          # empty payload still emits frame 0
+    assert sorted(by_id[2]) == [0]  # 64//16 = 4 frames, stride 4 -> idx 0

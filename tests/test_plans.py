@@ -151,3 +151,20 @@ def test_hygiene_row_ops_have_no_join_or_extra_shuffle(spark):
         assert "Join" not in plan, name
         exchanges = plan.count("Exchange")
         assert exchanges <= 2, f"{name}: {exchanges} exchanges"
+
+
+def test_hypertable_levels_reuse_cache(spark):
+    """Coarser rollup levels must derive from the cached finer level
+    (continuous-aggregate shape) — three raw scans instead of one is the
+    at-scale regression cache_levels exists to prevent."""
+    plan = plan_of(spark, "hypertable_rollup")
+    assert "InMemoryTableScan" in plan
+
+
+def test_gapfill_grid_join_broadcasts(spark):
+    """The bucket-grid left join must broadcast the (small) observed
+    aggregate — shuffling the generated grid against it would scale with
+    span x keys."""
+    plan = plan_of(spark, "gapfill_interpolate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
