@@ -1022,7 +1022,47 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def _salted_agg_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (ops/skew.py salted_agg): the
+    3-value l_returnflag grouping is the pathological-skew shape — each
+    group floods one reducer in a naive plan. Phase 1 shuffles on
+    (key, salt) spreading each group over 32 reducers; phase 2 merges
+    <=32 partial rows per key. Result is bit-equal to the plain groupBy,
+    which is exactly what the oracle checks."""
+    from ..ops.skew import salted_agg
+
+    l = t(spark, sf_dir, "lineitem")
+    r = salted_agg(
+        l,
+        ["l_returnflag"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("count", "l_quantity", "n_rows"),
+            ("max", "l_extendedprice", "max_price"),
+        ],
+        buckets=32,
+    )
+    return r.select(
+        "l_returnflag",
+        rnd(F.col("sum_qty"), 2).alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        rnd(F.col("max_price"), 2).alias("max_price"),
+    )
+
+
+_SALTED_AGG_BY_FLAG_SQL = """
+SELECT l_returnflag,
+       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+       count(*) AS n_rows,
+       floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "salted_agg_by_flag": QuerySpec(
+        _salted_agg_by_flag, _SALTED_AGG_BY_FLAG_SQL, "skew-salted two-phase agg"
+    ),
     "argmax_orders": QuerySpec(
         _argmax_orders, _ARGMAX_ORDERS_SQL, "max_by/min_by argmax aggregation"
     ),
