@@ -120,10 +120,17 @@ def with_repetition_stats(
     )
     toks = F.col("_toks")
     for n in ns:
-        grams = ngrams_from_tokens(toks, n)
-        total = F.size(grams)
+        # duplicate fraction needs only gram IDENTITY, not the gram text:
+        # hash each n-token window to a long (xxhash64 over the slice)
+        # and distinct the longs — no per-gram string allocation. A 64-bit
+        # collision would undercount distinct by 1; at ~10² grams/doc the
+        # probability is ~2^-52 per doc, far below the 1e-6 rounding grain.
+        n_out = F.size(toks) - F.lit(n - 1)
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_out), lambda i: F.xxhash64(F.slice(toks, i, n))
+        )
         frac = F.when(
-            total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
+            n_out > 0, 1.0 - F.size(F.array_distinct(hashes)) / n_out
         ).otherwise(0.0)
         df = df.withColumn(f"dup_{n}gram_frac", rnd(frac, 6))
     # max count of any single word: sort tokens, then a single aggregate
