@@ -52,6 +52,20 @@ def word_ngrams(text: Column, n: int) -> Column:
     return ngrams_from_tokens(F.split(F.trim(F.lower(text)), _WS), n)
 
 
+def _ngram_hashes(toks: Column, n: int) -> Column:
+    """64-bit identities of the word ``n``-grams (xxhash64 of each
+    n-token window) — for joins/distincts where only gram IDENTITY
+    matters: no per-gram string allocation, and the downstream join or
+    set carries 8-byte longs. Both sides of a comparison must hash the
+    same way, so this stays internal to the module. Same materialized-
+    token contract as ``ngrams_from_tokens``."""
+    n_out = F.size(toks) - F.lit(n - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_out), lambda i: F.xxhash64(F.slice(toks, i, n))
+    )
+    return F.when(n_out >= 1, hashes).otherwise(F.array().cast("array<bigint>"))
+
+
 def eval_ngram_set(
     eval_df: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:
@@ -66,7 +80,7 @@ def eval_ngram_set(
     )
     return (
         toksed.select(
-            F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
+            F.explode(_ngram_hashes(F.col("_toks"), n)).alias("gram_hash")
         ).distinct()
     )
 
@@ -93,10 +107,10 @@ def flag_contaminated(
         force=True,
     )
     grams = toksed.select(
-        id_col, F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
+        id_col, F.explode(_ngram_hashes(F.col("_toks"), n)).alias("gram_hash")
     )
     hits = (
-        grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        grams.join(F.broadcast(eval_grams), "gram_hash", "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("is_contaminated", F.lit(1))
@@ -120,17 +134,14 @@ def with_repetition_stats(
     )
     toks = F.col("_toks")
     for n in ns:
-        # duplicate fraction needs only gram IDENTITY, not the gram text:
-        # hash each n-token window to a long (xxhash64 over the slice)
-        # and distinct the longs — no per-gram string allocation. A 64-bit
-        # collision would undercount distinct by 1; at ~10² grams/doc the
-        # probability is ~2^-52 per doc, far below the 1e-6 rounding grain.
-        n_out = F.size(toks) - F.lit(n - 1)
-        hashes = F.transform(
-            F.sequence(F.lit(1), n_out), lambda i: F.xxhash64(F.slice(toks, i, n))
-        )
+        # duplicate fraction needs only gram IDENTITY, not the gram text
+        # (_ngram_hashes): distinct over longs, no string allocation. A
+        # 64-bit collision would undercount distinct by 1; at ~10²
+        # grams/doc the probability is ~2^-52, far below the 1e-6 grain.
+        hashes = _ngram_hashes(toks, n)
+        total = F.size(hashes)
         frac = F.when(
-            n_out > 0, 1.0 - F.size(F.array_distinct(hashes)) / n_out
+            total > 0, 1.0 - F.size(F.array_distinct(hashes)) / total
         ).otherwise(0.0)
         df = df.withColumn(f"dup_{n}gram_frac", rnd(frac, 6))
     # max count of any single word: sort tokens, then a single aggregate
