@@ -47,7 +47,11 @@ HEADLINE = [
     "global_shuffle_shards",
     "text_stats",
     "jaccard_pairs",
+    "neardup_dedup_summary",
     "minhash_lsh_pairs",
+    "salted_agg_by_flag",
+    "vector_centroids",
+    "frame_sample_manifest",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
