@@ -250,6 +250,35 @@ def _stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming SINK path, end to end: readStream ->
+    per-type totals -> foreachBatch parquet sink (complete mode, each
+    micro-batch overwrites with the batch writer — the pattern that also
+    carries JDBC/multi-sink fan-out) -> read the sunk files back. The
+    oracle checks what landed ON DISK, not a memory sink."""
+    import tempfile
+
+    from ..streaming import drain, foreach_batch_parquet_sink
+
+    stream = _read_events_stream(spark, sf_dir)
+    agged = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value")
+    )
+    base = tempfile.mkdtemp(prefix="spark_fbatch_")
+    q = foreach_batch_parquet_sink(
+        agged, f"{base}/out", f"{base}/ckpt", mode="overwrite", output_mode="complete"
+    )
+    drain(q)
+    return spark.read.parquet(f"{base}/out")
+
+
+_STREAM_FOREACHBATCH_SQL = """
+SELECT event_type, count(*) AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def _stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running count/sum/min/max kept in the state store, emitted
@@ -428,6 +457,10 @@ QUERIES: dict[str, QuerySpec] = {
     "sliding_windows": QuerySpec(_sliding_windows, _SLIDING_WINDOWS_SQL, "sliding windows"),
     "stream_sliding_windows": QuerySpec(
         _stream_sliding_windows, _SLIDING_WINDOWS_SQL, "readStream sliding windows"
+    ),
+    "stream_foreachbatch_totals": QuerySpec(
+        _stream_foreachbatch_totals, _STREAM_FOREACHBATCH_SQL,
+        "foreachBatch parquet sink, read back from disk",
     ),
     "session_windows": QuerySpec(_session_windows, _SESSION_WINDOWS_SQL, "session windows"),
     "first_event_dedup": QuerySpec(_first_event_dedup, _FIRST_EVENT_DEDUP_SQL, "keep-first dedup"),
