@@ -1059,7 +1059,140 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _covar_regr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance + linear-regression aggregates (covar_samp/covar_pop,
+    regr_slope/intercept/r2). One-pass JVM aggregates; the shuffle carries
+    five partial-moment accumulators per (partition x 3 flags)."""
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_s"),
+        rnd(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_p"),
+        rnd(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        rnd(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        rnd(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+_COVAR_REGR_BY_FLAG_SQL = """
+SELECT l_returnflag,
+       floor((covar_samp(l_quantity, l_extendedprice)) * 100 + 0.5) / 100          AS covar_s,
+       floor((covar_pop(l_quantity, l_extendedprice)) * 100 + 0.5) / 100           AS covar_p,
+       floor((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000      AS slope,
+       floor((regr_intercept(l_extendedprice, l_quantity)) * 100 + 0.5) / 100      AS intercept,
+       floor((regr_r2(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000     AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _bool_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_and, bool_or.
+    Booleans are cast to INT on both sides so the value-hash compare is
+    dtype-independent."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("big_orders"),
+        F.bool_and(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").cast("int").alias("any_urgent"),
+    )
+
+
+_BOOL_AGG_KIT_SQL = """
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT)       AS big_orders,
+       CAST(bool_and(o_totalprice > 0) AS INT)               AS all_positive,
+       CAST(bool_or(o_orderpriority = '1-URGENT') AS INT)    AS any_urgent
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg semantics) made
+    deterministic: collect_list -> sort_array -> concat_ws fixes the
+    element order regardless of partial-aggregation arrival order. The
+    grouped side (nation x region) is tiny; at scale this pattern is for
+    bounded groups only (collect_list state is O(group))."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_LISTAGG_NATIONS_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full window frame with a
+    unique tie-break key (orderdate, orderkey) — deterministic per §core
+    rules. Partitioned by custkey: state per window is one customer's
+    orders, so executor memory stays flat as the table scales."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        rnd(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        rnd(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+_WINDOW_VALUE_FNS_SQL = """
+SELECT o_orderkey, o_custkey,
+       floor((first_value(o_totalprice) OVER w) * 100 + 0.5) / 100    AS first_price,
+       floor((last_value(o_totalprice) OVER w) * 100 + 0.5) / 100     AS last_price,
+       floor((nth_value(o_totalprice, 2) OVER w) * 100 + 0.5) / 100   AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def _above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front end. Catalyst
+    decorrelates it into an aggregate + join (no per-row re-execution);
+    the oracle runs the identical text. The subquery average is rounded
+    on both sides so the filter threshold cannot straddle a ulp."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("adps_sub_customer")
+    return spark.sql(_ABOVE_NATION_AVG_SQL.replace("customer", "adps_sub_customer"))
+
+
+_ABOVE_NATION_AVG_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_above
+FROM customer c
+WHERE c_acctbal > (SELECT floor(avg(c2.c_acctbal) * 100 + 0.5) / 100
+                   FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "covar_regr_by_flag": QuerySpec(
+        _covar_regr_by_flag, _COVAR_REGR_BY_FLAG_SQL, "covariance + regr_* aggregates"
+    ),
+    "bool_agg_kit": QuerySpec(_bool_agg_kit, _BOOL_AGG_KIT_SQL, "count_if/bool_and/bool_or"),
+    "listagg_nations": QuerySpec(
+        _listagg_nations, _LISTAGG_NATIONS_SQL, "ordered string aggregation (LISTAGG)"
+    ),
+    "window_value_fns": QuerySpec(
+        _window_value_fns, _WINDOW_VALUE_FNS_SQL, "first/last/nth_value windows"
+    ),
+    "above_nation_avg": QuerySpec(
+        _above_nation_avg, _ABOVE_NATION_AVG_SQL, "correlated scalar subquery (decorrelated)"
+    ),
     "salted_agg_by_flag": QuerySpec(
         _salted_agg_by_flag, _SALTED_AGG_BY_FLAG_SQL, "skew-salted two-phase agg"
     ),
