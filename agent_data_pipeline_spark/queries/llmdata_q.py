@@ -809,7 +809,99 @@ FROM f
 """
 
 
+def _vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary statistics: global token frequencies with a
+    deterministic top-20 (count desc, token asc). explode -> two-phase
+    hash aggregate: the map side pre-counts per partition, so the token
+    shuffle carries one row per (partition x distinct token), not one per
+    occurrence — at 100 TB that is vocabulary-sized, not corpus-sized.
+    The top-k compiles to TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a global sort materialization."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+_VOCAB_TOP20_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents
+)
+SELECT tok, count(*) AS n_occurrences
+FROM toks WHERE tok <> ''
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok
+LIMIT 20
+"""
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF, top-3 terms per doc. The ranking key is
+    integer-only (tf desc, doc-freq asc, token asc) so libm ln() ulp
+    noise in the score can never flip which rows are selected; the score
+    itself is rounded for the value hash. Plan shape: one explode feeds
+    both the per-(doc,token) tf aggregate and the vocabulary-sized
+    doc-frequency aggregate; tf ⋈ dfreq co-shuffles on token (AQE may
+    downgrade dfreq to broadcast — vocabulary ≪ corpus); the one-row
+    corpus count joins as a broadcast cross join."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            rnd(F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 6),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rn")
+    )
+
+
+_TFIDF_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         floor((t.tf * ln((nd.n_docs + 1.0) / (d.df + 1.0))) * 1000000 + 0.5) / 1000000
+           AS tfidf,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.tok) AS rn
+  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, tok, tf, df, tfidf, rn FROM scored WHERE rn <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "vocab_top20": QuerySpec(_vocab_top20, _VOCAB_TOP20_SQL, "global token frequency top-k"),
+    "tfidf_top_terms": QuerySpec(
+        _tfidf_top_terms, _TFIDF_TOP_TERMS_SQL, "per-doc TF-IDF top terms"
+    ),
     "frame_sample_manifest": QuerySpec(
         _frame_sample_manifest, _FRAME_SAMPLE_SQL, "mapInPandas frame sampling (stub kernel)"
     ),

@@ -250,6 +250,38 @@ def _stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 30-min-gap sessionization as `session_windows`, executed
+    through Structured Streaming with ``F.session_window`` — Spark's
+    native merging-session state operator — drained to a memory sink.
+    Complete output mode: session windows reject update mode
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION) and append mode would
+    hold back every session the finite replay's final watermark never
+    passes. Shares the batch oracle, so the driver hash-checks that the
+    state-store session merge agrees exactly with the lag+cumsum batch
+    sessionization (ops/sessionize)."""
+    import uuid
+
+    from ..streaming import drain, stream_to_memory
+
+    stream = _read_events_stream(spark, sf_dir)
+    agged = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(agged, name, output_mode="complete")
+    drain(q)
+    return spark.table(name)
+
+
 def _stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production streaming SINK path, end to end: readStream ->
     per-type totals -> foreachBatch parquet sink (complete mode, each
@@ -463,6 +495,9 @@ QUERIES: dict[str, QuerySpec] = {
         "foreachBatch parquet sink, read back from disk",
     ),
     "session_windows": QuerySpec(_session_windows, _SESSION_WINDOWS_SQL, "session windows"),
+    "stream_session_windows": QuerySpec(
+        _stream_session_windows, _SESSION_WINDOWS_SQL, "readStream session windows (state store)"
+    ),
     "first_event_dedup": QuerySpec(_first_event_dedup, _FIRST_EVENT_DEDUP_SQL, "keep-first dedup"),
     "asof_purchases": QuerySpec(_asof_purchases, _ASOF_PURCHASES_SQL, "as-of join"),
     "hypertable_rollup": QuerySpec(
