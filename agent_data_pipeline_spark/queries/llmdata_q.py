@@ -845,27 +845,27 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF, top-3 terms per doc. The ranking key is
     integer-only (tf desc, doc-freq asc, token asc) so libm ln() ulp
     noise in the score can never flip which rows are selected; the score
-    itself is rounded for the value hash. Plan shape: one explode feeds
-    both the per-(doc,token) tf aggregate and the vocabulary-sized
-    doc-frequency aggregate; tf ⋈ dfreq co-shuffles on token (AQE may
-    downgrade dfreq to broadcast — vocabulary ≪ corpus); the one-row
+    itself is rounded for the value hash. Plan shape: ONE explode pass —
+    doc-frequency is an unordered count window over the tf rows
+    partitioned by token (vocabulary-bounded state), not a second
+    aggregate + self-join that would re-explode the corpus; the one-row
     corpus count joins as a broadcast cross join."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
+    from pyspark.sql.window import Window as W
+
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             rnd(F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 6),
         )
     )
-    from pyspark.sql.window import Window as W
 
     w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("tok"))
     return (

@@ -46,6 +46,8 @@ HEADLINE = [
     "pii_scrub",
     "global_shuffle_shards",
     "text_stats",
+    "vocab_top20",
+    "tfidf_top_terms",
     "jaccard_pairs",
     "neardup_dedup_summary",
     "minhash_lsh_pairs",
