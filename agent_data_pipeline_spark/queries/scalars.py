@@ -192,11 +192,15 @@ FROM lineitem
 
 
 def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object over the events.props JSON column, then aggregate."""
+    """Both JSON access paths over events.props: path-string
+    get_json_object AND schema-typed from_json (struct parse). Grouping
+    on both extracted keys proves they agree row-for-row — the oracle
+    extracts once and emits it under both names."""
     e = t(spark, sf_dir, "events")
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
-        .groupBy("k")
+        .withColumn("k_typed", F.from_json(F.col("props"), "k long").getField("k"))
+        .groupBy("k", "k_typed")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             rnd(F.sum("value"), 2).alias("sum_value"),
@@ -206,9 +210,10 @@ def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_EXTRACT_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
        count(*)             AS n_events,
        floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
-FROM events GROUP BY 1
+FROM events GROUP BY 1, 2
 """
 
 
