@@ -1059,6 +1059,50 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (ops/merge.py): a synthetic delta — 10%-repriced
+    updates (every 7th key) plus key-shifted inserts (every 13th key,
+    +1e8) — merged into orders; delta wins on collision. Verified via a
+    post-merge aggregate. The anti join shuffles on the merge key (or
+    broadcasts the delta when small — the common incremental case); the
+    oracle states the same semantics as NOT IN + UNION ALL."""
+    from ..ops.merge import upsert
+
+    orders = t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    merged = upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count_if(F.col("o_orderkey") >= 100000000).alias("n_inserted"),
+    )
+
+
+_MERGE_UPSERT_ORDERS_SQL = """
+WITH delta AS (
+  SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+  FROM orders WHERE o_orderkey % 13 = 0
+), merged AS (
+  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+  UNION ALL
+  SELECT * FROM delta
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price,
+       CAST(count_if(o_orderkey >= 100000000) AS BIGINT) AS n_inserted
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 def _covar_regr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance + linear-regression aggregates (covar_samp/covar_pop,
     regr_slope/intercept/r2). One-pass JVM aggregates; the shuffle carries
@@ -1180,6 +1224,9 @@ GROUP BY c_nationkey
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "merge_upsert_orders": QuerySpec(
+        _merge_upsert_orders, _MERGE_UPSERT_ORDERS_SQL, "MERGE/upsert delta into base"
+    ),
     "covar_regr_by_flag": QuerySpec(
         _covar_regr_by_flag, _COVAR_REGR_BY_FLAG_SQL, "covariance + regr_* aggregates"
     ),
