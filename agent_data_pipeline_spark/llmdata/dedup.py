@@ -426,3 +426,64 @@ def keep_representatives(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
     dedup at scale and needs no iterative join)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node starts labeled with itself; each
+    round it adopts the minimum label in its neighborhood; fixpoint =
+    components labeled by their minimum member. This makes
+    `keep_representatives`' greedy pass exact (transitive duplicate
+    groups collapse to one representative even through chains a->b->c).
+
+    Scale design: one shuffle per round (neighbor-min aggregate on the
+    node key), converging in O(component diameter) rounds — near-dup
+    components are shallow (dup clusters, not long paths), so 3-5 rounds
+    is typical. Lineage is truncated with localCheckpoint each round so
+    the plan does not grow unboundedly (the classic iterative-algorithm
+    trap); the convergence probe is one count() per round. This is the
+    DataFrame rendering of the map-reduce CC algorithm (cf. small-star/
+    large-star, Kiveris et al.); GraphFrames is not assumed present.
+
+    Returns (node, component) — component is the min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -897,7 +897,66 @@ SELECT doc_id, tok, tf, df, tfidf, rn FROM scored WHERE rn <= 3
 """
 
 
+def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster discovery: exact Jaccard near-dup pairs ->
+    connected components via iterative min-label propagation
+    (dedup.connected_components — a genuinely iterative Spark algorithm,
+    one shuffle per round, lineage checkpointed). The oracle computes
+    the same components with a recursive-CTE transitive closure, so the
+    driver hash-checks an iterative algorithm end-to-end. At the 0.95
+    threshold on the 500-doc slice the fixture yields ~20 components
+    including chained (transitive) clusters — the structure greedy
+    pairwise dedup gets wrong and CC exists to fix. The id cap bounds
+    the all-pairs candidate join at any SF (unbounded near-dup runs go
+    through the LSH path, not exact token Jaccard)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = dedup.token_jaccard_pairs(docs, threshold=0.95, max_df_ratio=1.0)
+    labels = dedup.connected_components(pairs)
+    return labels.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
+_DUP_COMPONENTS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
+  FROM documents WHERE doc_id < 500
+), sizes AS (
+  SELECT id, count(*) AS sz FROM toks GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE floor((inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 >= 0.95
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u
+)
+SELECT comp AS component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(node) AS max_member
+FROM comp GROUP BY comp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dup_components": QuerySpec(
+        _dup_components, _DUP_COMPONENTS_SQL, "connected components of near-dup pairs"
+    ),
     "vocab_top20": QuerySpec(_vocab_top20, _VOCAB_TOP20_SQL, "global token frequency top-k"),
     "tfidf_top_terms": QuerySpec(
         _tfidf_top_terms, _TFIDF_TOP_TERMS_SQL, "per-doc TF-IDF top terms"

@@ -137,6 +137,36 @@ def _string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _string_kit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string kit: edit distance (levenshtein — the per-row
+    primitive under fuzzy matching), translate, repeat, instr/strpos,
+    left/right, ascii. All JVM codegen'd — no Python in the row path."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowel_caps"),
+        F.repeat(F.lit("ab"), 3).alias("abab"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.expr("left(p_name, 5)").alias("name_left5"),
+        F.expr("right(p_type, 4)").alias("type_right4"),
+        F.ascii("p_brand").cast("long").alias("brand_ascii0"),
+    )
+
+
+_STRING_KIT2_SQL = """
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT)  AS brand_type_dist,
+       translate(p_name, 'aeiou', 'AEIOU')           AS name_vowel_caps,
+       repeat('ab', 3)                               AS abab,
+       CAST(strpos(p_name, 'a') AS BIGINT)           AS first_a,
+       left(p_name, 5)                               AS name_left5,
+       right(p_type, 4)                              AS type_right4,
+       CAST(ascii(p_brand) AS BIGINT)                AS brand_ascii0
+FROM part
+"""
+
+
 _STRING_SCALARS_SQL = """
 SELECT p_partkey,
        upper(p_name)                    AS name_upper,
@@ -488,6 +518,7 @@ QUERIES: dict[str, QuerySpec] = {
         _conditional_scalars, _CONDITIONAL_SCALARS_SQL, "E3-E7 CASE/COALESCE shapes"
     ),
     "string_scalars": QuerySpec(_string_scalars, _STRING_SCALARS_SQL, "string kit"),
+    "string_kit2": QuerySpec(_string_kit2, _STRING_KIT2_SQL, "levenshtein + string kit 2"),
     "math_scalars": QuerySpec(_math_scalars, _MATH_SCALARS_SQL, "math kit"),
     "json_extract_agg": QuerySpec(_json_extract, _JSON_EXTRACT_SQL, "JSON path extract"),
     "array_ops": QuerySpec(_array_ops, _ARRAY_OPS_SQL, "array kit + higher-order agg"),

@@ -29,3 +29,18 @@ def test_upsert_empty_delta_is_identity(spark):
     base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
     delta = spark.createDataFrame([], "k int, v string")
     assert _rows(upsert(base, delta, ["k"])) == [(1, "a"), (2, "b")]
+
+
+def test_connected_components_chain_transitivity(spark):
+    """a-b and b-c near-dup pairs (no a-c edge) must land in ONE
+    component labeled by the min id — the transitive case greedy
+    pairwise dedup mislabels. Plus: two disjoint pairs stay separate."""
+    from agent_data_pipeline_spark.llmdata.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["node"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

@@ -168,3 +168,33 @@ def test_gapfill_grid_join_broadcasts(spark):
     plan = plan_of(spark, "gapfill_interpolate")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_is_heap_not_global_sort(spark):
+    """Global token top-k must compile to TakeOrderedAndProject
+    (per-partition heaps merged on the driver) with a partial count
+    before the token shuffle — a full global Sort of the vocabulary is
+    the at-scale regression."""
+    plan = plan_of(spark, "vocab_top20")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_tfidf_single_corpus_pass(spark):
+    """TF-IDF must explode the corpus exactly once: doc-frequency comes
+    from a count window over the tf rows, not a second aggregate whose
+    join re-derives (and re-explodes) the token stream."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    n_explodes = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_explodes == 1, f"corpus exploded {n_explodes} times"
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_no_extra_exchange(spark):
+    """The upsert union must not introduce shuffles beyond the anti
+    join's own exchanges and the verification aggregate — union is
+    partition-preserving."""
+    plan = plan_of(spark, "merge_upsert_orders")
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
