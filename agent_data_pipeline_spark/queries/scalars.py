@@ -442,6 +442,69 @@ def _udf_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the UDF surface with a GROUPED_AGG pandas UDF (Arrow
+    batches in, one scalar out per group): deterministic weighted mean
+    with integer weights derived from the key. Grouped-agg UDFs have no
+    partial aggregation — all group rows shuffle to the aggregator — so
+    at scale they're for bounded groups; algebraic aggregates stay in
+    builtins (rnd absorbs summation-order ulps)."""
+
+    @F.pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "w", (F.col("o_orderkey") % 10 + 1).cast("double")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        rnd(wmean(F.col("o_totalprice"), F.col("w")), 4).alias("weighted_price")
+    )
+
+
+_GROUPED_AGG_UDF_SQL = """
+SELECT o_orderstatus,
+       floor((sum(o_totalprice * (o_orderkey % 10 + 1)) / sum(o_orderkey % 10 + 1))
+             * 10000 + 0.5) / 10000 AS weighted_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _udtf_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table function): one input row ->
+    N output rows through a lateral join, the generic escape hatch for
+    1-to-N row logic builtins can't express. Row-at-a-time Python — the
+    slow path by design; production 1-to-N goes through explode or
+    mapInPandas (frame_sample_manifest). Self-contained class so workers
+    unpickle it without the package."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, word: string")
+    class FirstWords:
+        def eval(self, text: str, k: int):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")[:k]):
+                yield i, w
+
+    spark.udtf.register("adps_first_words", FirstWords)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "adps_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, f.pos, f.word "
+        "FROM adps_udtf_docs, LATERAL adps_first_words(text, 3) AS f"
+    )
+
+
+_UDTF_FIRST_WORDS_SQL = """
+SELECT doc_id,
+       unnest(range(least(3, len(string_split(text, ' '))))) AS pos,
+       unnest(string_split(text, ' ')[1:3]) AS word
+FROM documents WHERE doc_id < 50
+"""
+
+
 _UDF_KIT_SQL = """
 SELECT p_partkey,
        reverse(p_name) AS name_rev,
@@ -514,6 +577,12 @@ QUERIES: dict[str, QuerySpec] = {
     "datetime_scalars": QuerySpec(_datetime_scalars, _DATETIME_SCALARS_SQL, "datetime kit"),
     "parse_timestamps": QuerySpec(_parse_timestamps, _PARSE_TIMESTAMPS_SQL, "to_timestamp round trip"),
     "udf_kit": QuerySpec(_udf_kit, _UDF_KIT_SQL, "Python UDF + pandas_udf surface"),
+    "grouped_agg_udf": QuerySpec(
+        _grouped_agg_udf, _GROUPED_AGG_UDF_SQL, "GROUPED_AGG pandas UDF (weighted mean)"
+    ),
+    "udtf_first_words": QuerySpec(
+        _udtf_first_words, _UDTF_FIRST_WORDS_SQL, "Python UDTF lateral join"
+    ),
     "conditional_scalars": QuerySpec(
         _conditional_scalars, _CONDITIONAL_SCALARS_SQL, "E3-E7 CASE/COALESCE shapes"
     ),
