@@ -217,6 +217,43 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _moment_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment and bitwise aggregates: skewness / kurtosis (Spark
+    computes population central moments in one distributed pass —
+    map-side partial moment merging, no per-group materialization) and
+    bit_and/or/xor (algebraic, so partial aggregation applies). The
+    oracle spells the moments out (avg((x-mu)^k) via a joined group
+    mean) because DuckDB's skewness/kurtosis are the bias-corrected
+    SAMPLE statistics, a different estimator."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "keybits", (F.col("o_orderkey") % 4096).cast("long")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        rnd(F.skewness("o_totalprice"), 6).alias("skew_price"),
+        rnd(F.kurtosis("o_totalprice"), 6).alias("kurt_price"),
+        F.bit_and("keybits").alias("bits_and"),
+        F.bit_or("keybits").alias("bits_or"),
+        F.bit_xor("keybits").alias("bits_xor"),
+    )
+
+
+_MOMENT_BIT_AGGS_SQL = """
+WITH mu AS (
+  SELECT o_orderstatus, avg(o_totalprice) AS m FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       floor((avg(pow(o_totalprice - m, 3)) / pow(avg(pow(o_totalprice - m, 2)), 1.5))
+             * 1000000 + 0.5) / 1000000 AS skew_price,
+       floor((avg(pow(o_totalprice - m, 4)) / pow(avg(pow(o_totalprice - m, 2)), 2) - 3)
+             * 1000000 + 0.5) / 1000000 AS kurt_price,
+       CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS bits_and,
+       CAST(bit_or(o_orderkey % 4096) AS BIGINT)  AS bits_or,
+       CAST(bit_xor(o_orderkey % 4096) AS BIGINT) AS bits_xor
+FROM orders o JOIN mu USING (o_orderstatus)
+GROUP BY o.o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # Joins
 # --------------------------------------------------------------------------
@@ -886,6 +923,30 @@ WINDOW w AS (PARTITION BY o_custkey)
 """
 
 
+def _hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable DataSketches HLL (approx-only, rows-only check;
+    tests/test_approx.py bounds the error): per-event_type user sketches
+    PLUS a global row built by hll_union_agg over those same sketches —
+    the rollup pattern that matters at 100 TB: persist binary sketches
+    per partition/day once, answer any coarser distinct-count rollup by
+    merging sketches, never rescanning raw data. approx_count_distinct
+    can't do this (its sketch is consumed inside one aggregation);
+    hll_sketch_agg's output is a storable, mergeable column."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
+    return per_est.unionByName(total)
+
+
 def _approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (SURVEY §2.B: declared approx-only — no oracle;
     tests/test_approx.py bounds them against exact values): HyperLogLog++
@@ -1260,6 +1321,9 @@ QUERIES: dict[str, QuerySpec] = {
         _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL, "spark.sql front end (TPC-H Q3 shape)"
     ),
     "approx_stats": QuerySpec(_approx_stats, None, "HLL++ distinct + approx quantiles"),
+    "hll_sketch_users": QuerySpec(
+        _hll_sketch_users, None, "mergeable DataSketches HLL rollup (union of sketches)"
+    ),
     "pricing_summary": QuerySpec(_pricing_summary, _PRICING_SUMMARY_SQL, "TPC-H Q1 shape"),
     "global_summary": QuerySpec(_global_summary, _GLOBAL_SUMMARY_SQL, "reference A2 global agg"),
     "count_distinct_by_flag": QuerySpec(_count_distinct, _COUNT_DISTINCT_SQL, "count distinct"),
@@ -1268,6 +1332,9 @@ QUERIES: dict[str, QuerySpec] = {
     "grouping_sets": QuerySpec(_grouping_sets, _GROUPING_SETS_SQL, "GROUPING SETS via SQL API"),
     "pivot_status": QuerySpec(_pivot_status, _PIVOT_STATUS_SQL, "pivot to columns"),
     "stats_by_flag": QuerySpec(_stats_by_flag, _STATS_BY_FLAG_SQL, "stddev/var/corr"),
+    "moment_bit_aggs": QuerySpec(
+        _moment_bit_aggs, _MOMENT_BIT_AGGS_SQL, "skewness/kurtosis + bit_and/or/xor"
+    ),
     "revenue_by_nation": QuerySpec(_revenue_by_nation, _REVENUE_BY_NATION_SQL, "TPC-H Q5 shape"),
     "brand_revenue": QuerySpec(_brand_revenue, _BRAND_REVENUE_SQL, "broadcast dim join"),
     "semi_join_urgent": QuerySpec(_semi_join, _SEMI_JOIN_SQL, "left_semi / EXISTS"),

@@ -311,6 +311,71 @@ FROM events GROUP BY event_type
 """
 
 
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join — the missing piece of the streaming
+    surface: TWO independent readStream sources (clicks, purchases from
+    the events fixture), both watermarked, joined on user_id with an
+    event-time range bound (click within the 24 h before the purchase).
+    Spark buffers both sides in the state store; the time bound plus the
+    watermarks lets it evict state for rows that can no longer match —
+    without them the state grows unboundedly at 100 TB. Inner joins emit
+    matched pairs as they are found, so append mode drains the full
+    result on a finite replay; the oracle is the identical batch join.
+    """
+    import uuid
+
+    from ..streaming import drain, stream_to_memory
+
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user_id = c_user_id AND "
+            "click_ts >= purchase_ts - INTERVAL 24 HOURS AND "
+            "click_ts <= purchase_ts"
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(joined, name, output_mode="append")
+    drain(q)
+    return spark.table(name)
+
+
+_STREAM_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def _stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running count/sum/min/max kept in the state store, emitted
@@ -489,6 +554,10 @@ QUERIES: dict[str, QuerySpec] = {
     "sliding_windows": QuerySpec(_sliding_windows, _SLIDING_WINDOWS_SQL, "sliding windows"),
     "stream_sliding_windows": QuerySpec(
         _stream_sliding_windows, _SLIDING_WINDOWS_SQL, "readStream sliding windows"
+    ),
+    "stream_stream_join": QuerySpec(
+        _stream_stream_join, _STREAM_STREAM_JOIN_SQL,
+        "watermarked stream-stream inner join (clicks x purchases)",
     ),
     "stream_foreachbatch_totals": QuerySpec(
         _stream_foreachbatch_totals, _STREAM_FOREACHBATCH_SQL,

@@ -33,3 +33,29 @@ def test_approx_stats_within_tolerance(spark, sf_oracle):
         assert abs(g["approx_orders"] - e[1]) / e[1] < 0.05, (flag, "distinct")
         assert abs(g["p50_price"] - e[2]) / e[2] < 0.02, (flag, "p50")
         assert abs(g["p95_price"] - e[3]) / e[3] < 0.02, (flag, "p95")
+
+
+def test_hll_sketch_rollup_within_tolerance(spark, sf_oracle):
+    """Per-group HLL estimates AND the sketch-union 'ALL' row must land
+    within 5% of the exact distinct counts — the union row is the one
+    that proves mergeability (it is computed from the per-group binary
+    sketches, not from the raw rows)."""
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["hll_sketch_users"].spark(spark, sf_oracle).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""
+            SELECT event_type, count(DISTINCT user_id)
+            FROM read_parquet('{sf_oracle}/events.parquet') GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', count(DISTINCT user_id)
+            FROM read_parquet('{sf_oracle}/events.parquet')
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
