@@ -442,6 +442,68 @@ def _udf_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _try_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant scalar surface (ANSI-mode-safe ingestion): try_cast,
+    try_divide, try_to_timestamp return NULL instead of raising on
+    malformed input — the behavior a 100 TB ingest needs, where one bad
+    row in a trillion must not kill the job. Exercises both the success
+    path (numeric prefix of o_orderpriority) and the failure path (the
+    full string)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").alias(
+            "prio_code"
+        ),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        rnd(F.expr("try_divide(o_totalprice, o_orderkey % 3)"), 4).alias(
+            "safe_ratio"
+        ),
+        F.expr("try_to_timestamp(date_format(o_orderdate, 'yyyy-MM-dd'))").alias(
+            "ts_ok"
+        ),
+        F.expr("try_to_timestamp(o_orderpriority)").alias("ts_bad"),
+    )
+
+
+_TRY_SCALARS_SQL = """
+SELECT o_orderkey,
+       TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_code,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       floor((o_totalprice / nullif(o_orderkey % 3, 0)) * 10000 + 0.5) / 10000
+         AS safe_ratio,
+       TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS TIMESTAMP) AS ts_ok,
+       TRY_CAST(o_orderpriority AS TIMESTAMP) AS ts_bad
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+def _content_hash_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressing scalars: md5 / sha2-256 digests (the canonical
+    dedup + shard keys — exact_dedup builds on sha2), base64 and hex
+    encodings for binary-safe transport columns. All JVM codegen'd
+    builtins; digests hash the full document text in one pass."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    head = F.substring("text", 1, 16)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.base64(head.cast("binary")).alias("head_b64"),
+        F.lower(F.hex(head)).alias("head_hex"),
+    )
+
+
+_CONTENT_HASH_KIT_SQL = """
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       to_base64(encode(substr(text, 1, 16))) AS head_b64,
+       lower(hex(substr(text, 1, 16))) AS head_hex
+FROM documents WHERE doc_id < 500
+"""
+
+
 def _grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completes the UDF surface with a GROUPED_AGG pandas UDF (Arrow
     batches in, one scalar out per group): deterministic weighted mean
@@ -577,6 +639,12 @@ QUERIES: dict[str, QuerySpec] = {
     "datetime_scalars": QuerySpec(_datetime_scalars, _DATETIME_SCALARS_SQL, "datetime kit"),
     "parse_timestamps": QuerySpec(_parse_timestamps, _PARSE_TIMESTAMPS_SQL, "to_timestamp round trip"),
     "udf_kit": QuerySpec(_udf_kit, _UDF_KIT_SQL, "Python UDF + pandas_udf surface"),
+    "try_scalars": QuerySpec(
+        _try_scalars, _TRY_SCALARS_SQL, "try_cast/try_divide/try_to_timestamp"
+    ),
+    "content_hash_kit": QuerySpec(
+        _content_hash_kit, _CONTENT_HASH_KIT_SQL, "md5/sha256/base64/hex content addressing"
+    ),
     "grouped_agg_udf": QuerySpec(
         _grouped_agg_udf, _GROUPED_AGG_UDF_SQL, "GROUPED_AGG pandas UDF (weighted mean)"
     ),

@@ -198,3 +198,33 @@ def test_merge_upsert_no_extra_exchange(spark):
     assert "Union" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a date-partitioned fact to a dim filtered on a NON-partition
+    attribute must inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters: at 100 TB this is the difference between scanning
+    every partition and scanning only the months the dim selects. The dim
+    filter (o_orderpriority) says nothing statically about order_month, so
+    only DPP can prune here."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    p = str(tmp_path / "orders_by_month")
+    o.withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.partitionBy("order_month").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_orderpriority",
+        )
+        .distinct()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    j = fact.join(dim.hint("broadcast"), "order_month").groupBy("order_month").count()
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruningexpression" in plan, plan[:2000]
