@@ -923,6 +923,26 @@ WINDOW w AS (PARTITION BY o_custkey)
 """
 
 
+def _freq_items_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via df.stat.freqItems — the Karp/Misra-Gries
+    one-pass frequent-items sketch (approx-only, rows-only check;
+    tests/test_approx.py asserts the guarantee): every value whose
+    relative frequency exceeds the support MUST appear; false positives
+    are allowed. One pass, constant memory per column — at 100 TB this
+    finds skewed join keys / dominant languages without a full groupBy.
+    Output is (column, item) pairs: langs (all ~12-44% here) surface,
+    the 20 uniform 5% sources sit below the 10% support."""
+    d = t(spark, sf_dir, "documents")
+    fi = d.stat.freqItems(["lang", "source"], support=0.1)
+    langs = fi.select(F.explode("lang_freqItems").alias("item")).withColumn(
+        "col", F.lit("lang")
+    )
+    srcs = fi.select(F.explode("source_freqItems").alias("item")).withColumn(
+        "col", F.lit("source")
+    )
+    return langs.unionByName(srcs).select("col", "item")
+
+
 def _hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable DataSketches HLL (approx-only, rows-only check;
     tests/test_approx.py bounds the error): per-event_type user sketches
@@ -1321,6 +1341,9 @@ QUERIES: dict[str, QuerySpec] = {
         _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL, "spark.sql front end (TPC-H Q3 shape)"
     ),
     "approx_stats": QuerySpec(_approx_stats, None, "HLL++ distinct + approx quantiles"),
+    "freq_items_hh": QuerySpec(
+        _freq_items_hh, None, "one-pass frequent-items sketch (heavy hitters)"
+    ),
     "hll_sketch_users": QuerySpec(
         _hll_sketch_users, None, "mergeable DataSketches HLL rollup (union of sketches)"
     ),

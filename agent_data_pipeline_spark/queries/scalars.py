@@ -442,6 +442,65 @@ def _udf_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _array_kit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra kit: intersect/except/union (Spark's versions
+    dedupe, so both sides canonicalize through sort+distinct), flatten,
+    array_position (0 when absent; DuckDB list_position yields NULL —
+    coalesced in the oracle), array_max over a transform, array_repeat.
+    The token array is materialized behind an exchange (fns.spread
+    force=True) so CollapseProject can't inline the split() per lambda
+    element — the O(len^2) trap documented in dedup.shingles. Array
+    outputs leave as concat_ws strings: the driver canon compares
+    scalars, and a joined string pins element order exactly."""
+    from ..fns import spread
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = F.slice(F.split(F.lower(F.col("text")), " "), 1, 8)
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    mat = spread(d.select("doc_id", toks.alias("toks"), stop.alias("stop")), force=True)
+    return mat.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_intersect("toks", "stop"))).alias(
+            "stop_hits"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except("toks", "stop"))).alias(
+            "content_toks"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_union("toks", "stop"))).alias(
+            "all_toks"
+        ),
+        F.concat_ws(",", F.flatten(F.array(F.col("toks"), F.col("stop")))).alias(
+            "flat_toks"
+        ),
+        F.array_position("toks", "the").cast("long").alias("pos_the"),
+        F.array_max(F.transform("toks", lambda x: F.length(x))).alias("max_tok_len"),
+        F.concat_ws(",", F.array_repeat(F.lit("x"), (F.col("doc_id") % 3).cast("int")))
+        .alias("repeated"),
+    )
+
+
+_ARRAY_KIT2_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ')[1:8] AS toks,
+         ['the','a','of','and','to'] AS stop
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list_filter(toks, x -> list_contains(stop, x)))), ','), '') AS stop_hits,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list_filter(toks, x -> NOT list_contains(stop, x)))), ','), '') AS content_toks,
+       coalesce(array_to_string(list_sort(list_distinct(flatten([toks, stop]))), ','), '')
+         AS all_toks,
+       coalesce(array_to_string(flatten([toks, stop]), ','), '') AS flat_toks,
+       CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+       list_max(list_transform(toks, x -> length(x))) AS max_tok_len,
+       coalesce(array_to_string(list_transform(range(doc_id % 3), x -> 'x'), ','), '') AS repeated
+FROM base
+"""
+
+
 def _try_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-tolerant scalar surface (ANSI-mode-safe ingestion): try_cast,
     try_divide, try_to_timestamp return NULL instead of raising on
@@ -639,6 +698,9 @@ QUERIES: dict[str, QuerySpec] = {
     "datetime_scalars": QuerySpec(_datetime_scalars, _DATETIME_SCALARS_SQL, "datetime kit"),
     "parse_timestamps": QuerySpec(_parse_timestamps, _PARSE_TIMESTAMPS_SQL, "to_timestamp round trip"),
     "udf_kit": QuerySpec(_udf_kit, _UDF_KIT_SQL, "Python UDF + pandas_udf surface"),
+    "array_kit2": QuerySpec(
+        _array_kit2, _ARRAY_KIT2_SQL, "array set algebra + position/max/repeat"
+    ),
     "try_scalars": QuerySpec(
         _try_scalars, _TRY_SCALARS_SQL, "try_cast/try_divide/try_to_timestamp"
     ),

@@ -59,3 +59,19 @@ def test_hll_sketch_rollup_within_tolerance(spark, sf_oracle):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_freq_items_superset_guarantee(spark, sf_oracle):
+    """freqItems' contract: every value above the support threshold is
+    returned (false positives allowed). langs run 12-44% against the 10%
+    support, so ALL of them must surface."""
+    got = REGISTRY["freq_items_hh"].spark(spark, sf_oracle).collect()
+    got_langs = {r["item"] for r in got if r["col"] == "lang"}
+    exact = duckdb.sql(
+        f"""
+        SELECT lang FROM read_parquet('{sf_oracle}/documents.parquet')
+        GROUP BY lang HAVING count(*) > 0.1 * (
+            SELECT count(*) FROM read_parquet('{sf_oracle}/documents.parquet'))
+        """
+    ).fetchall()
+    assert {r[0] for r in exact} <= got_langs
