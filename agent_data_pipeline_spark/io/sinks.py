@@ -29,6 +29,35 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Range-clustered parquet layout: repartitionByRange on the cluster
+    keys, then sortWithinPartitions, so each output file covers a narrow,
+    nearly-disjoint key range. Parquet footers then carry tight min/max
+    stats per file/row-group, and any later scan with a predicate on the
+    cluster keys skips whole files (data skipping) — the poor man's
+    Z-order, and at 100 TB frequently the difference between touching 1%
+    and 100% of files for selective queries. One range-exchange shuffle
+    at write time buys every future read that locality.
+
+    tests/test_io.py asserts the per-file min/max spans are disjoint and
+    that a selective read prunes row groups.
+    """
+    parts = [df.sparkSession.sparkContext.defaultParallelism, num_files]
+    n = next(p for p in parts if p)
+    (
+        df.repartitionByRange(n, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 

@@ -912,6 +912,62 @@ def _grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cogrouped_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF surface: groupBy(...).cogroup(...).applyInPandas
+    — the generic escape hatch for custom TWO-table per-key merges that
+    no built-in join expresses (here a left-enrichment the oracle states
+    as join+agg, chosen so the path is hash-checkable). Each side
+    shuffles once on the key; matching groups arrive as a pair of Arrow
+    batches. Same coarsening as grouped_zscore: cogroup on a 64-bucket
+    key hash and do the per-customer merge vectorized inside pandas —
+    64 Python calls, not one per customer."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cb = c.withColumn("bucket", F.pmod(F.xxhash64("c_custkey"), F.lit(64)))
+    ob = o.withColumn("bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(64)))
+
+    def merge(cust, orders):
+        import numpy as np  # self-contained closure
+        import pandas as pd
+
+        if cust.empty:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "total_spend": pd.Series(dtype="float64"),
+                    "max_over_bal": pd.Series(dtype="int64"),
+                }
+            )
+        agg = orders.groupby("o_custkey")["o_totalprice"].agg(["count", "sum", "max"])
+        out = cust.merge(agg, left_on="c_custkey", right_index=True, how="left")
+        out["n_orders"] = out["count"].fillna(0).astype("int64")
+        out["total_spend"] = np.floor(out["sum"].fillna(0.0) * 100 + 0.5) / 100
+        out["max_over_bal"] = (
+            (out["max"].fillna(0.0) > out["c_acctbal"]).astype("int64")
+        )
+        return out[["c_custkey", "n_orders", "total_spend", "max_over_bal"]]
+
+    return (
+        cb.groupBy("bucket")
+        .cogroup(ob.groupBy("bucket"))
+        .applyInPandas(
+            merge,
+            "c_custkey long, n_orders long, total_spend double, max_over_bal long",
+        )
+    )
+
+
+_COGROUPED_CUSTOMER_ORDERS_SQL = """
+SELECT c_custkey,
+       CAST(count(o_totalprice) AS BIGINT) AS n_orders,
+       floor(coalesce(sum(o_totalprice), 0) * 100 + 0.5) / 100 AS total_spend,
+       CAST(coalesce(max(o_totalprice), 0) > c_acctbal AS BIGINT) AS max_over_bal
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_acctbal
+"""
+
+
 _GROUPED_ZSCORE_SQL = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN count(*) OVER w > 1 AND stddev_samp(o_totalprice) OVER w > 0
@@ -1337,6 +1393,11 @@ QUERIES: dict[str, QuerySpec] = {
         _unpivot_metrics, _UNPIVOT_METRICS_SQL, "wide-to-long unpivot/melt"
     ),
     "grouped_zscore": QuerySpec(_grouped_zscore, _GROUPED_ZSCORE_SQL, "applyInPandas grouped map"),
+    "cogrouped_customer_orders": QuerySpec(
+        _cogrouped_customer_orders,
+        _COGROUPED_CUSTOMER_ORDERS_SQL,
+        "cogroup.applyInPandas two-table per-key merge",
+    ),
     "sql_shipping_priority": QuerySpec(
         _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL, "spark.sql front end (TPC-H Q3 shape)"
     ),
