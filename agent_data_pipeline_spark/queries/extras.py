@@ -1,0 +1,369 @@
+"""Round-2 surface extensions: subquery forms (EXISTS / IN / LATERAL /
+recursive CTE), inline VALUES dimensions, Spark-4 VARIANT, and the
+remaining scalar/aggregate kits (interval, higher-order array, mode /
+median, string padding).
+
+Everything here is declarative Catalyst territory: subqueries are
+decorrelated into joins (no per-row re-execution), the recursive CTE is
+a driver-bounded 24-step expansion over a one-row seed (constant work
+regardless of fact-table size), and the VALUES dimension is a broadcast
+join — the idioms all scale to 100 TB because the fact side stays a
+single pruned scan.
+
+The reference repo has no subquery/variant surface at all (SURVEY.md
+§2.A: its whole SQL footprint is dags/taxi_transform_dag.py:29-95); these
+rows come from the declared north-star engine surface (SURVEY.md §2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import QuerySpec, rnd, t
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- EXISTS / NOT EXISTS ----------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+GROUP BY c_nationkey
+"""
+
+
+def _exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS through the SQL front end. Catalyst rewrites
+    them to left-semi / left-anti hash joins (RewritePredicateSubquery),
+    so at scale this is two shuffled joins on o_custkey — not N
+    re-executions of the inner query."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+# --- IN / NOT IN subqueries -------------------------------------------------
+
+_IN_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                        WHERE l_discount >= 0.10 AND l_partkey IS NOT NULL)
+GROUP BY p_brand
+"""
+
+
+def _in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN -> left-semi join; NOT IN -> null-aware left-anti join. The
+    explicit IS NOT NULL keeps the NOT IN branch in the fast single-key
+    anti-join plan (a nullable NOT IN subquery forces the expensive
+    null-aware variant) and pins identical three-valued-logic semantics
+    on both engines."""
+    _register(spark, sf_dir, "part", "lineitem")
+    return spark.sql(_IN_SQL)
+
+
+# --- LATERAL correlated subquery -------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n_name, l.c_name, l.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2) l
+"""
+
+
+def _lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-outer-row ORDER BY + LIMIT
+    (top-2 customers per nation). Catalyst decorrelates to a
+    rank-window over the join, same shape as the window+filter top-k —
+    the LATERAL spelling is front-end surface, not a nested-loop
+    execution commitment. Tie-broken by c_custkey so the 2 rows are
+    deterministic."""
+    _register(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
+
+
+# --- Recursive CTE ----------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE m(n) AS (
+  SELECT 0
+  UNION ALL
+  SELECT n + 1 FROM m WHERE n < 23
+),
+months AS (
+  SELECT make_date(1995 + CAST(floor(n / 12.0) AS INT), 1 + n % 12, 1) AS mon FROM m
+)
+SELECT mon,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       floor(coalesce(sum(o_totalprice), 0) * 100 + 0.5) / 100 AS sum_price
+FROM months LEFT JOIN orders
+  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+GROUP BY mon
+"""
+
+
+def _recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 UnionLoop): generate a 24-month calendar
+    spine from a one-row seed, then LEFT JOIN order totals onto it so
+    empty months surface as zero rows — the gap-preserving reporting
+    shape. The recursion is driver-bounded (24 iterations over one row);
+    the fact scan happens once, so the plan is calendar-broadcast +
+    single aggregated scan at any scale."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# --- Inline VALUES dimension (decode-as-join) -------------------------------
+
+_VALUES_DECODE_SQL = """
+SELECT cls,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+FROM orders
+JOIN (VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+             ('3-MEDIUM', 'normal'), ('4-NOT SPECIFIED', 'normal'),
+             ('5-LOW', 'relaxed')) v(prio, cls)
+  ON o_orderpriority = prio
+GROUP BY cls
+"""
+
+_PRIO_CLASSES = [
+    ("1-URGENT", "expedite"),
+    ("2-HIGH", "expedite"),
+    ("3-MEDIUM", "normal"),
+    ("4-NOT SPECIFIED", "normal"),
+    ("5-LOW", "relaxed"),
+]
+
+
+def _values_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's payment-type decode CASE (E4,
+    /root/reference/dags/taxi_transform_dag.py:61-64) re-expressed as a
+    broadcast join against an inline dimension — the maintainable shape
+    when the code list outgrows a CASE ladder. The dim is 5 local rows:
+    broadcast, zero shuffle on the fact side beyond the aggregation."""
+    dim = spark.createDataFrame(_PRIO_CLASSES, schema="prio string, cls string")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(dim), o.o_orderpriority == dim.prio)
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# --- Interval / calendar kit ------------------------------------------------
+
+_INTERVAL_KIT_SQL = """
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE))                AS month_end,
+       CAST(dayofyear(o_orderdate) AS BIGINT)             AS o_doy,
+       CAST(weekofyear(o_orderdate) AS BIGINT)            AS o_isoweek,
+       make_date(CAST(year(o_orderdate) AS INT),
+                 CAST(month(o_orderdate) AS INT), 1)      AS month_start,
+       CAST(o_orderdate AS DATE) + 45                     AS plus_45d,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE)   AS quarter_start
+FROM orders
+"""
+
+
+def _interval_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar kit: last_day / dayofyear / ISO week / make_date /
+    day offset / quarter truncation. Pure codegen'd projections — at
+    scale these cost nothing beyond the scan they ride on."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.dayofyear(d).cast("long").alias("o_doy"),
+        F.weekofyear(d).cast("long").alias("o_isoweek"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("quarter_start"),
+    )
+
+
+# --- Higher-order array functions ------------------------------------------
+
+_HIGHER_ORDER_SQL = """
+SELECT vec_id,
+       CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT)          AS n_pos,
+       len(list_filter(emb, x -> x > 2.5)) > 0                    AS any_big,
+       len(list_filter(emb, x -> NOT (abs(x) < 10))) = 0          AS all_small,
+       floor(list_dot_product(emb, list_reverse(emb)) * 10000 + 0.5) / 10000
+                                                                  AS rev_dot,
+       list_transform(list_sort(emb, 'DESC')[1:3],
+                      x -> floor(x * 10000 + 0.5) / 10000)        AS top3
+FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings)
+"""
+
+
+def _higher_order_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda surface: filter / exists / forall / zip_with /
+    aggregate / sort+slice over the embedding vectors. All JVM-side
+    Catalyst HigherOrderFunctions — the scale path for array math
+    without leaving codegen for Python."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e.select("vec_id", emb.alias("emb"))
+    rev_dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.reverse(F.col("emb")), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(F.col("emb"), lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(F.col("emb"), lambda x: x > 2.5).alias("any_big"),
+        F.forall(F.col("emb"), lambda x: F.abs(x) < 10).alias("all_small"),
+        rnd(rev_dot, 4).alias("rev_dot"),
+        F.transform(
+            F.slice(F.sort_array(F.col("emb"), asc=False), 1, 3),
+            lambda x: F.floor(x * 10000 + F.lit(0.5)) / F.lit(10000),
+        ).alias("top3"),
+    )
+
+
+# --- mode / median / any_value ---------------------------------------------
+
+_MODE_MEDIAN_SQL = """
+SELECT l_returnflag,
+       mode(l_quantity)                                        AS qty_mode,
+       median(l_quantity)                                      AS qty_median,
+       floor(median(l_extendedprice) * 100 + 0.5) / 100        AS price_median,
+       any_value(upper(l_returnflag))                          AS flag_upper
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _mode_median_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode / interpolated median / any_value aggregates. mode is
+    deterministic on this fixture (verified: the max frequency is unique
+    within every group at the correctness SF); any_value is applied to a
+    group-constant expression so its arbitrary-row semantics cannot leak
+    nondeterminism into the hash."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_quantity").alias("qty_mode"),
+        F.median("l_quantity").alias("qty_median"),
+        rnd(F.median("l_extendedprice"), 2).alias("price_median"),
+        F.any_value(F.upper("l_returnflag")).alias("flag_upper"),
+    )
+
+
+# --- string kit 3: padding / slicing / affix tests -------------------------
+
+_STRING_KIT3_SQL = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '.')                  AS brand_lpad,
+       rpad(p_brand, 12, '.')                  AS brand_rpad,
+       reverse(p_name)                         AS name_rev,
+       split_part(p_type, ' ', 1)              AS type_head,
+       CAST(position('a' IN p_name) AS BIGINT) AS first_a,
+       repeat(p_brand, 2)                      AS brand_twice,
+       left(p_name, 5)                         AS name_l5,
+       right(p_name, 5)                        AS name_r5,
+       starts_with(p_type, 'STANDARD')         AS is_standard,
+       ends_with(p_type, 'STEEL')              AS is_steel,
+       contains(p_name, 'gre')                 AS has_gre
+FROM part
+"""
+
+
+def _string_kit3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding / affix / slicing string surface (complements string_kit/2:
+    lpad, rpad, reverse, split_part, position, repeat, left, right,
+    startswith/endswith/contains)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.locate("a", F.col("p_name")).cast("long").alias("first_a"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.expr("left(p_name, 5)").alias("name_l5"),
+        F.expr("right(p_name, 5)").alias("name_r5"),
+        F.startswith(F.col("p_type"), F.lit("STANDARD")).alias("is_standard"),
+        F.endswith(F.col("p_type"), F.lit("STEEL")).alias("is_steel"),
+        F.contains(F.col("p_name"), F.lit("gre")).alias("has_gre"),
+    )
+
+
+# --- Spark-4 VARIANT over JSON props ---------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT)           AS n_events,
+       CAST(sum(k) AS BIGINT)             AS sum_k,
+       CAST(min(k) AS BIGINT)             AS min_k,
+       CAST(max(k) AS BIGINT)             AS max_k,
+       CAST(count(k_str) AS BIGINT)       AS n_k_str
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             json_extract_string(props, '$.k')          AS k_str
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def _variant_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse once
+    with parse_json, then typed variant_get extractions — the
+    shred-friendly scale path for JSON columns (vs per-access string
+    re-parsing with get_json_object, which json_extract_agg covers)."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    typed = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count("k_str").cast("long").alias("n_k_str"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "exists_subquery": QuerySpec(
+        _exists_subquery, _EXISTS_SQL, "EXISTS / NOT EXISTS -> semi/anti join"
+    ),
+    "in_subquery": QuerySpec(_in_subquery, _IN_SQL, "IN / NOT IN subqueries"),
+    "lateral_topk": QuerySpec(_lateral_topk, _LATERAL_SQL, "LATERAL correlated top-2"),
+    "recursive_cte_months": QuerySpec(
+        _recursive_cte_months, _RECURSIVE_SQL, "WITH RECURSIVE calendar spine + left join"
+    ),
+    "values_decode_join": QuerySpec(
+        _values_decode_join, _VALUES_DECODE_SQL, "inline VALUES dim broadcast decode"
+    ),
+    "interval_kit": QuerySpec(_interval_kit, _INTERVAL_KIT_SQL, "calendar scalar kit"),
+    "higher_order_kit": QuerySpec(
+        _higher_order_kit, _HIGHER_ORDER_SQL, "filter/exists/forall/zip_with/aggregate"
+    ),
+    "mode_median_kit": QuerySpec(_mode_median_kit, _MODE_MEDIAN_SQL, "mode/median/any_value"),
+    "string_kit3": QuerySpec(_string_kit3, _STRING_KIT3_SQL, "padding/affix/slicing strings"),
+    "variant_kit": QuerySpec(_variant_kit, _VARIANT_SQL, "Spark-4 VARIANT typed extraction"),
+}
