@@ -65,3 +65,16 @@ def test_lsh_topk_is_deterministic(emb):
     a = sorted(map(tuple, similarity.lsh_topk(emb, queries, dim=64, k=5).collect()))
     b = sorted(map(tuple, similarity.lsh_topk(emb, queries, dim=64, k=5).collect()))
     assert a == b
+
+
+def test_kmeans_clusters_shape(spark, sf_oracle):
+    """Seeded k-means size distribution: k clusters, sizes sum to the
+    corpus, ranked descending (rows-only query's quality contract)."""
+    from agent_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["kmeans_clusters"].spark(spark, sf_oracle).collect()
+    assert len(rows) == 8
+    sizes = [r.n_vecs for r in rows]
+    assert sum(sizes) == 500
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(s > 0 for s in sizes)
