@@ -228,3 +228,52 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "dynamicpruningexpression" in plan, plan[:2000]
+
+
+def test_partitioned_layout_prunes_to_one_day(spark):
+    """The date filter over the partitioned events layout must become a
+    partition-pruning predicate (PartitionFilters on event_date), not a
+    post-scan filter — at scale this is reading one directory instead of
+    the whole log."""
+    from agent_data_pipeline_spark.queries.extras3 import partitioned_events_path
+
+    path = partitioned_events_path(spark, SF)
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.parquet(path)
+        .where(F.col("event_date") == F.lit("2024-01-02").cast("date"))
+        .groupBy("event_type")
+        .count()
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters in plan"
+    assert "event_date" in m.group(1), m.group(1)
+
+
+def test_bucketed_join_has_no_exchange_below_join(spark):
+    """Both join sides are bucketed+sorted on custkey: the join must be
+    a SortMergeJoin over bucketed scans with ZERO Exchange operators
+    beneath it — the write-time shuffle bought an exchange-free join."""
+    from agent_data_pipeline_spark.queries.extras3 import bucketed_tables
+
+    import pyspark.sql.functions as F
+
+    o_name, c_name = bucketed_tables(spark, SF)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(o_name).join(
+            spark.table(c_name), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:500]
+    assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan[:1200]
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:800]
