@@ -60,6 +60,19 @@ HEADLINE = [
     "grouped_zscore",
     "udf_kit",
     "stream_tumbling_hourly",
+    # round 2 additions
+    "nation_trade_flows",
+    "bucketed_join_agg",
+    "partition_prune_agg",
+    "arrow_udf_kit",
+    "higher_order_kit",
+    "gopher_filters",
+    "embedding_quantize",
+    "variant_kit",
+    "recursive_cte_months",
+    "exists_subquery",
+    "dynamic_gap_sessions",
+    "salted_join_counts",
 ]
 
 
