@@ -23,12 +23,17 @@ def sessionize(
 ) -> DataFrame:
     """Assign ``session_id`` (per-key ordinal) to each row."""
     w = W.partitionBy(key).orderBy(ts_col)
-    prev = F.lag(ts_col).over(w)
     # cast("double") keeps sub-second precision (unix_timestamp truncates
     # to whole seconds, which would merge sessions at the gap boundary).
+    # TIMESTAMP_NTZ has no direct double cast: route it through TIMESTAMP
+    # (session-TZ interpretation — a constant offset, so differences are
+    # unchanged).
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    prev = F.lag(ts).over(w)
     new_sess = (
-        prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") >= gap_seconds)
+        prev.isNull() | (ts.cast("double") - prev.cast("double") >= gap_seconds)
     ).cast("long")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return df.withColumn("session_id", F.sum(new_sess).over(wrun))
