@@ -2,8 +2,11 @@
 
 Classic lag + cumulative-sum-of-boundaries construction: one shuffle on
 the entity key, two window passes, no Python. Semantics match Spark's
-streaming ``session_window`` (gap is exclusive: an event exactly ``gap``
-after the previous one starts a new session).
+streaming ``session_window`` exactly: per-event windows ``[ts, ts+gap)``
+merge when they overlap OR touch, so an event exactly ``gap`` after the
+previous one CONTINUES the session; only a strictly-greater gap starts a
+new one (verified against native ``session_window`` in
+tests/test_timeseries.py).
 """
 
 from __future__ import annotations
@@ -23,18 +26,23 @@ def sessionize(
 ) -> DataFrame:
     """Assign ``session_id`` (per-key ordinal) to each row."""
     w = W.partitionBy(key).orderBy(ts_col)
-    # cast("double") keeps sub-second precision (unix_timestamp truncates
-    # to whole seconds, which would merge sessions at the gap boundary).
-    # TIMESTAMP_NTZ has no direct double cast: route it through TIMESTAMP
-    # (session-TZ interpretation — a constant offset, so differences are
-    # unchanged).
+    # Gap test via interval arithmetic: ``ts - prev`` on TIMESTAMP /
+    # TIMESTAMP_NTZ is a DayTimeInterval with microsecond precision, so
+    # sub-second gaps resolve exactly (unix_timestamp truncates to whole
+    # seconds) and TIMESTAMP_NTZ never consults the session timezone —
+    # casting NTZ through TIMESTAMP is NOT a constant offset under DST
+    # session TZs (events straddling a transition would merge/split
+    # wrongly vs Spark's own session_window). Column-type lookup is
+    # case-insensitive, matching Spark's resolver.
     ts = F.col(ts_col)
-    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        ts = ts.cast("timestamp")
+    field = next((f for f in df.schema.fields if f.name.lower() == ts_col.lower()), None)
+    ts_types = ("timestamp", "timestamp_ntz")
+    if field is not None and field.dataType.simpleString() in ts_types:
+        gap = (ts - F.lag(ts).over(w)) > F.expr(f"INTERVAL {gap_seconds} SECONDS")
+    else:  # numeric event time (epoch seconds)
+        gap = ts.cast("double") - F.lag(ts).over(w).cast("double") > gap_seconds
     prev = F.lag(ts).over(w)
-    new_sess = (
-        prev.isNull() | (ts.cast("double") - prev.cast("double") >= gap_seconds)
-    ).cast("long")
+    new_sess = (prev.isNull() | gap).cast("long")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return df.withColumn("session_id", F.sum(new_sess).over(wrun))
 

@@ -100,17 +100,38 @@ def gap_fill(
     bucket_col: str,
     step: str,
     keys: list[str],
+    max_grid_per_row: int = 65_536,
 ) -> DataFrame:
     """Left-join ``df`` onto each key's full uniform bucket grid
     (min..max bucket, ``step`` apart — e.g. ``"15 minutes"``). Missing
-    buckets appear with NULL measures and ``is_gap = 1``."""
+    buckets appear with NULL measures and ``is_gap = 1``.
+
+    Grid-size guard: a single ``sequence(mn, mx, step)`` materializes the
+    whole span as ONE array in ONE task — a key spanning years at
+    second resolution would blow that task's memory. The grid is instead
+    generated in two levels: an outer sequence of chunk starts (span /
+    ``max_grid_per_row`` elements), exploded, then an inner sequence of
+    at most ``max_grid_per_row`` buckets per chunk row — no task ever
+    holds more than ``max_grid_per_row`` grid cells in one array, and
+    chunks of a hot key can land on different tasks after the shuffle."""
+    step_i = F.expr(f"INTERVAL {step}")
+    chunk_i = step_i * max_grid_per_row
     spans = df.groupBy(*keys).agg(
         F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
     )
-    grid = spans.select(
+    chunked = spans.select(
+        *keys,
+        F.col("_mx"),
+        F.explode(F.sequence("_mn", "_mx", chunk_i)).alias("_cs"),
+    )
+    grid = chunked.select(
         *keys,
         F.explode(
-            F.sequence("_mn", "_mx", F.expr(f"INTERVAL {step}"))
+            F.sequence(
+                "_cs",
+                F.least(F.col("_cs") + chunk_i - step_i, F.col("_mx")),
+                step_i,
+            )
         ).alias(bucket_col),
     )
     joined = grid.join(df, on=[*keys, bucket_col], how="left")

@@ -245,7 +245,12 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import drain, stream_to_memory
     from .temporal import _read_events_stream
 
-    stream = _read_events_stream(spark, sf_dir)
+    # withWatermark requires TIMESTAMP; the fixture surfaces TIMESTAMP_NTZ
+    # in this Spark build (session TZ pinned UTC -> cast preserves wall
+    # clock). Only the key columns are emitted, so no restore needed.
+    stream = _read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])

@@ -81,7 +81,7 @@ _SESSION_WINDOWS_SQL = """
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -326,13 +326,18 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import drain, stream_to_memory
 
+    # withWatermark requires TIMESTAMP; the fixture surfaces TIMESTAMP_NTZ
+    # in this Spark build. Cast for the watermarked join (session TZ is
+    # UTC — wall-clock preserving) and restore NTZ on the output columns
+    # so values/types match the naive-timestamp batch oracle.
+    ts_wm = F.col("ts").cast("timestamp")
     purchases = (
         _read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
+            ts_wm.alias("purchase_ts"),
         )
         .withWatermark("purchase_ts", "1 hour")
     )
@@ -342,7 +347,7 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
+            ts_wm.alias("click_ts"),
         )
         .withWatermark("click_ts", "1 hour")
     )
@@ -356,9 +361,9 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "purchase_id",
         F.col("p_user_id").alias("user_id"),
-        "purchase_ts",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "click_id",
-        "click_ts",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
     q = stream_to_memory(joined, name, output_mode="append")

@@ -5,7 +5,10 @@ the reference samples the first 100 rows of a CSV, infers a 5-type
 schema, diffs it against the live catalog, and emits additive-only DDL
 (create-if-missing, add-columns-only, case-insensitive, sanitized
 identifiers). Here the same contract is pure metadata work over Spark's
-catalog — no LLM in the loop; the deterministic path IS the contract.
+catalog — the deterministic path IS the contract, with ``ddl_generator``
+as the seam for the reference's LLM-mediated variant (policy enforced on
+its output) and ``warehouse_ddl`` rendering the same decisions in
+external-warehouse dialects (Postgres/MySQL/Derby over JDBC).
 """
 
 from .infer import (
@@ -21,7 +24,14 @@ from .evolve import (
     evolve_ddl,
     existing_columns,
     run_ddl,
+    validate_generated_ddl,
     zone_from_path,
+)
+from .warehouse import (
+    jdbc_existing_columns,
+    run_jdbc_ddl,
+    sql_type,
+    warehouse_ddl,
 )
 
 __all__ = [
@@ -35,5 +45,10 @@ __all__ = [
     "evolve_ddl",
     "existing_columns",
     "run_ddl",
+    "validate_generated_ddl",
     "zone_from_path",
+    "jdbc_existing_columns",
+    "run_jdbc_ddl",
+    "sql_type",
+    "warehouse_ddl",
 ]

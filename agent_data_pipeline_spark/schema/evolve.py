@@ -20,6 +20,8 @@ the reference gets from ``ALTER TABLE ADD COLUMN``).
 
 from __future__ import annotations
 
+import re
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -28,6 +30,12 @@ from pyspark.sql import types as T
 from .infer import infer_csv_schema, sanitize_identifier
 
 _ZONES = ("raw", "staging", "analytics")
+
+# An external DDL generator (the reference's LLM-mediated path,
+# agent-schema/app.py:78-153 generate_gemini_sql): given (inferred
+# schema, qualified table, existing columns) it returns DDL text —
+# possibly several ';'-separated statements.
+DdlGenerator = Callable[[T.StructType, str, dict[str, str]], str]
 
 
 def zone_from_path(path: str) -> str:
@@ -121,6 +129,47 @@ def evolve_ddl(
     return plan
 
 
+# Statements the evolution policy permits from an external generator:
+# create-zone, create-table (for the target), additive column adds. The
+# reference trusts its LLM output after a syntax check (app.py:155-165);
+# here policy is ENFORCED structurally — a generated statement that
+# renames, drops, or targets another table is rejected and evolution
+# falls back to the deterministic plan (the reference's own DISABLE_LLM
+# fallback contract, app.py:19, :204-218).
+_ALLOWED_DDL = [
+    re.compile(r"^create\s+(database|schema)\s+(if\s+not\s+exists\s+)?(?P<zone>[a-z_][a-z0-9_]*)$"),
+    re.compile(
+        r"^create\s+table\s+(if\s+not\s+exists\s+)?(?P<tbl>[a-z_][a-z0-9_.]*)\s*\(.+\)"
+        r"(\s+using\s+[a-z]+)?(\s+location\s+'[^']*')?$"
+    ),
+    re.compile(r"^alter\s+table\s+(?P<tbl>[a-z_][a-z0-9_.]*)\s+add\s+columns?\s*\(.+\)$"),
+]
+_FORBIDDEN = re.compile(r"\b(drop|rename|truncate|delete|update|insert|replace)\b")
+
+
+def validate_generated_ddl(ddl: str, qualified: str) -> list[str] | None:
+    """Check generator output against the additive-only policy. Returns
+    the cleaned statement list, or None when ANY statement violates
+    policy (whole-output rejection — a partially-applied evolution is
+    worse than the deterministic fallback)."""
+    statements = [s.strip() for s in ddl.split(";") if s.strip()]
+    if not statements:
+        return None
+    out: list[str] = []
+    for stmt in statements:
+        flat = re.sub(r"\s+", " ", stmt).strip().lower()
+        if _FORBIDDEN.search(flat):
+            return None
+        m = next((p.match(flat) for p in _ALLOWED_DDL if p.match(flat)), None)
+        if m is None:
+            return None
+        target = m.groupdict().get("tbl")
+        if target is not None and target != qualified.lower():
+            return None  # touches a table other than the evolution target
+        out.append(stmt)
+    return out
+
+
 def run_ddl(spark: SparkSession, ddl: str | list[str]) -> int:
     """D4: execute DDL statement-by-statement (app.py:226-231 splits on
     ';'); returns the number of statements run."""
@@ -141,14 +190,29 @@ def ensure_table(
     zone: str | None = None,
     sample_rows: int = 100,
     location: str | None = None,
+    ddl_generator: DdlGenerator | None = None,
 ) -> EvolutionPlan:
     """§3.3 entry point: sample -> infer -> diff -> additive DDL -> execute.
 
     The Spark collapse of the reference's POST /nifi_table_create
-    (agent-schema/app.py:167-243): one driver-side call, no services."""
+    (agent-schema/app.py:167-243): one driver-side call, no services.
+
+    ``ddl_generator`` is the seam for the reference's LLM-mediated DDL
+    path (app.py:78-153): when given, it proposes the DDL and
+    ``validate_generated_ddl`` enforces the evolution policy (additive
+    only, sanitized, targets this table). Invalid output falls back to
+    the deterministic plan — mirroring the reference's behavior when the
+    LLM is disabled or errors (app.py:19, :204-218)."""
     inferred = infer_csv_schema(spark, path, sample_rows=sample_rows)
     plan = evolve_ddl(
         spark, inferred, table, zone=zone, source_path=path, location=location
     )
+    if ddl_generator is not None:
+        current = existing_columns(spark, plan.qualified)
+        generated = validate_generated_ddl(
+            ddl_generator(inferred, plan.qualified, current), plan.qualified
+        )
+        if generated is not None:
+            plan.statements = [f"CREATE DATABASE IF NOT EXISTS {plan.zone}", *generated]
     run_ddl(spark, plan.statements)
     return plan

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import TimestampNTZType
 
 
 def stream_parquet(
@@ -46,17 +47,47 @@ def stream_parquet(
     return reader.parquet(path)
 
 
+def _watermark_ready(
+    df: DataFrame, ts_col: str, watermark: str | None
+) -> tuple[DataFrame, bool]:
+    """``withWatermark`` requires a TIMESTAMP event-time column
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]), but parquet TIMESTAMP(NANOS)
+    fixtures surface as TIMESTAMP_NTZ in this Spark build. Cast NTZ ->
+    session-TZ TIMESTAMP just for the watermarked plan and report it, so
+    callers can cast emitted event-time bounds back to NTZ — keeping
+    stream output types/values identical to the never-cast batch plan.
+    (Session TZ is pinned UTC in session.py, so the cast is wall-clock
+    preserving; column lookup is case-insensitive like Spark's resolver.)
+    """
+    if not watermark:
+        return df, False
+    field = next(
+        (f for f in df.schema.fields if f.name.lower() == ts_col.lower()), None
+    )
+    if field is not None and isinstance(field.dataType, TimestampNTZType):
+        return df.withColumn(field.name, F.col(field.name).cast("timestamp")), True
+    return df, False
+
+
 def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
-    return df.withWatermark(ts_col, watermark) if watermark else df
+    if not watermark:
+        return df
+    df, _ = _watermark_ready(df, ts_col, watermark)
+    return df.withWatermark(ts_col, watermark)
 
 
-def _flatten_window(agged: DataFrame, prefix: str) -> DataFrame:
+def _flatten_window(agged: DataFrame, prefix: str, restore_ntz: bool = False) -> DataFrame:
     """Unnest the struct the window groupBy produced into
-    ``{prefix}_start``/``{prefix}_end`` + the remaining flat columns."""
+    ``{prefix}_start``/``{prefix}_end`` + the remaining flat columns.
+    ``restore_ntz`` casts the bounds back to TIMESTAMP_NTZ when the input
+    event-time column was NTZ before ``_watermark_ready``'s cast."""
     rest = [c for c in agged.columns if c != "w"]
+    start, end = F.col("w.start"), F.col("w.end")
+    if restore_ntz:
+        start, end = start.cast("timestamp_ntz"), end.cast("timestamp_ntz")
     return agged.select(
-        F.col("w.start").alias(f"{prefix}_start"),
-        F.col("w.end").alias(f"{prefix}_end"),
+        start.alias(f"{prefix}_start"),
+        end.alias(f"{prefix}_end"),
         *rest,
     )
 
@@ -72,10 +103,11 @@ def tumbling_window_agg(
     """Tumbling event-time window aggregate; identical call works on a
     batch DataFrame (no watermark) and a stream (watermark bounds state +
     drops late rows)."""
-    grouped = _with_watermark(df, ts_col, watermark).groupBy(
+    df, ntz = _watermark_ready(df, ts_col, watermark)
+    grouped = (df.withWatermark(ts_col, watermark) if watermark else df).groupBy(
         F.window(ts_col, duration).alias("w"), *(keys or [])
     )
-    return _flatten_window(grouped.agg(*aggs), "window")
+    return _flatten_window(grouped.agg(*aggs), "window", restore_ntz=ntz)
 
 
 def sliding_window_agg(
@@ -89,10 +121,11 @@ def sliding_window_agg(
 ) -> DataFrame:
     """Sliding (hopping) event-time windows — each row lands in
     duration/slide windows."""
-    grouped = _with_watermark(df, ts_col, watermark).groupBy(
+    df, ntz = _watermark_ready(df, ts_col, watermark)
+    grouped = (df.withWatermark(ts_col, watermark) if watermark else df).groupBy(
         F.window(ts_col, duration, slide).alias("w"), *(keys or [])
     )
-    return _flatten_window(grouped.agg(*aggs), "window")
+    return _flatten_window(grouped.agg(*aggs), "window", restore_ntz=ntz)
 
 
 def session_window_agg(
@@ -106,10 +139,11 @@ def session_window_agg(
     """Session windows (gap-based): consecutive events of a key closer
     than ``gap`` merge into one session. Streaming requires a watermark
     (sessions can only close once the watermark passes the gap)."""
-    grouped = _with_watermark(df, ts_col, watermark).groupBy(
+    df, ntz = _watermark_ready(df, ts_col, watermark)
+    grouped = (df.withWatermark(ts_col, watermark) if watermark else df).groupBy(
         F.session_window(ts_col, gap).alias("w"), *keys
     )
-    return _flatten_window(grouped.agg(*aggs), "session")
+    return _flatten_window(grouped.agg(*aggs), "session", restore_ntz=ntz)
 
 
 def stream_dedup(
@@ -123,7 +157,11 @@ def stream_dedup(
     shape at firehose scale); without one, global exact dedup with
     unbounded state (batch parity)."""
     if watermark and ts_col:
-        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+        df, ntz = _watermark_ready(df, ts_col, watermark)
+        out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+        if ntz:  # restore the input's event-time type for batch parity
+            out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+        return out
     return df.dropDuplicates(keys)
 
 

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""10x stress sweep — the round-loop scale regression check (SCALING.md).
+
+Generates (once, idempotent) a key-remapped 10x composite of the sf0.1
+fixtures under $SPARK_GRAFT_STRESS_DIR (default /tmp/spark_graft_stress10x)
+and runs the bench headline against it, printing ONE JSON line like
+bench.py. Key remapping (replica i shifts every entity key by i*stride)
+makes join/agg key cardinality genuinely grow 10x — plain row duplication
+would only deepen groups and flatter-than-real shuffles would hide AQE
+strategy regressions. Timestamps are kept so time-bucket grids stay
+fixed (events volume grows within the same span, like a real firehose);
+document text is kept so each doc becomes a 10-way exact-duplicate group
+(the worst case the dedup family is designed to bound); fixed-cardinality
+dims (region, nation) are NOT replicated.
+
+Usage:  python stress.py            # generate-if-missing + run sweep
+        python stress.py --regen    # force corpus regeneration
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from agent_data_pipeline_spark.queries import REGISTRY
+from agent_data_pipeline_spark.session import get_spark
+from bench import HEADLINE
+
+REPLICAS = 10
+STRIDE = 1_000_000_000  # far above any sf0.1 key
+
+# table -> columns to shift by replica*STRIDE (entity keys); every other
+# column is carried unchanged. region/nation are fixed-cardinality dims.
+_KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_COPY_TABLES = ("region", "nation")
+
+
+def _read(spark, src, name):
+    if name == "events":
+        from agent_data_pipeline_spark.queries.core import read_events
+
+        return read_events(spark, f"{src}/events.parquet")
+    return spark.read.parquet(f"{src}/{name}.parquet")
+
+
+def generate(spark, src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in _COPY_TABLES:
+        _read(spark, src, name).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+    for name, keys in _KEY_COLS.items():
+        base = _read(spark, src, name)
+        replicas = base.crossJoin(
+            spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+        )
+        for k in keys:
+            replicas = replicas.withColumn(k, F.col(k) + F.col("_rep") * STRIDE)
+        (
+            replicas.drop("_rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{dst}/{name}.parquet")
+        )
+
+
+def main() -> None:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/spark_graft_stress10x")
+    spark = get_spark(app_name="agent_data_pipeline_spark-stress")
+
+    marker = os.path.join(dst, "_GENERATED")
+    if "--regen" in sys.argv and os.path.isdir(dst):
+        shutil.rmtree(dst)
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        generate(spark, src, dst)
+        with open(marker, "w") as f:
+            f.write(f"from {src} x{REPLICAS}\n")
+        print(
+            f"# generated 10x corpus at {dst} in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            spec.spark(spark, dst).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_10x",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": "sf0.1 x10 key-remapped",
+                "runs_per_query": 2,
+                "policy": "min",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

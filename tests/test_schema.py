@@ -135,3 +135,165 @@ def test_evolve_ddl_statements_shape(spark, csv_v1):
     plan2 = evolve_ddl(spark, inferred, "analytics.trips_ddl_shape")
     assert len(plan2.statements) == 1  # just the CREATE DATABASE IF NOT EXISTS
     spark.sql("DROP TABLE IF EXISTS analytics.trips_ddl_shape")
+
+
+# --- LLM-DDL generator seam (reference app.py:78-153) ------------------------
+
+
+def test_ddl_generator_valid_output_is_used(spark, csv_v1):
+    """A policy-conforming generator's DDL must be what executes: the
+    fake generator names the column differently than the deterministic
+    path would (extra_col), and the created table must show it."""
+    from agent_data_pipeline_spark.schema import ensure_table
+
+    calls = {}
+
+    def fake_llm(inferred, qualified, existing):
+        calls["qualified"] = qualified
+        calls["existing"] = dict(existing)
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in inferred.fields)
+        return (
+            f"CREATE TABLE IF NOT EXISTS {qualified} ({cols}, extra_col string) "
+            f"USING PARQUET"
+        )
+
+    plan = ensure_table(spark, csv_v1, "gen_trips", zone="raw", ddl_generator=fake_llm)
+    try:
+        assert calls["qualified"] == "raw.gen_trips"
+        assert calls["existing"] == {}
+        cols = {c.name for c in spark.catalog.listColumns("raw.gen_trips")}
+        assert "extra_col" in cols
+        assert plan.statements[1].startswith("CREATE TABLE IF NOT EXISTS raw.gen_trips")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS raw.gen_trips")
+
+
+@pytest.mark.parametrize(
+    "bad_ddl",
+    [
+        "DROP TABLE raw.gen_trips2",                                  # destructive
+        "CREATE TABLE other.table2 (a string)",                       # wrong target
+        "ALTER TABLE raw.gen_trips2 RENAME COLUMN a TO b",            # rename
+        "CREATE TABLE raw.gen_trips2 (a string); DELETE FROM raw.x",  # one bad spoils all
+        "utter nonsense not sql",
+        "",
+    ],
+)
+def test_ddl_generator_policy_violations_fall_back(spark, csv_v1, bad_ddl):
+    """Generator output violating the additive-only policy is rejected
+    WHOLE and evolution falls back to the deterministic plan — the table
+    still gets created correctly (reference fallback, app.py:204-218)."""
+    from agent_data_pipeline_spark.schema import ensure_table
+
+    plan = ensure_table(
+        spark, csv_v1, "gen_trips2", zone="raw", ddl_generator=lambda *a: bad_ddl
+    )
+    try:
+        assert plan.created_table
+        cols = {c.name for c in spark.catalog.listColumns("raw.gen_trips2")}
+        assert "trip_id" in cols and "fare_amount" in cols
+        assert "extra_col" not in cols
+    finally:
+        spark.sql("DROP TABLE IF EXISTS raw.gen_trips2")
+
+
+def test_validate_generated_ddl_unit():
+    from agent_data_pipeline_spark.schema import validate_generated_ddl
+
+    ok = validate_generated_ddl(
+        "CREATE DATABASE IF NOT EXISTS raw;\n"
+        "CREATE TABLE raw.t (a string, b bigint) USING PARQUET;\n"
+        "ALTER TABLE raw.t ADD COLUMNS (c double)",
+        "raw.t",
+    )
+    assert ok is not None and len(ok) == 3
+    assert validate_generated_ddl("TRUNCATE TABLE raw.t", "raw.t") is None
+    assert validate_generated_ddl("ALTER TABLE raw.OTHER ADD COLUMNS (c double)", "raw.t") is None
+
+
+# --- External-warehouse DDL dialects (reference app.py:204-218) --------------
+
+
+def _inferred():
+    return T.StructType(
+        [
+            T.StructField("trip_id", T.LongType()),
+            T.StructField("fare_amount", T.DoubleType()),
+            T.StructField("pickup_time", T.TimestampType()),
+            T.StructField("is_shared", T.BooleanType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+
+
+def test_warehouse_ddl_postgres_snapshot():
+    from agent_data_pipeline_spark.schema import warehouse_ddl
+
+    stmts = warehouse_ddl(_inferred(), "trips", "analytics", "postgres")
+    assert stmts == [
+        "CREATE SCHEMA IF NOT EXISTS analytics",
+        "CREATE TABLE IF NOT EXISTS analytics.trips (trip_id BIGINT, "
+        "fare_amount DOUBLE PRECISION, pickup_time TIMESTAMP, "
+        "is_shared BOOLEAN, note TEXT)",
+    ]
+    # additive evolution: only the missing column, one ALTER per column
+    evo = warehouse_ddl(
+        _inferred(), "trips", "analytics", "postgres",
+        existing={"trip_id": "bigint", "fare_amount": "double precision",
+                  "pickup_time": "timestamp", "is_shared": "boolean"},
+    )
+    assert evo[-1] == "ALTER TABLE analytics.trips ADD COLUMN note TEXT"
+
+
+def test_warehouse_ddl_mysql_snapshot():
+    """MySQL dialect: CREATE DATABASE + USE + unqualified table — the
+    reference's MySQL branch shape (app.py:206-212)."""
+    from agent_data_pipeline_spark.schema import warehouse_ddl
+
+    stmts = warehouse_ddl(_inferred(), "trips", "analytics", "mysql")
+    assert stmts[0] == "CREATE DATABASE IF NOT EXISTS analytics"
+    assert stmts[1] == "USE analytics"
+    assert stmts[2] == (
+        "CREATE TABLE IF NOT EXISTS trips (trip_id BIGINT, fare_amount DOUBLE, "
+        "pickup_time DATETIME(6), is_shared TINYINT(1), note TEXT)"
+    )
+    evo = warehouse_ddl(
+        _inferred(), "trips", "analytics", "mysql", existing={"trip_id": "bigint"}
+    )
+    assert evo[-1].startswith("ALTER TABLE trips ADD COLUMN fare_amount DOUBLE")
+
+
+def test_warehouse_ddl_executes_on_derby(spark, tmp_path):
+    """End-to-end against a REAL external warehouse (embedded Derby, the
+    same stand-in the JDBC sink tests use): create schema+table via
+    JDBC DDL, introspect columns back via DatabaseMetaData, evolve
+    additively, re-run idempotently (already-exists tolerated)."""
+    from agent_data_pipeline_spark.schema import (
+        jdbc_existing_columns,
+        run_jdbc_ddl,
+        warehouse_ddl,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/extwh;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    stmts = warehouse_ddl(_inferred(), "trips", "analytics", "derby")
+    assert run_jdbc_ddl(spark, url, stmts, driver=drv) == len(stmts)
+
+    cols = jdbc_existing_columns(spark, url, "trips", zone="analytics", driver=drv)
+    assert set(cols) == {"trip_id", "fare_amount", "pickup_time", "is_shared", "note"}
+
+    # additive evolution: a new column appears in the live metadata
+    evo = warehouse_ddl(
+        T.StructType([*_inferred().fields, T.StructField("congestion_fee", T.DoubleType())]),
+        "trips", "analytics", "derby", existing=cols,
+    )
+    alters = [s for s in evo if s.startswith("ALTER")]
+    assert alters == ["ALTER TABLE analytics.trips ADD COLUMN congestion_fee DOUBLE"]
+    run_jdbc_ddl(spark, url, alters, driver=drv)
+    assert "congestion_fee" in jdbc_existing_columns(
+        spark, url, "trips", zone="analytics", driver=drv
+    )
+
+    # idempotent re-run: CREATE SCHEMA/TABLE already exist -> tolerated
+    assert run_jdbc_ddl(spark, url, stmts, driver=drv) == len(stmts)

@@ -263,3 +263,28 @@ def test_running_agg_tws_gated_in_this_env(spark, events_batch):
 
     with pytest.raises(NotImplementedError, match="stateful_running_agg"):
         running_agg_tws(events_batch, ["user_id"], "value")
+
+
+def test_read_events_stream_directory_layout(spark, tmp_path):
+    """_read_events_stream claims to handle BOTH fixture layouts: a
+    single events.parquet FILE (driver fixtures — streamed via
+    pathGlobFilter on the parent dir) and a DIRECTORY of part files
+    (standard Spark table layout — streamed directly; the glob would
+    silently match nothing). Only the file layout is exercised by the
+    oracle queries; this covers the directory branch end-to-end."""
+    from agent_data_pipeline_spark.queries.core import read_events
+    from agent_data_pipeline_spark.queries.temporal import _read_events_stream
+
+    sf_dir = tmp_path / "sfdir"
+    sf_dir.mkdir()
+    batch = read_events(spark, f"{SF}/events.parquet")
+    batch.coalesce(2).write.parquet(str(sf_dir / "events.parquet"))
+
+    stream = _read_events_stream(spark, str(sf_dir))
+    agged = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    got = _drain_to_table(spark, agged, "t_dir_layout")
+    want = {
+        (r["event_type"], r["n"])
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {(r["event_type"], r["n"]) for r in got.collect()} == want

@@ -89,3 +89,78 @@ def test_interpolation_edges_stay_null(spark):
     assert out["2024-01-01 00:15:00"] is None  # before first observation
     assert out["2024-01-01 00:30:00"] == 2.0
     assert out["2024-01-01 00:45:00"] is None  # after last observation
+
+
+def test_sessionize_ntz_is_dst_safe(spark):
+    """NTZ gap arithmetic must never consult the session timezone: two
+    events 62 wall-clock minutes apart that straddle a spring-forward
+    transition (02:00 doesn't exist in America/Los_Angeles on
+    2026-03-08) are > the 30-min gap and MUST split into two sessions.
+    A cast-through-TIMESTAMP implementation sees them 2 minutes apart
+    and wrongly merges them."""
+    from agent_data_pipeline_spark.ops.sessionize import sessionize
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        df = spark.createDataFrame(
+            [("u", "2026-03-08 01:59:00"), ("u", "2026-03-08 03:01:00")],
+            "k string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        sessions = sessionize(df, "k", "ts", 1800)
+        assert sessions.select("session_id").distinct().count() == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """ops.sessionize (lag+cumsum) against Spark's own session_window on
+    a crafted keyed series with sub-second gaps at the boundary: the
+    session bounds and event counts must agree exactly."""
+    from agent_data_pipeline_spark.ops.sessionize import session_summary
+
+    rows = [
+        ("a", "2024-01-01 00:00:00.000", 1.0),
+        ("a", "2024-01-01 00:29:59.999", 1.0),  # < gap: same session
+        ("a", "2024-01-01 00:59:59.999", 1.0),  # exactly gap: touching windows MERGE
+        ("a", "2024-01-01 01:29:59.999", 1.0),  # exactly gap again: still merged
+        ("a", "2024-01-01 02:00:00.000", 1.0),  # 0.001s past gap: new session
+        ("b", "2024-01-01 05:00:00.000", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    ours = {
+        (r["k"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in session_summary(df, "k", "ts", 1800, "v").collect()
+    }
+    native = {
+        (r["k"], str(r["start"]), str(r["end"]), r["n"])
+        for r in df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n")
+        .collect()
+    }
+    assert ours == native
+
+
+def test_gap_fill_chunked_grid_equals_unchunked(spark):
+    """Grid-size guard: with max_grid_per_row smaller than a key's span,
+    the two-level sequence must produce EXACTLY the same grid as one big
+    sequence — chunk boundaries aligned, no duplicate or missing buckets
+    (including a span not divisible by the chunk size)."""
+    df = _series(spark)
+    b = df.groupBy(
+        F.window("ts", "15 minutes")["start"].alias("bucket"), "k"
+    ).agg(F.avg("v").alias("avg_v"))
+    want = {
+        (r["k"], str(r["bucket"]), r["is_gap"])
+        for r in gap_fill(b, "bucket", "15 minutes", ["k"]).collect()
+    }
+    got = {
+        (r["k"], str(r["bucket"]), r["is_gap"])
+        for r in gap_fill(b, "bucket", "15 minutes", ["k"], max_grid_per_row=3).collect()
+    }
+    assert got == want
+    # key 'a' spans 00:00..01:30 -> 7 buckets; chunks of 3 => 3+3+1
+    assert len({g for g in got if g[0] == "a"}) == 7
