@@ -172,12 +172,15 @@ def token_jaccard_pairs(
     pair can only lose tokens shared by half the corpus; for the oracle
     query we disable the cap (ratio=1.0) so semantics are exactly Jaccard.
     """
-    n_docs = df.count()
     df = spread(df)
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(df, text_col)).alias("tok")
     )
     if max_df_ratio < 1.0:
+        # The corpus count() backing the DF cap is only taken when the cap
+        # is active — ratio=1.0 (the exact-Jaccard oracle mode) runs zero
+        # extra actions.
+        n_docs = df.count()
         dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         keep = dfreq.filter(F.col("df") <= int(max_df_ratio * n_docs)).select("tok")
         toks = toks.join(F.broadcast(keep), "tok")

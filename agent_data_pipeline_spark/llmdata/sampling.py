@@ -130,14 +130,22 @@ def weighted_mix(
     source can meet its weight share from real rows. Membership is the
     deterministic id hash; output carries a ``mix_source`` tag.
 
-    The count() per source is a metadata-scale aggregate; the filters
-    and union stay map-side (no shuffle), so the mix is reproducible
-    and re-runnable on any partitioning — the property training-data
-    freezes require.
+    All source counts come from ONE Spark job (union of tagged 1-column
+    projections, then a single groupBy) instead of a driver round-trip
+    per source; the filters and union stay map-side (no shuffle beyond
+    that one metadata agg), so the mix is reproducible and re-runnable
+    on any partitioning — the property training-data freezes require.
     """
     import math
 
-    counts = {name: df.count() for name, (df, _) in sources.items()}
+    tagged = None
+    for name, (df, _) in sources.items():
+        part = df.select(F.lit(name).alias("_mix_src"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    counts = {
+        r["_mix_src"]: r["n"]
+        for r in tagged.groupBy("_mix_src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     c = min(counts[n] / w for n, (_, w) in sources.items())
     parts = []
     for name, (df, w) in sources.items():

@@ -106,13 +106,15 @@ WITH RECURSIVE m(n) AS (
 months AS (
   SELECT make_date(1995 + CAST(floor(n / 12.0) AS INT), 1 + n % 12, 1) AS mon FROM m
 )
-SELECT mon,
+SELECT CAST(mon AS STRING) AS mon,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders,
        floor(coalesce(sum(o_totalprice), 0) * 100 + 0.5) / 100 AS sum_price
 FROM months LEFT JOIN orders
   ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
 GROUP BY mon
 """
+# ^ mon emitted as STRING (valid in both engines): a raw DATE column
+#   canonicalizes differently per engine (datetime.date vs Timestamp).
 
 
 def _recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,13 +173,13 @@ def _values_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INTERVAL_KIT_SQL = """
 SELECT o_orderkey,
-       last_day(CAST(o_orderdate AS DATE))                AS month_end,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)  AS month_end,
        CAST(dayofyear(o_orderdate) AS BIGINT)             AS o_doy,
        CAST(weekofyear(o_orderdate) AS BIGINT)            AS o_isoweek,
-       make_date(CAST(year(o_orderdate) AS INT),
-                 CAST(month(o_orderdate) AS INT), 1)      AS month_start,
-       CAST(o_orderdate AS DATE) + 45                     AS plus_45d,
-       CAST(date_trunc('quarter', o_orderdate) AS DATE)   AS quarter_start
+       CAST(make_date(CAST(year(o_orderdate) AS INT),
+                 CAST(month(o_orderdate) AS INT), 1) AS VARCHAR) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + 45 AS VARCHAR)    AS plus_45d,
+       CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS quarter_start
 FROM orders
 """
 
@@ -185,17 +187,19 @@ FROM orders
 def _interval_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar scalar kit: last_day / dayofyear / ISO week / make_date /
     day offset / quarter truncation. Pure codegen'd projections — at
-    scale these cost nothing beyond the scan they ride on."""
+    scale these cost nothing beyond the scan they ride on. DATE outputs
+    are emitted as ISO strings: a raw DATE column canonicalizes
+    differently per engine (datetime.date vs Timestamp promotion)."""
     o = t(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.last_day(d).alias("month_end"),
+        F.last_day(d).cast("string").alias("month_end"),
         F.dayofyear(d).cast("long").alias("o_doy"),
         F.weekofyear(d).cast("long").alias("o_isoweek"),
-        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
-        F.date_add(d, 45).alias("plus_45d"),
-        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("quarter_start"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).cast("string").alias("month_start"),
+        F.date_add(d, 45).cast("string").alias("plus_45d"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").cast("string").alias("quarter_start"),
     )
 
 
@@ -208,8 +212,9 @@ SELECT vec_id,
        len(list_filter(emb, x -> NOT (abs(x) < 10))) = 0          AS all_small,
        floor(list_dot_product(emb, list_reverse(emb)) * 10000 + 0.5) / 10000
                                                                   AS rev_dot,
-       list_transform(list_sort(emb, 'DESC')[1:3],
-                      x -> floor(x * 10000 + 0.5) / 10000)        AS top3
+       floor(list_sort(emb, 'DESC')[1] * 10000 + 0.5) / 10000     AS top1,
+       floor(list_sort(emb, 'DESC')[2] * 10000 + 0.5) / 10000     AS top2,
+       floor(list_sort(emb, 'DESC')[3] * 10000 + 0.5) / 10000     AS top3
 FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings)
 """
@@ -217,9 +222,11 @@ FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
 
 def _higher_order_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order lambda surface: filter / exists / forall / zip_with /
-    aggregate / sort+slice over the embedding vectors. All JVM-side
+    aggregate / sort+element_at over the embedding vectors. All JVM-side
     Catalyst HigherOrderFunctions — the scale path for array math
-    without leaving codegen for Python."""
+    without leaving codegen for Python. Top-3 comes back as three scalar
+    columns (not an array column): scalar results canonicalize
+    identically across engines, arrays don't."""
     e = t(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = e.select("vec_id", emb.alias("emb"))
@@ -228,16 +235,16 @@ def _higher_order_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    desc = F.sort_array(F.col("emb"), asc=False)
     return e.select(
         "vec_id",
         F.size(F.filter(F.col("emb"), lambda x: x > 0)).cast("long").alias("n_pos"),
         F.exists(F.col("emb"), lambda x: x > 2.5).alias("any_big"),
         F.forall(F.col("emb"), lambda x: F.abs(x) < 10).alias("all_small"),
         rnd(rev_dot, 4).alias("rev_dot"),
-        F.transform(
-            F.slice(F.sort_array(F.col("emb"), asc=False), 1, 3),
-            lambda x: F.floor(x * 10000 + F.lit(0.5)) / F.lit(10000),
-        ).alias("top3"),
+        rnd(F.element_at(desc, 1), 4).alias("top1"),
+        rnd(F.element_at(desc, 2), 4).alias("top2"),
+        rnd(F.element_at(desc, 3), 4).alias("top3"),
     )
 
 

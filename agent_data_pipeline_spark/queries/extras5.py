@@ -131,7 +131,7 @@ def _struct_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAP_KIT2_SQL = """
 SELECT event_id,
-       list_sort(map_keys(m))                    AS keys_sorted,
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
        m['type'][1]                              AS type_val,
        m['uid'][1]                               AS uid_val,
        list_contains(map_keys(m), 'type')        AS has_type,
@@ -147,7 +147,9 @@ FROM (SELECT event_id,
 def _map_kit2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map surface beyond construction+explode (map_explode_metrics):
     map_keys, element_at lookups, key membership, map_concat growth —
-    the property-bag idiom for sparse per-event attributes."""
+    the property-bag idiom for sparse per-event attributes. keys_sorted
+    is emitted as a joined string: scalar results canonicalize
+    identically across engines, array columns don't."""
     ev = t(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
@@ -157,7 +159,7 @@ def _map_kit2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "uid").alias("uid_val"),
         F.array_contains(F.map_keys(m), "type").alias("has_type"),

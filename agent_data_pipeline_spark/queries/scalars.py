@@ -35,7 +35,11 @@ def _datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("long")
         .alias("days_to_2002"),
-        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus_3_months"),
+        # DATE results are emitted as ISO strings: Spark hands pandas a
+        # datetime.date while DuckDB promotes to Timestamp, so a raw DATE
+        # column canonicalizes differently per engine. Strings are
+        # engine-neutral.
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("string").alias("plus_3_months"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
 
@@ -50,7 +54,7 @@ SELECT o_orderkey,
        date_trunc('month', o_orderdate)       AS o_month_start,
        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
                                               AS days_to_2002,
-       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3_months,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
        CAST(epoch(o_orderdate) AS BIGINT)     AS epoch_s
 FROM orders
 """

@@ -81,6 +81,10 @@ class EvolutionPlan:
     statements: list[str] = field(default_factory=list)
     added_columns: list[str] = field(default_factory=list)
     created_table: bool = False
+    # True when an external DdlGenerator's output passed policy and
+    # replaced the deterministic statements — so the plan always reports
+    # what actually ran, not what would have run.
+    generator_used: bool = False
 
     @property
     def qualified(self) -> str:
@@ -147,14 +151,25 @@ _ALLOWED_DDL = [
 _FORBIDDEN = re.compile(r"\b(drop|rename|truncate|delete|update|insert|replace)\b")
 
 
-def validate_generated_ddl(ddl: str, qualified: str) -> list[str] | None:
+def validate_generated_ddl(
+    ddl: str, qualified: str, location: str | None = None
+) -> list[str] | None:
     """Check generator output against the additive-only policy. Returns
     the cleaned statement list, or None when ANY statement violates
     policy (whole-output rejection — a partially-applied evolution is
-    worse than the deterministic fallback)."""
+    worse than the deterministic fallback).
+
+    Beyond statement-shape checks, two pinning rules close the holes a
+    shape-only allowlist leaves open for untrusted generator output:
+    * CREATE DATABASE/SCHEMA may only name the evolution target's zone —
+      not arbitrary databases.
+    * A LOCATION clause must equal the caller-supplied ``location``
+      exactly; with no caller location, any LOCATION is rejected (a
+      generated path could point the table at another table's data)."""
     statements = [s.strip() for s in ddl.split(";") if s.strip()]
     if not statements:
         return None
+    zone = qualified.split(".", 1)[0].lower()
     out: list[str] = []
     for stmt in statements:
         flat = re.sub(r"\s+", " ", stmt).strip().lower()
@@ -166,8 +181,45 @@ def validate_generated_ddl(ddl: str, qualified: str) -> list[str] | None:
         target = m.groupdict().get("tbl")
         if target is not None and target != qualified.lower():
             return None  # touches a table other than the evolution target
+        db = m.groupdict().get("zone")
+        if db is not None and db != zone:
+            return None  # creates a database unrelated to the target zone
+        # LOCATION pinning: compare against the ORIGINAL statement text
+        # (paths are case-sensitive; `flat` is lowercased).
+        loc_m = re.search(r"location\s+'([^']*)'", stmt, re.IGNORECASE)
+        if loc_m is not None and (location is None or loc_m.group(1) != location):
+            return None
         out.append(stmt)
     return out
+
+
+def _ddl_column_names(statements: list[str]) -> list[str]:
+    """Column names declared by validated CREATE TABLE / ADD COLUMNS
+    statements: first token of each depth-0 comma-separated item in the
+    outermost paren group (depth-aware so decimal(10,2) etc. don't split)."""
+    names: list[str] = []
+    for stmt in statements:
+        start = stmt.find("(")
+        if start < 0:
+            continue
+        depth, item, items = 0, "", []
+        for ch in stmt[start:]:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    items.append(item)
+                    break
+            if ch == "," and depth == 1:
+                items.append(item)
+                item = ""
+            else:
+                item += ch
+        names.extend(tok.split()[0] for tok in items if tok.strip())
+    return names
 
 
 def run_ddl(spark: SparkSession, ddl: str | list[str]) -> int:
@@ -210,9 +262,19 @@ def ensure_table(
     if ddl_generator is not None:
         current = existing_columns(spark, plan.qualified)
         generated = validate_generated_ddl(
-            ddl_generator(inferred, plan.qualified, current), plan.qualified
+            ddl_generator(inferred, plan.qualified, current),
+            plan.qualified,
+            location=location,
         )
         if generated is not None:
             plan.statements = [f"CREATE DATABASE IF NOT EXISTS {plan.zone}", *generated]
+            # Re-derive what the plan reports from the statements that
+            # will ACTUALLY run — the deterministic created_table /
+            # added_columns no longer describe the generated DDL.
+            plan.generator_used = True
+            plan.created_table = any(
+                re.match(r"(?i)\s*create\s+table\b", s) for s in generated
+            )
+            plan.added_columns = _ddl_column_names(generated)
     run_ddl(spark, plan.statements)
     return plan

@@ -200,12 +200,22 @@ def jdbc_existing_columns(
 ) -> dict[str, str]:
     """D2 for an external warehouse: ``{lower_name: type_name}`` via JDBC
     DatabaseMetaData (the dialect-portable equivalent of the reference's
-    information_schema read, app.py:61-73)."""
+    information_schema read, app.py:61-73).
+
+    With ``zone=None`` the connection's current schema is resolved and
+    used — a null schema pattern in ``getColumns`` would match same-named
+    tables in EVERY schema and merge their columns, making additive
+    evolution skip columns that only exist in an unrelated table."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        if zone is None:
+            try:
+                zone = conn.getSchema()  # JDBC 4.1; None if driver can't say
+            except Exception:
+                zone = None
         md = conn.getMetaData()
         out: dict[str, str] = {}
         # JDBC metadata stores unquoted identifiers per-db case (Derby:

@@ -69,13 +69,6 @@ def _watermark_ready(
     return df, False
 
 
-def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
-    if not watermark:
-        return df
-    df, _ = _watermark_ready(df, ts_col, watermark)
-    return df.withWatermark(ts_col, watermark)
-
-
 def _flatten_window(agged: DataFrame, prefix: str, restore_ntz: bool = False) -> DataFrame:
     """Unnest the struct the window groupBy produced into
     ``{prefix}_start``/``{prefix}_end`` + the remaining flat columns.

@@ -88,19 +88,27 @@ def main() -> None:
     for tbl in ("lineitem", "orders", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(1).collect()
 
-    # min of 2 runs per query: the machine hosting the bench shows bursty
-    # background load, and a single sample conflates scheduler contention
-    # with query cost. Min-of-N is standard practice (hyperfine et al.)
-    # for isolating the code's own steady-state cost.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        best = float("inf")
-        for _ in range(2):
+    # min of 3 runs per query, taken over 3 INTERLEAVED round-robin passes
+    # (run every query once, then again, then again) rather than 3
+    # back-to-back runs in a fixed order. Rationale: the hosting machine
+    # shows bursty background load, and with back-to-back runs a burst that
+    # overlaps a query's slot poisons all its samples at once — r2 showed
+    # exactly that signature (the first two queries in the fixed order
+    # regressed 2-3x with unchanged plans). Interleaving separates
+    # machine-state noise from plan changes; min-of-N (hyperfine et al.) is
+    # standard for isolating steady-state cost. Per-pass order is rotated
+    # so no query always runs first.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    n_passes = 3
+    for p in range(n_passes):
+        shift = (p * len(HEADLINE)) // n_passes
+        order = HEADLINE[shift:] + HEADLINE[:shift]
+        for name in order:
+            spec = REGISTRY[name]
             start = time.perf_counter()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            samples[name].append(time.perf_counter() - start)
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -111,8 +119,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 2,
-                "policy": "min",
+                "runs_per_query": n_passes,
+                "policy": "min_interleaved",
             }
         )
     )

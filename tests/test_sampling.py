@@ -105,6 +105,33 @@ def test_weighted_mix_hits_target_proportions(spark):
     assert got["en"] <= d.filter(F.col("lang") == "en").count()
 
 
+def test_weighted_mix_counts_in_one_job(spark):
+    """All N source counts must come from ONE Spark job (union+groupBy),
+    not a count() round-trip per source — setup cost for the composed
+    training-data path must stay O(1) jobs as sources grow."""
+    from agent_data_pipeline_spark.llmdata.sampling import weighted_mix
+
+    d = _docs(spark)
+    sc = spark.sparkContext
+    # AQE materializes shuffle stages as extra jobs, which would make the
+    # job count measure AQE scheduling rather than actions — pin it off.
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("wm_one_job", "weighted_mix setup")
+    try:
+        weighted_mix(
+            {"en": (d.filter(F.col("lang") == "en"), 0.4),
+             "de": (d.filter(F.col("lang") == "de"), 0.3),
+             "rest": (d.filter(~F.col("lang").isin("en", "de")), 0.3)},
+            "doc_id",
+        )  # building the plan runs only the counts job; output stays lazy
+    finally:
+        sc.setJobGroup("wm_done", "clear")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("wm_one_job")
+    assert len(jobs) == 1, f"expected 1 counts job, saw {len(jobs)}"
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     from agent_data_pipeline_spark.llmdata.sampling import chunk_documents
 

@@ -211,6 +211,71 @@ def test_validate_generated_ddl_unit():
     assert validate_generated_ddl("ALTER TABLE raw.OTHER ADD COLUMNS (c double)", "raw.t") is None
 
 
+def test_validate_generated_ddl_pins_location_and_zone():
+    """Generated DDL must not point the table at an arbitrary path or
+    create databases unrelated to the evolution target."""
+    from agent_data_pipeline_spark.schema import validate_generated_ddl
+
+    # LOCATION with no caller-supplied location: rejected
+    assert validate_generated_ddl(
+        "CREATE TABLE raw.t (a string) USING PARQUET LOCATION '/etc/other_table'",
+        "raw.t",
+    ) is None
+    # LOCATION differing from the caller's: rejected
+    assert validate_generated_ddl(
+        "CREATE TABLE raw.t (a string) USING PARQUET LOCATION '/stolen/path'",
+        "raw.t",
+        location="/warehouse/raw/t",
+    ) is None
+    # LOCATION equal to the caller's: accepted
+    ok = validate_generated_ddl(
+        "CREATE TABLE raw.t (a string) USING PARQUET LOCATION '/warehouse/raw/t'",
+        "raw.t",
+        location="/warehouse/raw/t",
+    )
+    assert ok is not None and len(ok) == 1
+    # CREATE DATABASE naming a zone other than the target's: rejected
+    assert validate_generated_ddl(
+        "CREATE DATABASE IF NOT EXISTS sidechannel; CREATE TABLE raw.t (a string)",
+        "raw.t",
+    ) is None
+    assert validate_generated_ddl("CREATE SCHEMA IF NOT EXISTS raw", "raw.t") is not None
+
+
+def test_ddl_generator_plan_reports_generated_statements(spark, csv_v1):
+    """When generator DDL is accepted the returned plan must describe the
+    statements that actually ran: generator_used set, added_columns taken
+    from the generated column list (incl. extra_col)."""
+    from agent_data_pipeline_spark.schema import ensure_table
+
+    def fake_llm(inferred, qualified, existing):
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in inferred.fields)
+        return f"CREATE TABLE IF NOT EXISTS {qualified} ({cols}, extra_col string) USING PARQUET"
+
+    plan = ensure_table(spark, csv_v1, "gen_trips3", zone="raw", ddl_generator=fake_llm)
+    try:
+        assert plan.generator_used
+        assert plan.created_table
+        assert "extra_col" in plan.added_columns
+        assert "trip_id" in plan.added_columns
+    finally:
+        spark.sql("DROP TABLE IF EXISTS raw.gen_trips3")
+
+
+def test_ddl_generator_rejected_plan_not_marked_generated(spark, csv_v1):
+    from agent_data_pipeline_spark.schema import ensure_table
+
+    plan = ensure_table(
+        spark, csv_v1, "gen_trips4", zone="raw",
+        ddl_generator=lambda *a: "DROP TABLE raw.gen_trips4",
+    )
+    try:
+        assert not plan.generator_used
+        assert plan.created_table  # deterministic fallback ran
+    finally:
+        spark.sql("DROP TABLE IF EXISTS raw.gen_trips4")
+
+
 # --- External-warehouse DDL dialects (reference app.py:204-218) --------------
 
 
