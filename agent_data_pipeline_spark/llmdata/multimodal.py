@@ -1,18 +1,24 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes / NotImplementedError as marked) — but the
-Spark-side plumbing is real and tested: schema contract, Arrow-batched
-``mapInPandas`` pipelines, batch shapes, partition sizing. Swapping the
-stub for a real `PIL`/`torchaudio` call changes one function body and
-nothing else.
+The decode path is REAL for BMP (24bpp) and WAV (PCM16): stdlib
+`struct`-based parsers in ``codecs.py`` — actual binary format
+implementations, not fakes. Payloads that aren't one of those formats
+(e.g. the text-as-bytes fixture) fall back to a deterministic
+byte-histogram kernel, clearly marked below, so the operators stay
+total. Swapping in a richer codec set (`PIL`/`torchaudio`, absent in
+this container) extends the same dispatch with more sniffed formats and
+changes nothing Spark-side.
 
 Scale notes: binary payloads dominate row size, so these pipelines
 (a) never shuffle payload bytes unless the operator requires it,
 (b) use mapInPandas (per-partition Arrow batches) instead of per-row
 UDFs, and (c) carry metadata in plain columns so filters on metadata
 prune at the scan without touching payloads.
+
+The codec module is registered for pickle-by-value: python workers
+unpickle the kernels without needing this package on their PYTHONPATH
+(the engine may be imported by path, not installed).
 """
 
 from __future__ import annotations
@@ -21,8 +27,15 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import codecs
+
+cloudpickle.register_pickle_by_value(codecs)
+# This module's own helpers (e.g. _decode_payload) are referenced from
+# mapInPandas closures too — self-register at the bottom of the file.
 
 MEDIA_SCHEMA = (
     "media_id BIGINT, modality STRING, payload BINARY, "
@@ -62,21 +75,43 @@ def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decode kernel. A real implementation would be e.g.
-    ``PIL.Image.open(io.BytesIO(payload))``; the container has no codec
-    libraries, so this derives a deterministic fake (width, height,
-    8-dim feature) from the bytes themselves. The Spark-side contract
-    (batch iterator, Arrow schema) is identical either way."""
+def _decode_payload(payload: bytes, frame_sample: int) -> tuple[int, int, int, list[float]]:
+    """Decode kernel: REAL header+content parse for BMP/WAV payloads
+    (codecs.py), deterministic byte-histogram FALLBACK for anything else
+    (kept so non-media payloads — e.g. the text fixture — flow through
+    rather than erroring). Returns (width, height, n_frames, feature).
+
+    Field mapping per modality: images -> (width, height, 1); audio ->
+    (sample_rate, channels, n_frames) — one schema, documented overload,
+    exactly how mixed-modality training manifests carry per-type dims.
+    """
+    kind = codecs.sniff(payload)
+    if kind == "bmp":
+        w, h, _bpp, pixels = codecs.parse_bmp(payload)
+        hist = [0.0] * 8
+        for b in pixels:
+            hist[b % 8] += 1.0
+        total = sum(hist) or 1.0
+        return w, h, 1, [v / total for v in hist]
+    if kind == "wav":
+        rate, channels, n_frames, samples = codecs.parse_wav(payload)
+        hist = [0.0] * 8
+        for s in samples:
+            hist[s % 8] += 1.0
+        total = sum(hist) or 1.0
+        return rate, channels, n_frames, [v / total for v in hist]
+    # FALLBACK (non-media payload): deterministic byte-derived pseudo-dims
+    # + byte histogram — marked fake, never claimed as a decode.
     n = len(payload)
     width = 16 + n % 64
     height = 16 + (n // 64) % 64
-    # Deterministic "feature": byte histogram over 8 buckets, normalized.
     hist = [0.0] * 8
-    for b in payload[:4096]:
-        hist[b % 8] += 1.0
+    for byte in payload[:4096]:
+        hist[byte % 8] += 1.0
     total = sum(hist) or 1.0
-    return width, height, [h / total for h in hist]
+    return width, height, max(1, (width * height) // (1024 * frame_sample)), [
+        v / total for v in hist
+    ]
 
 
 def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
@@ -84,24 +119,11 @@ def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
 
     Arrow streams partition batches into pandas; the decode loop is
     per-batch Python (the genuinely non-vectorizable part); output is a
-    typed feature row per media item. ``frame_sample`` is the video
-    frame-sampling stride (stub: synthesizes n_frames deterministically).
+    typed feature row per media item. BMP/WAV payloads get a REAL binary
+    parse (see ``_decode_payload``); others the documented fallback.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # decode kernel nested here so the pickled closure is fully
-        # self-contained (workers need no package import); same stub
-        # contract as _fake_decode_image above.
-        def decode(payload: bytes) -> tuple[int, int, list[float]]:
-            n = len(payload)
-            width = 16 + n % 64
-            height = 16 + (n // 64) % 64
-            hist = [0.0] * 8
-            for byte in payload[:4096]:
-                hist[byte % 8] += 1.0
-            total = sum(hist) or 1.0
-            return width, height, [h / total for h in hist]
-
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
@@ -110,10 +132,10 @@ def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
             }
             widths, heights, frames, feats = [], [], [], []
             for payload in pdf["payload"]:
-                w, h, feat = decode(bytes(payload))
+                w, h, nf, feat = _decode_payload(bytes(payload), frame_sample)
                 widths.append(w)
                 heights.append(h)
-                frames.append(max(1, (w * h) // (1024 * frame_sample)))
+                frames.append(nf)
                 feats.append(feat)
             out["width"] = pd.Series(widths, dtype="int32")
             out["height"] = pd.Series(heights, dtype="int32")
@@ -169,11 +191,85 @@ def sample_frames(
     )
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — decode step not available in this
-    container. The plumbing (signature, schema) is the engine contract;
-    raising keeps the gap explicit rather than silently fake."""
-    raise NotImplementedError(
-        "resize requires an image codec (PIL/opencv) not present in this "
-        "environment; wire _fake_decode_image-style kernel when available"
+def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL-media fixture: for each id, build one valid BMP
+    and one valid WAV whose parameters are pure functions of the id —
+    width = 4 + id % 13, height = 4 + id % 7, constant pixel id % 256;
+    sample_rate = 8000 + (id % 8) * 1000, channels = 1 + id % 2,
+    n_frames = 60 + id % 40, constant sample (id % 1000) - 500.
+
+    Because every parameter is arithmetic on the id, a SQL oracle can
+    predict exactly what a correct decoder must recover — which turns
+    the codec round-trip into a hash-checkable differential test."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, modality, payloads, mimes = [], [], [], []
+            for raw_id in pdf["_media_src_id"]:
+                i = int(raw_id)
+                w, h = 4 + i % 13, 4 + i % 7
+                bmp = codecs.make_bmp(w, h, bytes([i % 256]) * (3 * w * h))
+                rate, ch, nf = 8000 + (i % 8) * 1000, 1 + i % 2, 60 + i % 40
+                wav = codecs.make_wav(rate, ch, [(i % 1000) - 500] * (nf * ch))
+                ids += [2 * i, 2 * i + 1]
+                modality += ["image", "audio"]
+                payloads += [bmp, wav]
+                mimes += ["image/bmp", "audio/wav"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "modality": modality,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
     )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator: REAL nearest-neighbor resample of BMP
+    payloads (codecs.resize_bmp), re-emitted under the media contract
+    with recomputed byte_len/sha256. Non-BMP payloads raise — resizing
+    audio bytes silently would be data corruption, and explicit failure
+    is the engine contract for unsupported modalities.
+
+    Payload bytes stay inside the partition (mapInPandas): no shuffle,
+    no driver collection — the only cost at 100 TB is the per-row kernel.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if codecs.sniff(raw) != "bmp":
+                    raise ValueError(
+                        f"resize_images: media_id={int(mid)} is not a BMP payload"
+                    )
+                payloads.append(codecs.resize_bmp(raw, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                    "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+import sys as _sys
+
+cloudpickle.register_pickle_by_value(_sys.modules[__name__])

@@ -330,6 +330,64 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmp_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec differential test: build a valid 24bpp BMP per
+    document whose width/height/fill are arithmetic on doc_id
+    (multimodal.synthesize_media), then decode with the stdlib header+
+    pixel parser (codecs.parse_bmp via decode_and_featurize). A correct
+    decoder must recover exactly what the arithmetic predicts — so the
+    DuckDB oracle is that arithmetic, and the driver hash check becomes
+    an end-to-end proof the binary round trip works. dominant_bucket is
+    the argmax of the pixel histogram: constant-fill means exactly one
+    bucket holds mass 1.0, at (doc_id % 256) % 8."""
+    media = multimodal.synthesize_media(t(spark, sf_dir, "documents"), "doc_id")
+    feats = multimodal.decode_and_featurize(media.filter(F.col("modality") == "image"))
+    return feats.select(
+        (F.col("media_id") / 2).cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.array_position(F.col("feature"), F.array_max(F.col("feature")))
+        .cast("long")
+        .alias("dominant_bucket"),
+        rnd(F.array_max(F.col("feature")).cast("double"), 6).alias("peak_mass"),
+    )
+
+
+_BMP_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS BIGINT) AS width,
+       CAST(4 + doc_id % 7 AS BIGINT)  AS height,
+       CAST((doc_id % 256) % 8 + 1 AS BIGINT) AS dominant_bucket,
+       CAST(1.0 AS DOUBLE) AS peak_mass
+FROM documents
+"""
+
+
+def _wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec differential test, same construction as
+    bmp_decode_roundtrip: canonical PCM16 WAVs with id-derived
+    sample_rate/channels/frame-count, parsed back by the stdlib RIFF
+    chunk walker (codecs.parse_wav). Feature-schema overload: for audio,
+    width carries sample_rate and height carries channels."""
+    media = multimodal.synthesize_media(t(spark, sf_dir, "documents"), "doc_id")
+    feats = multimodal.decode_and_featurize(media.filter(F.col("modality") == "audio"))
+    return feats.select(
+        ((F.col("media_id") - 1) / 2).cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("sample_rate"),
+        F.col("height").cast("long").alias("channels"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+_WAV_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT)             AS channels,
+       CAST(60 + doc_id % 40 AS BIGINT)           AS n_frames
+FROM documents
+"""
+
+
 def _hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 dataset split by multiplicative id hash
     (llmdata/sampling.py): pure map-side arithmetic, reproducible across
@@ -1012,5 +1070,13 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(_ann_lsh_topk, None, "SRP-LSH ANN top-k (approx)"),
     "ann_ivf_topk": QuerySpec(_ann_ivf_topk, None, "IVF k-means ANN top-k (approx)"),
     "binary_media_meta": QuerySpec(_binary_media, _BINARY_MEDIA_SQL, "multimodal carriage"),
-    "media_features": QuerySpec(_media_features, None, "mapInPandas decode/featurize (stub)"),
+    "media_features": QuerySpec(
+        _media_features, None, "mapInPandas decode/featurize (real BMP/WAV, fallback else)"
+    ),
+    "bmp_decode_roundtrip": QuerySpec(
+        _bmp_decode_roundtrip, _BMP_ROUNDTRIP_SQL, "real BMP build+parse vs arithmetic oracle"
+    ),
+    "wav_decode_roundtrip": QuerySpec(
+        _wav_decode_roundtrip, _WAV_ROUNDTRIP_SQL, "real WAV build+parse vs arithmetic oracle"
+    ),
 }

@@ -1,0 +1,145 @@
+"""Real-codec multimodal tests: BMP/WAV build+parse round trips (pure
+python), nearest-neighbor resize on actual pixel grids, and the
+Spark-side decode/resize operators over valid media payloads."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from agent_data_pipeline_spark.llmdata import codecs, multimodal
+
+
+# --- pure-python codec round trips ------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (4, 4), (13, 7), (16, 5)])
+def test_bmp_roundtrip(w, h):
+    pixels = bytes((3 * x) % 256 for x in range(3 * w * h))
+    payload = codecs.make_bmp(w, h, pixels)
+    assert payload[:2] == b"BM"
+    # file size field matches reality (a real header, not a sketch)
+    (file_size,) = struct.unpack_from("<I", payload, 2)
+    assert file_size == len(payload)
+    pw, ph, bpp, back = codecs.parse_bmp(payload)
+    assert (pw, ph, bpp) == (w, h, 24)
+    assert back == pixels  # row padding + bottom-up flip both undone
+
+
+def test_bmp_top_down_variant_parses():
+    """Negative height marks a top-down BMP; the parser must not flip it."""
+    pixels = bytes(range(3 * 2 * 2))
+    payload = bytearray(codecs.make_bmp(2, 2, pixels))
+    # patch height to -2 and re-order rows to top-down in the body
+    struct.pack_into("<i", payload, 22, -2)
+    row = codecs._bmp_row_size(2)
+    off = 54
+    r0 = bytes(payload[off : off + row])
+    r1 = bytes(payload[off + row : off + 2 * row])
+    payload[off : off + row] = r1
+    payload[off + row : off + 2 * row] = r0
+    _, ph, _, back = codecs.parse_bmp(bytes(payload))
+    assert ph == 2 and back == pixels
+
+
+def test_bmp_rejects_non_bmp_and_truncated():
+    with pytest.raises(ValueError):
+        codecs.parse_bmp(b"PNG not really")
+    ok = codecs.make_bmp(4, 4, bytes(48))
+    with pytest.raises(ValueError):
+        codecs.parse_bmp(ok[: len(ok) - 10])
+
+
+def test_resize_bmp_nearest_neighbor_exact():
+    # 2x2 image with distinct corner colors; 2x upscale must replicate
+    # each source pixel into a 2x2 block (nearest neighbor, no blending).
+    px = {(0, 0): b"\x01\x02\x03", (1, 0): b"\x04\x05\x06",
+          (0, 1): b"\x07\x08\x09", (1, 1): b"\x0a\x0b\x0c"}
+    flat = px[(0, 0)] + px[(1, 0)] + px[(0, 1)] + px[(1, 1)]
+    up = codecs.resize_bmp(codecs.make_bmp(2, 2, flat), 4, 4)
+    w, h, _, pixels = codecs.parse_bmp(up)
+    assert (w, h) == (4, 4)
+    for y in range(4):
+        for x in range(4):
+            want = px[(x // 2, y // 2)]
+            got = pixels[3 * (4 * y + x) : 3 * (4 * y + x) + 3]
+            assert got == want, (x, y)
+    # downsize back to 2x2 recovers the original corners
+    _, _, _, down = codecs.parse_bmp(codecs.resize_bmp(up, 2, 2))
+    assert down == flat
+
+
+@pytest.mark.parametrize("rate,ch,n", [(8000, 1, 5), (44100, 2, 16), (16000, 1, 1)])
+def test_wav_roundtrip(rate, ch, n):
+    samples = [((7 * i) % 2000) - 1000 for i in range(n * ch)]
+    payload = codecs.make_wav(rate, ch, samples)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    prate, pch, pframes, back = codecs.parse_wav(payload)
+    assert (prate, pch, pframes) == (rate, ch, n)
+    assert back == samples
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """Parser must walk RIFF chunks, not assume fmt/data offsets."""
+    base = codecs.make_wav(8000, 1, [1, 2, 3])
+    # splice an unknown odd-sized chunk between WAVE and fmt
+    extra = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"  # word-aligned
+    patched = base[:12] + extra + base[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, ch, nf, samples = codecs.parse_wav(patched)
+    assert (rate, ch, nf, samples) == (8000, 1, 3, [1, 2, 3])
+
+
+def test_wav_rejects_non_pcm16():
+    bad = bytearray(codecs.make_wav(8000, 1, [0]))
+    struct.pack_into("<H", bad, 34, 8)  # bits-per-sample -> 8
+    with pytest.raises(ValueError):
+        codecs.parse_wav(bytes(bad))
+
+
+# --- Spark-side operators over real payloads --------------------------------
+
+
+def _media_df(spark, n=6):
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    return multimodal.synthesize_media(ids, "doc_id")
+
+
+def test_decode_and_featurize_parses_real_headers(spark):
+    feats = {r["media_id"]: r for r in multimodal.decode_and_featurize(_media_df(spark)).collect()}
+    for i in range(1, 7):
+        img = feats[2 * i]
+        assert (img["width"], img["height"]) == (4 + i % 13, 4 + i % 7)
+        assert img["n_frames"] == 1
+        # constant-fill image: one histogram bucket holds everything
+        assert max(img["feature"]) == pytest.approx(1.0)
+        assert img["feature"].index(max(img["feature"])) == (i % 256) % 8
+        aud = feats[2 * i + 1]
+        assert aud["width"] == 8000 + (i % 8) * 1000   # sample_rate
+        assert aud["height"] == 1 + i % 2              # channels
+        assert aud["n_frames"] == 60 + i % 40
+
+
+def test_resize_images_real_resample(spark):
+    bmps = _media_df(spark).filter(F.col("modality") == "image")
+    out = multimodal.resize_images(bmps, 8, 8).collect()
+    assert len(out) == 6
+    import hashlib
+
+    for r in out:
+        raw = bytes(r["payload"])
+        w, h, _, pixels = codecs.parse_bmp(raw)
+        assert (w, h) == (8, 8)
+        # constant-fill source -> constant-fill resized
+        assert len(set(pixels)) == 1
+        assert r["byte_len"] == len(raw)
+        assert r["sha256"] == hashlib.sha256(raw).hexdigest()
+
+
+def test_resize_images_rejects_non_bmp(spark):
+    audio = _media_df(spark).filter(F.col("modality") == "audio")
+    with pytest.raises(Exception, match="not a BMP"):
+        multimodal.resize_images(audio, 8, 8).collect()
