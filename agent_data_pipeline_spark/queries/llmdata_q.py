@@ -363,6 +363,35 @@ FROM documents
 """
 
 
+def _bmp_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize differential test: synthesize real BMPs, nearest-neighbor
+    resize to a fixed 8x6 (multimodal.resize_images -> codecs.resize_bmp),
+    decode the RESIZED payloads. A correct resample of a constant-fill
+    image preserves the fill, so the oracle can predict the decoded
+    dims (8, 6 always) AND the dominant histogram bucket — resizing that
+    corrupts pixels or emits broken headers fails the hash."""
+    media = multimodal.synthesize_media(t(spark, sf_dir, "documents"), "doc_id")
+    resized = multimodal.resize_images(media.filter(F.col("modality") == "image"), 8, 6)
+    feats = multimodal.decode_and_featurize(resized)
+    return feats.select(
+        (F.col("media_id") / 2).cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.array_position(F.col("feature"), F.array_max(F.col("feature")))
+        .cast("long")
+        .alias("dominant_bucket"),
+    )
+
+
+_BMP_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST((doc_id % 256) % 8 + 1 AS BIGINT) AS dominant_bucket
+FROM documents
+"""
+
+
 def _wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec differential test, same construction as
     bmp_decode_roundtrip: canonical PCM16 WAVs with id-derived
@@ -1078,5 +1107,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "wav_decode_roundtrip": QuerySpec(
         _wav_decode_roundtrip, _WAV_ROUNDTRIP_SQL, "real WAV build+parse vs arithmetic oracle"
+    ),
+    "bmp_resize_roundtrip": QuerySpec(
+        _bmp_resize_roundtrip, _BMP_RESIZE_SQL, "nearest-neighbor resize then decode vs oracle"
     ),
 }

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Approximate-operator quality metrics, emitted as ONE JSON line.
+
+The driver's rows-only check proves the approx operators run; the test
+suite asserts recall FLOORS; this script emits the MEASURED values so
+round-over-round quality regressions are visible, not just pass/fail
+(ANN recall@5 vs the exact brute-force top-k, MinHash-LSH pair recall
+vs exact same-shingle-space Jaccard pairs).
+
+Usage: python quality.py > QUALITY_r{N}.json
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01 — quality is
+       measured where the correctness gate runs; pass sf0.1 for scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from agent_data_pipeline_spark.llmdata import dedup, similarity
+from agent_data_pipeline_spark.session import get_spark
+
+
+def _pairs(rows, a="query_id", b="neighbor_id"):
+    return {(r[a], r[b]) for r in rows}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="agent_data_pipeline_spark-quality")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    # Same parameters as the registry queries (queries/llmdata_q.py) so
+    # the numbers describe what the driver actually runs.
+    exact = _pairs(similarity.cosine_topk_bruteforce(emb, queries, k=5).collect())
+    lsh = _pairs(
+        similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=64, n_bits=8).collect()
+    )
+    ivf = _pairs(similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    ).cache()
+    docs.count()
+    exact_jac = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.token_jaccard_pairs(
+            docs, threshold=0.7, max_df_ratio=1.0
+        ).collect()
+    }
+    lsh_jac = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, shingle_n=1, threshold=0.7
+        ).collect()
+    }
+
+    out = {
+        "sf_dir": sf_dir,
+        "ann_lsh_recall_at_5": round(len(lsh & exact) / len(exact), 4),
+        "ann_ivf_recall_at_5": round(len(ivf & exact) / len(exact), 4),
+        "ann_n_queries": 10,
+        "minhash_pair_recall": round(
+            len(lsh_jac & exact_jac) / len(exact_jac), 4
+        ) if exact_jac else None,
+        "minhash_pair_precision": round(
+            len(lsh_jac & exact_jac) / len(lsh_jac), 4
+        ) if lsh_jac else None,
+        "minhash_exact_pairs": len(exact_jac),
+        "minhash_lsh_pairs": len(lsh_jac),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,35 @@ def generate(spark, src: str, dst: str) -> None:
         )
 
 
+def composed_neardup(spark, sf_dir: str) -> dict:
+    """The documented production order for duplicate-heavy corpora:
+    exact_dedup FIRST (hash window, linear — collapses the m-way exact
+    duplicate groups that make pair output O(m²)), then minhash_lsh_pairs
+    over unique representatives only. Returns wall-clock + pair count so
+    the round loop can verify the composition keeps near-dup mining
+    near-linear on a corpus where the direct path is measured ~18x."""
+    from pyspark.sql import Window
+
+    from agent_data_pipeline_spark.llmdata import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    # representative row (min id) per distinct content, keeping text:
+    # one shuffle on the fingerprint, no join-back
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    uniq = (
+        dedup.fingerprint(docs)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        uniq, num_hashes=64, bands=16, shingle_n=1, threshold=0.7
+    )
+    n_pairs = pairs.count()
+    return {"sec": round(time.perf_counter() - t0, 3), "pairs": n_pairs}
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/spark_graft_stress10x")
@@ -110,6 +139,18 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
+    # the measured semantic superlinearity of direct pair mining on a
+    # duplicate-heavy corpus (SCALING.md) — ratio should stay near the
+    # data ratio, not the O(m^2) pair blowup.
+    composed = {
+        "base": composed_neardup(spark, src),
+        "x10": composed_neardup(spark, dst),
+    }
+    composed["time_ratio"] = round(
+        composed["x10"]["sec"] / max(composed["base"]["sec"], 1e-9), 2
+    )
+
     print(
         json.dumps(
             {
@@ -117,6 +158,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,
                 "policy": "min",
