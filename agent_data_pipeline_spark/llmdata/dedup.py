@@ -422,6 +422,76 @@ def simhash_hamming_pairs(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit_tokens: int = 8,
+) -> DataFrame:
+    """Passage-level (sub-document) dedup: split each document into
+    fixed ``unit_tokens``-token passages, keep only the globally FIRST
+    occurrence of each distinct passage (ordered by (id, position)), and
+    reassemble. The standard boilerplate-removal pass in training-data
+    pipelines — document-level dedup can't touch a repeated header or
+    license block embedded in otherwise-unique documents.
+
+    Returns one row per surviving document: (id, n_units, n_kept,
+    kept_text) with kept passages rejoined in original order.
+
+    Plan shape for 100 TB: the passage explode is map-side; the
+    keep-first decision is ONE shuffle partitioned by the passage md5
+    (shuffle rows carry the 16-byte digest + id + position, never the
+    document); reassembly is a groupBy on the id — the same key the
+    explode preserved, so AQE can often coalesce it. No joins, no
+    all-pairs anything; skew = a passage repeated across half the corpus
+    lands one hot partition, bounded because only (digest, id, pos)
+    tuples travel, not text.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n_units = F.ceil(F.size(toks) / F.lit(unit_tokens)).cast("int")
+    units = (
+        spread(df.select(F.col(id_col).alias("id"), toks.alias("_toks"), n_units.alias("_n")))
+        .select(
+            "id",
+            "_toks",
+            F.posexplode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("pos", "_i"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("pos") * unit_tokens + 1, unit_tokens)
+            ).alias("unit"),
+        )
+    )
+    w = W.partitionBy(F.md5(F.col("unit"))).orderBy("id", "pos")
+    kept = units.withColumn("_rn", F.row_number().over(w))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rn") == 1, F.struct("pos", "unit"))
+                        )
+                    ),
+                    lambda s: s["unit"],
+                ),
+            ).alias("kept_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_units").cast("long").alias("n_units"),
+            "n_kept",
+            "kept_text",
+        )
+    )
+
+
 def keep_representatives(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Given near-dup pairs, drop every doc that appears as the larger id
     of a pair (greedy min-id representative selection — one connected-

@@ -363,6 +363,52 @@ FROM documents
 """
 
 
+def _passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-level) dedup — the boilerplate-removal pass
+    document-level dedup can't do: fixed 8-token passages, global
+    keep-first by (doc_id, position), documents reassembled from their
+    surviving passages. Hash-checked end to end: the oracle replays the
+    identical split/rank/reassemble in SQL and md5-compares the
+    reassembled text."""
+    docs = t(spark, sf_dir, "documents")
+    out = dedup.passage_dedup(docs, unit_tokens=8)
+    return out.select(
+        "doc_id",
+        "n_units",
+        "n_kept",
+        F.md5(F.col("kept_text")).alias("kept_md5"),
+    )
+
+
+_PASSAGE_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+pos_t AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS pos
+  FROM toks
+),
+units AS (
+  SELECT doc_id, pos,
+         array_to_string(t[pos * 8 + 1 : pos * 8 + 8], ' ') AS unit
+  FROM pos_t
+),
+ranked AS (
+  SELECT doc_id, pos, unit,
+         row_number() OVER (PARTITION BY md5(unit) ORDER BY doc_id, pos) AS rn
+  FROM units
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN unit END, ' ' ORDER BY pos), ''))
+         AS kept_md5
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 def _bmp_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize differential test: synthesize real BMPs, nearest-neighbor
     resize to a fixed 8x6 (multimodal.resize_images -> codecs.resize_bmp),
@@ -1110,5 +1156,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "bmp_resize_roundtrip": QuerySpec(
         _bmp_resize_roundtrip, _BMP_RESIZE_SQL, "nearest-neighbor resize then decode vs oracle"
+    ),
+    "passage_dedup_stats": QuerySpec(
+        _passage_dedup_stats, _PASSAGE_DEDUP_SQL, "sub-document passage dedup, md5-checked"
     ),
 }

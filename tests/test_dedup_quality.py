@@ -70,6 +70,32 @@ def test_simhash_near_dups_close_in_hamming(spark, docs):
     assert ham(fp[0], fp[3]) > ham(fp[0], fp[2])  # unrelated further away
 
 
+def test_passage_dedup_removes_boilerplate(spark):
+    """A passage repeated across documents survives only at its first
+    global occurrence; unique passages all survive; reassembly preserves
+    original within-doc order."""
+    boiler = "this license text repeats in every file exactly the same way"  # 11 tokens
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, boiler + " one two three four five six seven eight"),
+        (2, "totally unique words nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.passage_dedup(df, unit_tokens=4).collect()}
+    # 19 tokens -> 5 units of 4 (last short); boiler spans units 0-2 of docs 0,1
+    assert out[0]["n_units"] == 5 and out[0]["n_kept"] == 5  # first occurrence keeps all
+    assert out[1]["n_units"] == 5
+    # doc 1 loses the two fully-boilerplate leading units (tokens 1-8 =
+    # units 0,1; unit 2 mixes the boiler tail with new words so it
+    # survives: "the same way one")
+    assert out[1]["n_kept"] == 3
+    assert out[1]["kept_text"].startswith("the same way one")
+    assert out[2]["n_kept"] == out[2]["n_units"]
+    # order preserved within the survivors
+    assert out[0]["kept_text"] == rows[0][1]
+    assert out[2]["kept_text"] == rows[2][1]
+
+
 def test_keep_representatives(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
     kept = dedup.keep_representatives(docs, pairs)
