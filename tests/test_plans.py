@@ -277,3 +277,16 @@ def test_bucketed_join_has_no_exchange_below_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:500]
     assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan[:1200]
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:800]
+
+
+def test_interpolation_has_no_shrinking_window_frame(spark):
+    """interpolate_linear must not plan a (following, unboundedFollowing)
+    frame: Spark evaluates shrinking frames by recomputing the aggregate
+    at every row — O(n^2) per partition (measured 3x on the gapfill
+    benchmark query). The next-anchor lookup must be the descending-order
+    growing frame, and the two anchors must appear as exactly two window
+    expressions (not one per struct field access)."""
+    plan = plan_of(spark, "gapfill_interpolate")
+    assert "unboundedfollowing" not in plan.lower(), "shrinking frame is back"
+    n_last = len(re.findall(r"last\(_a", plan))
+    assert n_last <= 2, f"anchor window expressions duplicated: {n_last}"
