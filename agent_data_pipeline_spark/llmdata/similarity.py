@@ -281,6 +281,65 @@ def _kmeans_fit(x: np.ndarray, k: int, seed: int = 42, iters: int = 10) -> np.nd
     return c
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.92,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int = 100_000,
+) -> DataFrame:
+    """Embedding-space (semantic) dedup, SemDeDup-shaped: cluster the
+    corpus into k-means cells, compute exact cosine similarity WITHIN
+    each cell only, and flag every vector that has a lower-id cell-mate
+    above ``threshold`` as a semantic duplicate (the lower id is the
+    kept representative — deterministic, no RNG at query time).
+
+    Scale shape: the only join is the within-cell self-join — cell
+    assignment bounds the fan-out exactly like LSH buckets bound the
+    near-dup join; ``n_cells`` is the skew knob (more cells = smaller
+    join groups, at some recall cost for pairs straddling a boundary,
+    the standard SemDeDup trade-off). Centroids come from a seeded fit
+    on a bounded driver-side sample (index-build phase, same as
+    ``ivf_topk``); assignment is one vectorized Arrow pass.
+
+    Returns (id, cell, is_dup) for every corpus vector.
+    """
+    sample = corpus.select(vec_col).limit(train_limit).collect()
+    smat = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    centers = _kmeans_fit(smat, n_cells, seed=42, iters=10)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        vmat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = -2.0 * (vmat @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    cells = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("cell", nearest_cell("vec"))
+
+    pair_dot = _pair_dot_udf()
+    a = cells.select(F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = cells.select(F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    dup_ids = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", pair_dot("va", "vb"))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        cells.join(dup_ids.withColumn("_dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

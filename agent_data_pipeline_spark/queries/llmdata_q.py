@@ -363,6 +363,25 @@ FROM documents
 """
 
 
+def _semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup over the embeddings table:
+    k-means cells bound the cosine self-join (SemDeDup shape), vectors
+    with a >=0.92-cosine lower-id cell-mate flagged as duplicates.
+    Seeded fit => deterministic, but k-means is not SQL-expressible =>
+    rows-only driver check; flag semantics asserted on planted
+    duplicates in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.92, n_cells=16)
+    return (
+        out.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("is_dup").alias("n_dups"),
+        )
+        .orderBy(F.col("n_vecs").desc(), F.col("cell"))
+    )
+
+
 def _passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document (passage-level) dedup — the boilerplate-removal pass
     document-level dedup can't do: fixed 8-token passages, global
@@ -1159,5 +1178,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "passage_dedup_stats": QuerySpec(
         _passage_dedup_stats, _PASSAGE_DEDUP_SQL, "sub-document passage dedup, md5-checked"
+    ),
+    "semantic_dedup_summary": QuerySpec(
+        _semantic_dedup_summary, None, "SemDeDup-shape embedding dedup (k-means cells)"
     ),
 }

@@ -67,6 +67,27 @@ def test_lsh_topk_is_deterministic(emb):
     assert a == b
 
 
+def test_semantic_dedup_flags_planted_duplicates(spark):
+    """Copies of a vector (exact and tiny-noise) must be flagged as
+    semantic duplicates of the lowest-id original; independent random
+    vectors must survive (high-dim random cosine ~ 0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # ids 100-104: exact copies of vecs 0-4 ; ids 200-204: 1e-3-noise copies
+    for j in range(5):
+        rows.append((100 + j, [float(x) for x in base[j]]))
+        rows.append((200 + j, [float(x) for x in base[j] + 1e-3 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_dup"] for r in
+           similarity.semantic_dedup(df, threshold=0.95, n_cells=4).collect()}
+    assert all(out[100 + j] == 1 for j in range(5)), "exact copies not flagged"
+    assert all(out[200 + j] == 1 for j in range(5)), "near copies not flagged"
+    assert all(out[i] == 0 for i in range(20)), "originals must survive"
+
+
 def test_kmeans_clusters_shape(spark, sf_oracle):
     """Seeded k-means size distribution: k clusters, sizes sum to the
     corpus, ranked descending (rows-only query's quality contract)."""
