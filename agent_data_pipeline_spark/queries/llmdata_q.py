@@ -89,12 +89,16 @@ FROM c
 
 
 def _lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg_quality is rounded at 4dp, NOT the 6dp of the per-doc scores:
+    the mean of ~100 6dp-quantized doubles differs across engines in the
+    last ulp (summation order), and a 6dp grain sits close enough to
+    that noise to flip — measured as a 1-digit hash mismatch."""
     stats = textstats.with_text_stats(t(spark, sf_dir, "documents"))
     return stats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         rnd(F.avg("n_chars"), 4).alias("avg_chars"),
         rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        rnd(F.avg("quality_score"), 6).alias("avg_quality"),
+        rnd(F.avg("quality_score"), 4).alias("avg_quality"),
     )
 
 
@@ -122,7 +126,7 @@ WITH s AS (
 SELECT lang, count(*) AS n_docs,
        floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
        floor((avg(n_tokens)) * 10000 + 0.5) / 10000 AS avg_tokens,
-       floor((avg(quality_score)) * 1000000 + 0.5) / 1000000 AS avg_quality
+       floor((avg(quality_score)) * 10000 + 0.5) / 10000 AS avg_quality
 FROM q GROUP BY lang
 """
 
