@@ -367,6 +367,102 @@ FROM documents
 """
 
 
+def _html_strip_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus text extraction: wrap each document in deterministic
+    HTML (title/head/body/p/a markup derived from its own fields), then
+    recover the clean text with tag-strip + whitespace-normalize, pull
+    the title and href, and count tags — the trafilatura-lite cleaning
+    pass every web-scrape training pipeline runs. All patterns are
+    RE2-safe (no lookaround) so Spark (java.util.regex) and DuckDB (RE2)
+    agree; cleaning is pure codegen'd regexp work, scan-bound at scale."""
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id"),
+        F.lit("</title></head><body><p class=\"m\">"), F.col("text"),
+        F.lit("</p><br/><a href=\"https://ex.com/d/"), F.col("doc_id"),
+        F.lit("?lang="), F.col("lang"), F.lit("\">go</a></body></html>"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(html, "<[^>]+>", " "), r"\s+", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(html, "<title>([^<]*)</title>", 1).alias("title"),
+        F.size(F.regexp_extract_all(html, F.lit("<[^>]+>"), 0)).cast("long").alias("n_tags"),
+        F.regexp_extract(html, "href=\"([^\"]*)\"", 1).alias("href"),
+        F.md5(stripped).alias("clean_md5"),
+        F.length(stripped).cast("long").alias("clean_len"),
+    )
+
+
+_HTML_STRIP_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id ||
+         '</title></head><body><p class="m">' || text ||
+         '</p><br/><a href="https://ex.com/d/' || doc_id ||
+         '?lang=' || lang || '">go</a></body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS stripped
+  FROM h
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1)           AS title,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT)    AS n_tags,
+       regexp_extract(html, 'href="([^"]*)"', 1)                   AS href,
+       md5(stripped)                                               AS clean_md5,
+       CAST(length(stripped) AS BIGINT)                            AS clean_len
+FROM s
+"""
+
+
+def _url_parse_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for web-corpus provenance: scheme, host, port,
+    path, a query parameter, and fragment — extracted with the same
+    RE2-safe patterns in both engines from deterministically synthesized
+    URLs. The per-host/per-domain grouping this enables is how crawl
+    pipelines rate-limit, dedup by site, and attribute provenance."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), F.col("doc_id") % 5,
+        F.lit(".example.org:8443/c/"), F.col("source"),
+        F.lit("/"), F.col("doc_id"),
+        F.lit("?page="), F.col("doc_id") % 7,
+        F.lit("&ref=feed#s"), F.col("doc_id") % 3,
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, "^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1).alias("host"),
+        F.regexp_extract(url, "^[a-z]+://[^/:?#]+:([0-9]+)", 1).cast("long").alias("port"),
+        F.regexp_extract(url, "^[a-z]+://[^/?#]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, "[?&]page=([^&#]*)", 1).cast("long").alias("page"),
+        F.regexp_extract(url, "#(.*)$", 1).alias("fragment"),
+    )
+
+
+_URL_PARSE_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 5) || '.example.org:8443/c/' || source ||
+         '/' || doc_id || '?page=' || (doc_id % 7) || '&ref=feed#s' ||
+         (doc_id % 3) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1)                     AS scheme,
+       regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)             AS host,
+       CAST(regexp_extract(url, '^[a-z]+://[^/:?#]+:([0-9]+)', 1) AS BIGINT) AS port,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)       AS path,
+       CAST(regexp_extract(url, '[?&]page=([^&#]*)', 1) AS BIGINT) AS page,
+       regexp_extract(url, '#(.*)$', 1)                           AS fragment
+FROM u
+"""
+
+
 def _semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup over the embeddings table:
     k-means cells bound the cosine self-join (SemDeDup shape), vectors
@@ -1185,5 +1281,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "semantic_dedup_summary": QuerySpec(
         _semantic_dedup_summary, None, "SemDeDup-shape embedding dedup (k-means cells)"
+    ),
+    "html_strip_kit": QuerySpec(
+        _html_strip_kit, _HTML_STRIP_SQL, "HTML tag-strip/extract cleaning pass"
+    ),
+    "url_parse_kit": QuerySpec(
+        _url_parse_kit, _URL_PARSE_SQL, "URL scheme/host/port/path/query/fragment parse"
     ),
 }
