@@ -129,15 +129,17 @@ def main() -> None:
         )
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        best = float("inf")
-        for _ in range(2):
+    # interleaved rotated passes, min per query — same methodology as
+    # bench.py so a background-load burst can't poison one query's slot.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    n_passes = 2
+    for p in range(n_passes):
+        shift = (p * len(HEADLINE)) // n_passes
+        for name in HEADLINE[shift:] + HEADLINE[:shift]:
             start = time.perf_counter()
-            spec.spark(spark, dst).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            REGISTRY[name].spark(spark, dst).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - start)
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
     # the measured semantic superlinearity of direct pair mining on a

@@ -290,3 +290,21 @@ def test_interpolation_has_no_shrinking_window_frame(spark):
     assert "unboundedfollowing" not in plan.lower(), "shrinking frame is back"
     n_last = len(re.findall(r"last\(_a", plan))
     assert n_last <= 2, f"anchor window expressions duplicated: {n_last}"
+
+
+def test_passage_dedup_is_join_free(spark):
+    """passage_dedup's contract: explode map-side, ONE shuffle keyed by
+    the passage digest (window), reassembly agg — and no join anywhere
+    (a join-back shape would shuffle the corpus twice)."""
+    plan = plan_of(spark, "passage_dedup_stats")
+    assert "Join" not in plan, "passage dedup grew a join:\n" + plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_join_is_cell_bounded(spark):
+    """semantic_dedup's only corpus-corpus join must be keyed on the
+    k-means cell (bounded fan-out, like an LSH bucket join) — never a
+    cartesian/broadcast-nested-loop over the corpus."""
+    plan = plan_of(spark, "semantic_dedup_summary")
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
