@@ -126,6 +126,45 @@ def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("bow_fingerprint", F.md5(F.array_join(toks, " ")))
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram model — the CCNet-style LM-quality proxy: documents of
+    common, fluent vocabulary score high; gibberish and rare-token noise
+    score low. No external model, fully deterministic, SQL-expressible.
+
+    Returns (id, n_tokens, avg_logprob).
+
+    Plan shape at 100 TB: token explode is map-side; the vocabulary is a
+    partial-agg'd count (shuffle carries (token, count), vocabulary-
+    bounded); the corpus total joins back as a broadcast 1-row cross
+    join; the score join shuffles tokens against the vocabulary — the
+    standard token-table join. Skew note: hot stop-words concentrate on
+    single partitions in that join; at real scale broadcast the top-K
+    head of the vocabulary and shuffle only the tail (AQE's skew-join
+    handles the moderate case automatically).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), _WORD_RE)).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        toks.join(logp, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            rnd(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
 def rolling_hash(df: DataFrame, text_col: str = "text", mod: int = 1 << 31) -> DataFrame:
     """Polynomial rolling hash (Rabin-Karp shape) over characters,
     computed with a JVM-side higher-order aggregate: h = h*31 + code

@@ -28,6 +28,7 @@ Semantics notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def upsert(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
@@ -36,3 +37,90 @@ def upsert(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
     Columns are matched by name (schemas must agree)."""
     survivors = base.join(delta.select(*keys), keys, "left_anti")
     return survivors.unionByName(delta)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply an update batch to a
+    versioned dimension, closing changed current rows at ``batch_ts``
+    and inserting new versions valid from ``batch_ts`` (open-ended).
+
+    ``dim`` carries (key, attrs..., valid_from, valid_to) with
+    ``valid_to IS NULL`` marking current rows; ``updates`` carries
+    (key, tracked attrs...). Semantics:
+
+    * current row whose tracked attrs all equal the update -> untouched
+      (idempotent re-apply);
+    * current row with any tracked attr differing -> closed
+      (``valid_to = batch_ts``) and a new open version inserted;
+    * update key absent from the dimension -> new open row inserted;
+    * historical (already closed) rows always pass through.
+
+    Plan shape: ONE left join of current rows to the update batch on the
+    key (broadcast when the batch is small — the common incremental
+    case), a change predicate, and a union for the inserted versions.
+    Null-safe comparison (<=>) so NULL -> value and value -> NULL count
+    as changes. History never rewrites: at 100 TB pair this with a
+    valid_to-partitioned layout so the closed partition is append-only.
+    """
+    ts = F.lit(batch_ts).cast(dict(dim.dtypes)[valid_from])
+    upd = updates.select(key, *tracked)
+    u_cols = {c: f"_u_{c}" for c in (key, *tracked)}
+    upd_renamed = upd.select(*[F.col(c).alias(a) for c, a in u_cols.items()])
+
+    current = dim.filter(F.col(valid_to).isNull())
+    history = dim.filter(F.col(valid_to).isNotNull())
+
+    joined = current.join(
+        upd_renamed, F.col(key) == F.col(u_cols[key]), "left"
+    )
+    changed = F.col(u_cols[key]).isNotNull() & ~F.expr(
+        " AND ".join(f"({c} <=> {u_cols[c]})" for c in tracked)
+    )
+    kept_or_closed = joined.select(
+        *dim.columns,
+        changed.alias("_changed"),
+    ).select(
+        *[c for c in dim.columns if c != valid_to],
+        F.when(F.col("_changed"), ts).otherwise(F.col(valid_to)).alias(valid_to),
+        F.col("_changed"),
+    )
+
+    # new open versions: changed keys (tracked attrs from the update,
+    # untracked attrs carried from the closed row) + brand-new keys
+    changed_new = (
+        joined.filter(changed)
+        .select(
+            *[
+                F.col(u_cols[c]).alias(c) if c in (key, *tracked) else F.col(c)
+                for c in dim.columns
+                if c not in (valid_from, valid_to)
+            ],
+            ts.alias(valid_from),
+            F.lit(None).cast(dict(dim.dtypes)[valid_to]).alias(valid_to),
+        )
+    )
+    brand_new = (
+        upd_renamed.join(current, F.col(u_cols[key]) == F.col(key), "left_anti")
+        .select(
+            *[
+                (F.col(u_cols[c]) if c in (key, *tracked) else F.lit(None).cast(t)).alias(c)
+                for c, t in dim.dtypes
+                if c not in (valid_from, valid_to)
+            ],
+            ts.alias(valid_from),
+            F.lit(None).cast(dict(dim.dtypes)[valid_to]).alias(valid_to),
+        )
+    )
+    return (
+        history.unionByName(kept_or_closed.drop("_changed"))
+        .unionByName(changed_new)
+        .unionByName(brand_new)
+    )

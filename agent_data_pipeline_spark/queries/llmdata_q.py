@@ -367,6 +367,34 @@ FROM documents
 """
 
 
+def _unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram model (textstats.unigram_logprob) — the CCNet-style quality
+    proxy used to perplexity-bucket web corpora. Oracle replays the
+    identical count/ln math in SQL."""
+    return textstats.unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+_UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+), logp AS (
+  SELECT tok, ln(cnt / total) AS lp FROM vocab, tot
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_logprob
+FROM toks JOIN logp USING (tok)
+GROUP BY id
+"""
+
+
 def _html_strip_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus text extraction: wrap each document in deterministic
     HTML (title/head/body/p/a markup derived from its own fields), then
@@ -1284,6 +1312,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "html_strip_kit": QuerySpec(
         _html_strip_kit, _HTML_STRIP_SQL, "HTML tag-strip/extract cleaning pass"
+    ),
+    "unigram_logprob_scores": QuerySpec(
+        _unigram_logprob_scores, _UNIGRAM_LOGPROB_SQL, "CCNet-style LM-quality proxy"
     ),
     "url_parse_kit": QuerySpec(
         _url_parse_kit, _URL_PARSE_SQL, "URL scheme/host/port/path/query/fragment parse"

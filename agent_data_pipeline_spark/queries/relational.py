@@ -1240,6 +1240,55 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
+def _scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 versioned-dimension maintenance (ops/merge.py
+    scd2_apply): a customer dimension with validity intervals receives a
+    batch where every 7th key changes balance (+100), every 3rd repeats
+    its current value (idempotent no-op), and every 50th key arrives
+    shifted as brand-new. Changed rows close at the batch date, new
+    versions open; the oracle states the closed/open/no-op row algebra
+    directly. Validity bounds are STRINGS by design — engine-neutral
+    canonicalization (see verify notes on DATE columns)."""
+    from ..ops.merge import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = (
+        c.filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 3 == 0))
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 9000000).alias("id"),
+                F.lit(0.0).alias("bal"),
+            )
+        )
+    )
+    return scd2_apply(dim, upd, "id", ["bal"], "1998-06-01")
+
+
+_SCD2_CUSTOMERS_SQL = """
+SELECT c_custkey AS id, c_acctbal AS bal, '1995-01-01' AS valid_from,
+       CASE WHEN c_custkey % 7 = 0 THEN '1998-06-01' END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, c_acctbal + 100, '1998-06-01', NULL
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey + 9000000, 0.0, '1998-06-01', NULL
+FROM customer WHERE c_custkey % 50 = 0
+"""
+
+
 def _covar_regr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance + linear-regression aggregates (covar_samp/covar_pop,
     regr_slope/intercept/r2). One-pass JVM aggregates; the shuffle carries
@@ -1363,6 +1412,9 @@ GROUP BY c_nationkey
 QUERIES: dict[str, QuerySpec] = {
     "merge_upsert_orders": QuerySpec(
         _merge_upsert_orders, _MERGE_UPSERT_ORDERS_SQL, "MERGE/upsert delta into base"
+    ),
+    "scd2_customers": QuerySpec(
+        _scd2_customers, _SCD2_CUSTOMERS_SQL, "SCD type-2 close/version/insert"
     ),
     "covar_regr_by_flag": QuerySpec(
         _covar_regr_by_flag, _COVAR_REGR_BY_FLAG_SQL, "covariance + regr_* aggregates"

@@ -84,3 +84,17 @@ def test_sample_frames_empty_payload_yields_one_frame(spark):
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     assert by_id[1] == [0]          # empty payload still emits frame 0
     assert sorted(by_id[2]) == [0]  # 64//16 = 4 frames, stride 4 -> idx 0
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """The corpus-unigram LM proxy must score a document of frequent
+    tokens above one of hapax tokens — the property perplexity-bucket
+    filtering depends on."""
+    from agent_data_pipeline_spark.llmdata import textstats
+
+    rows = [(i, "common words appear here often") for i in range(9)]
+    rows.append((100, "zyx qwv jkl pqr mno"))  # all hapax
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in textstats.unigram_logprob(df).collect()}
+    assert got[0] > got[100]
+    assert all(v < 0 for v in got.values())  # log-probs

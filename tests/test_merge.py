@@ -44,3 +44,53 @@ def test_connected_components_chain_transitivity(spark):
         (r["node"], r["comp"]) for r in connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_scd2_close_insert_noop_newkey_history(spark):
+    """SCD2 apply: changed current row closed + new version; identical
+    update is a no-op; unknown key inserts; history untouched; untracked
+    attrs carry into the new version."""
+    from agent_data_pipeline_spark.ops.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 50.0, "2010-01-01", "2020-01-01"),   # history
+            (1, "a", 100.0, "2020-01-01", None),           # current, no update
+            (2, "b", 200.0, "2020-01-01", None),           # current, changed
+            (3, "c", 300.0, "2020-01-01", None),           # current, same value
+        ],
+        "id int, name string, bal double, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(2, 250.0), (3, 300.0), (4, 400.0)], "id int, bal double"
+    )
+    out = scd2_apply(dim, upd, "id", ["bal"], "2024-06-01")
+    rows = sorted(
+        ((r["id"], r["name"], r["bal"], r["valid_from"], r["valid_to"]) for r in out.collect()),
+        key=repr,
+    )
+    assert rows == sorted([
+        (1, "a", 50.0, "2010-01-01", "2020-01-01"),
+        (1, "a", 100.0, "2020-01-01", None),
+        (2, "b", 200.0, "2020-01-01", "2024-06-01"),  # closed
+        (2, "b", 250.0, "2024-06-01", None),          # new version, name carried
+        (3, "c", 300.0, "2020-01-01", None),          # idempotent no-op
+        (4, None, 400.0, "2024-06-01", None),         # brand-new key
+    ], key=repr)
+
+
+def test_scd2_null_transitions_count_as_changes(spark):
+    """NULL -> value and value -> NULL must both version (null-safe
+    comparison), not silently pass through."""
+    from agent_data_pipeline_spark.ops.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, "2020-01-01", None), (2, 5.0, "2020-01-01", None)],
+        "id int, bal double, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame([(1, 7.0), (2, None)], "id int, bal double")
+    out = scd2_apply(dim, upd, "id", ["bal"], "2024-06-01").collect()
+    closed = {r["id"] for r in out if r["valid_to"] == "2024-06-01"}
+    opened = {(r["id"], r["bal"]) for r in out if r["valid_from"] == "2024-06-01"}
+    assert closed == {1, 2}
+    assert opened == {(1, 7.0), (2, None)}
