@@ -381,6 +381,71 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def _stream_docs_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-data ingest: file-source stream of the
+    documents table -> stateless quality gate (token floor) ->
+    exact-duplicate drop on (source, content fingerprint) via streaming
+    dropDuplicates -> append sink; the per-source manifest is aggregated
+    from the sink after the drain. The LLM-data hygiene ops composed
+    under Structured Streaming — how a continuously-arriving corpus is
+    cleaned without batch re-runs.
+
+    Watermark-free dropDuplicates is correct here because the fixture is
+    a finite replay (state = one fingerprint per unique doc); unbounded
+    production ingest uses dropDuplicatesWithinWatermark — that eviction
+    path is exercised by `stream_dedup_watermark`. Every aggregated
+    column derives from the deduped text itself, so the result is
+    invariant to WHICH copy survived — what makes the batch oracle
+    exact."""
+    import os
+    import uuid
+
+    from ..streaming import drain, stream_to_memory
+
+    path = f"{sf_dir}/documents.parquet"
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        reader, stream_dir = spark.readStream, path
+    else:
+        reader = spark.readStream.option("pathGlobFilter", "documents.parquet")
+        stream_dir = sf_dir
+    docs = reader.schema(batch_schema).parquet(stream_dir)
+
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    survivors = (
+        docs.withColumn("n_tokens", n_tok)
+        .filter(F.col("n_tokens") >= 20)
+        .withColumn("fp", F.md5("text"))
+        .dropDuplicates(["source", "fp"])
+    )
+    name = f"stream_docs_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(survivors, name, output_mode="append")
+    drain(q)
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+_STREAM_DOCS_QUALITY_SQL = r"""
+WITH gated AS (
+  SELECT source, md5(text) AS fp,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20
+), uniq AS (
+  SELECT source, fp, min(n_tokens) AS n_tokens FROM gated GROUP BY source, fp
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM uniq GROUP BY source
+"""
+
+
 def _stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running count/sum/min/max kept in the state store, emitted
@@ -579,5 +644,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "gapfill_interpolate": QuerySpec(
         _gapfill_interpolate, _GAPFILL_INTERPOLATE_SQL, "gap-fill + LOCF + linear interp"
+    ),
+    "stream_docs_quality_dedup": QuerySpec(
+        _stream_docs_quality_dedup, _STREAM_DOCS_QUALITY_SQL,
+        "streaming ingest: quality gate + exact-dup drop on a document stream",
     ),
 }
