@@ -1,3 +1,3 @@
-from . import dedup, multimodal, sampling, similarity, textstats
+from . import codecs, dedup, hygiene, multimodal, sampling, similarity, textstats
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal", "sampling"]
+__all__ = ["codecs", "dedup", "hygiene", "similarity", "textstats", "multimodal", "sampling"]

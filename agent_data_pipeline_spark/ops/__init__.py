@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .merge import scd2_apply, upsert
 from .sessionize import sessionize
 from .skew import salted_agg, salted_join
 from .timeseries import (
@@ -12,6 +13,8 @@ from .timeseries import (
 
 __all__ = [
     "asof_join",
+    "upsert",
+    "scd2_apply",
     "sessionize",
     "salted_agg",
     "salted_join",
