@@ -13,16 +13,37 @@ REGISTRY: dict[str, QuerySpec] = {}
 # that have never had a hard driver check lead; once verified, modules
 # keep a stable relative order. History: round 1 verified all 50 of
 # `relational`; round 2 verified temporal+llmdata_q+extras2 (50/50);
-# round 3 leads with the remaining never-checked modules (scalars 19 +
-# extras 10 + extras3 6 + extras4 6 + extras5 5 = 46, padded to 50 by
-# the head of temporal), completing hard rows for every query that
-# existed at round start. Queries ADDED later join at the back of their
-# module and rotate to the front in the following round under the same
-# never-verified-first rule.
+# round 3 verified the remaining never-checked modules (scalars/extras/
+# extras3-5 + temporal head), completing hard rows for every query that
+# existed at round-3 start. Round 4 therefore leads with the 10 queries
+# ADDED during round 3 (codec round trips, passage/semantic dedup,
+# html/url kits, unigram LM scores, SCD2, streaming ingest), followed by
+# any round-4 additions; verified modules keep their stable order after.
+_NEVER_VERIFIED_FRONT = [
+    "bmp_decode_roundtrip",
+    "wav_decode_roundtrip",
+    "bmp_resize_roundtrip",
+    "passage_dedup_stats",
+    "semantic_dedup_summary",
+    "html_strip_kit",
+    "url_parse_kit",
+    "unigram_logprob_scores",
+    "scd2_customers",
+    "stream_docs_quality_dedup",
+]
+_merged: dict[str, QuerySpec] = {}
 for mod in (scalars, extras, extras3, extras4, extras5, temporal, llmdata_q, extras2, relational):
-    overlap = REGISTRY.keys() & mod.QUERIES.keys()
+    overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
-    REGISTRY.update(mod.QUERIES)
+    _merged.update(mod.QUERIES)
+missing = [name for name in _NEVER_VERIFIED_FRONT if name not in _merged]
+if missing:
+    raise ValueError(f"front-rotation names absent from registry: {missing}")
+for name in _NEVER_VERIFIED_FRONT:
+    REGISTRY[name] = _merged[name]
+for name, spec in _merged.items():
+    if name not in REGISTRY:
+        REGISTRY[name] = spec
 
 __all__ = ["REGISTRY", "QuerySpec"]
