@@ -281,6 +281,19 @@ def _kmeans_fit(x: np.ndarray, k: int, seed: int = 42, iters: int = 10) -> np.nd
     return c
 
 
+def _train_sample(corpus: DataFrame, id_col: str, vec_col: str, train_limit: int) -> np.ndarray:
+    """Layout-independent bounded training sample: the ``train_limit``
+    LOWEST-id vectors, via orderBy(id).limit(n) — Spark plans this as
+    TakeOrderedAndProject (per-partition heap + driver merge, no global
+    sort shuffle), so the same corpus yields the same sample regardless
+    of file split / partition layout. A bare ``limit(n)`` would take
+    whatever rows the first partitions supply, silently breaking the
+    "seeded fit => deterministic" reproducibility contract whenever the
+    corpus is repartitioned."""
+    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_limit).collect()
+    return np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.92,
@@ -288,6 +301,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_limit: int = 100_000,
+    cell_cap: int = 512,
 ) -> DataFrame:
     """Embedding-space (semantic) dedup, SemDeDup-shaped: cluster the
     corpus into k-means cells, compute exact cosine similarity WITHIN
@@ -297,16 +311,26 @@ def semantic_dedup(
 
     Scale shape: the only join is the within-cell self-join — cell
     assignment bounds the fan-out exactly like LSH buckets bound the
-    near-dup join; ``n_cells`` is the skew knob (more cells = smaller
-    join groups, at some recall cost for pairs straddling a boundary,
-    the standard SemDeDup trade-off). Centroids come from a seeded fit
-    on a bounded driver-side sample (index-build phase, same as
-    ``ivf_topk``); assignment is one vectorized Arrow pass.
+    near-dup join; ``n_cells`` is the coarse skew knob and ``cell_cap``
+    is the hard one: any cell whose member count exceeds the cap is
+    deterministically salt-split (``xxhash64(id) mod ceil(count/cap)``)
+    so no single join group ever exceeds ~``cell_cap`` members — a hot
+    cell at 100x data stays O(cap²) per group instead of O(m²) in one
+    task, the same guard the MinHash-LSH path applies to hot buckets
+    (dedup.py max_bucket). Pairs straddling a salt split are not
+    compared — the standard SemDeDup boundary trade-off, but strictly
+    better than the LSH guard (which DROPS over-cap buckets outright);
+    recall loss only begins once a cell exceeds the cap. The split
+    counts come from one tiny groupBy("cell") agg (n_cells rows)
+    broadcast back onto the corpus — no extra corpus shuffle.
+
+    Centroids come from a seeded fit on a bounded, layout-independent
+    sample (lowest ``train_limit`` ids — see ``_train_sample``);
+    assignment is one vectorized Arrow pass.
 
     Returns (id, cell, is_dup) for every corpus vector.
     """
-    sample = corpus.select(vec_col).limit(train_limit).collect()
-    smat = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    smat = _train_sample(corpus, id_col, vec_col, train_limit)
     centers = _kmeans_fit(smat, n_cells, seed=42, iters=10)
 
     @F.pandas_udf("int")
@@ -315,15 +339,28 @@ def semantic_dedup(
         d = -2.0 * (vmat @ centers.T) + (centers**2).sum(axis=1)[None, :]
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    cells = corpus.select(
+    assigned = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn("cell", nearest_cell("vec"))
 
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    cells = (
+        assigned.join(F.broadcast(counts), "cell")
+        .withColumn(
+            "sub",
+            F.pmod(
+                F.xxhash64("id"),
+                F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(cell_cap))),
+            ).cast("int"),
+        )
+        .drop("_n")
+    )
+
     pair_dot = _pair_dot_udf()
-    a = cells.select(F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = cells.select(F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    a = cells.select("cell", "sub", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = cells.select("cell", "sub", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     dup_ids = (
-        a.join(b, ["cell"])
+        a.join(b, ["cell", "sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", pair_dot("va", "vb"))
         .filter(F.col("sim") >= threshold)
@@ -373,8 +410,7 @@ def ivf_topk(
     Approximate => rows-only driver check; recall@k floor asserted in
     tests/test_similarity.py.
     """
-    sample = corpus.select(vec_col).limit(train_limit).collect()
-    smat = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    smat = _train_sample(corpus, id_col, vec_col, train_limit)
     centers = _kmeans_fit(smat, n_cells, seed=42, iters=10)
 
     @F.pandas_udf("int")

@@ -51,13 +51,16 @@ def test_lsh_recall_at_5(emb):
 
 
 def test_ivf_recall_at_5(emb):
+    """Same params as the ann_ivf_topk registry query (32 cells, 12
+    probes = 37.5% scan fraction); measured recall on this fixture is
+    0.88 — 0.8 is the floor the engine advertises."""
     queries = emb.filter(F.col("vec_id") < 10)
     exact = _pairs(similarity.cosine_topk_bruteforce(emb, queries, k=5).collect())
     ivf = _pairs(
-        similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
+        similarity.ivf_topk(emb, queries, k=5, n_cells=32, n_probe=12).collect()
     )
     recall = len(ivf & exact) / len(exact)
-    assert recall >= 0.6, f"IVF recall@5 {recall:.3f} below floor"
+    assert recall >= 0.8, f"IVF recall@5 {recall:.3f} below floor"
 
 
 def test_lsh_topk_is_deterministic(emb):
@@ -86,6 +89,44 @@ def test_semantic_dedup_flags_planted_duplicates(spark):
     assert all(out[100 + j] == 1 for j in range(5)), "exact copies not flagged"
     assert all(out[200 + j] == 1 for j in range(5)), "near copies not flagged"
     assert all(out[i] == 0 for i in range(20)), "originals must survive"
+
+
+def test_semantic_dedup_cell_cap_bounds_hot_cells(spark):
+    """Skew guard: a degenerate corpus where EVERY vector lands in one
+    k-means cell must not produce one O(m²) join group — over-cap cells
+    are salt-split on xxhash64(id) into ceil(count/cap) groups. With 200
+    identical vectors and cap=16 (=> 13 salt groups), each group keeps
+    exactly its min id, so survivors == number of non-empty groups —
+    bounded by the split count, never by the corpus. Recall loss under
+    the cap is therefore bounded: at most (groups-1) extra survivors
+    per hot cell."""
+    rows = [(i, [1.0] * 16) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, threshold=0.95, n_cells=2, cell_cap=16)
+    flags = {r["vec_id"]: r["is_dup"] for r in out.collect()}
+    survivors = [i for i, d in flags.items() if d == 0]
+    assert len(flags) == 200, "every corpus vector must appear in the output"
+    # ceil(200/16) = 13 salt groups; hash spread can leave a group empty,
+    # but survivors can never exceed the split count
+    assert 1 <= len(survivors) <= 13, f"{len(survivors)} survivors (cap broken)"
+    assert min(flags) in survivors or flags[min(flags)] == 0
+
+
+def test_semantic_dedup_is_layout_independent(spark):
+    """The centroid sample is the lowest train_limit ids (TakeOrdered),
+    so repartitioning the corpus must not change cells or dup flags —
+    the reproducibility contract the docstring states."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, similarity.semantic_dedup(df, n_cells=4).collect()))
+    b = sorted(
+        map(tuple, similarity.semantic_dedup(df.repartition(7), n_cells=4).collect())
+    )
+    assert a == b
 
 
 def test_kmeans_clusters_shape(spark, sf_oracle):
