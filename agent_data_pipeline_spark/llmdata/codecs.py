@@ -74,6 +74,15 @@ def parse_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     )
     if hdr_size < 40 or compression != 0 or bpp != 24:
         raise ValueError(f"unsupported BMP variant (hdr={hdr_size} comp={compression} bpp={bpp})")
+    # Bounds-check header dims BEFORE deriving sizes from them: a crafted
+    # header with width <= 0 would make row_size non-positive, letting the
+    # truncation check below pass trivially and the parse silently return
+    # empty/garbage pixels instead of raising. 1<<20 per side (~3 TB of
+    # pixels at the pair) is far beyond any real 24bpp BMP.
+    if width <= 0 or height == 0 or width > (1 << 20) or abs(height) > (1 << 20):
+        raise ValueError(f"implausible BMP dimensions ({width}x{height})")
+    if data_offset < _BMP_FILE_SIZE + _BMP_INFO_SIZE or data_offset > len(payload):
+        raise ValueError(f"implausible BMP data offset ({data_offset})")
     top_down = height < 0
     height = abs(height)
     row_size = _bmp_row_size(width)

@@ -5,8 +5,11 @@ The decode path is REAL for BMP (24bpp) and WAV (PCM16): stdlib
 `struct`-based parsers in ``codecs.py`` — actual binary format
 implementations, not fakes. Payloads that aren't one of those formats
 (e.g. the text-as-bytes fixture) fall back to a deterministic
-byte-histogram kernel, clearly marked below, so the operators stay
-total. Swapping in a richer codec set (`PIL`/`torchaudio`, absent in
+byte-histogram kernel, clearly marked below — and payloads that SNIFF
+as BMP/WAV but are malformed (truncated, non-PCM16, corrupt RIFF) are
+caught per row and routed to the same fallback with
+``decode_status='corrupt'`` instead of failing the job, so the decode
+operators are total over arbitrary bytes. Swapping in a richer codec set (`PIL`/`torchaudio`, absent in
 this container) extends the same dispatch with more sniffed formats and
 changes nothing Spark-side.
 
@@ -23,6 +26,7 @@ unpickle the kernels without needing this package on their PYTHONPATH
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,7 +48,8 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id BIGINT, modality STRING, byte_len BIGINT, "
-    "width INT, height INT, n_frames INT, feature ARRAY<FLOAT>"
+    "width INT, height INT, n_frames INT, feature ARRAY<FLOAT>, "
+    "decode_status STRING"
 )
 
 
@@ -75,33 +80,45 @@ def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _decode_payload(payload: bytes, frame_sample: int) -> tuple[int, int, int, list[float]]:
+def _decode_payload(payload: bytes, frame_sample: int) -> tuple[int, int, int, list[float], str]:
     """Decode kernel: REAL header+content parse for BMP/WAV payloads
-    (codecs.py), deterministic byte-histogram FALLBACK for anything else
-    (kept so non-media payloads — e.g. the text fixture — flow through
-    rather than erroring). Returns (width, height, n_frames, feature).
+    (codecs.py), deterministic byte-histogram FALLBACK for anything else.
+    Returns (width, height, n_frames, feature, decode_status) with
+    status one of 'bmp' / 'wav' / 'fallback' / 'corrupt'.
+
+    Totality: a payload that passes the magic-byte sniff but is
+    malformed (truncated BMP, non-PCM16 or corrupt RIFF) must NOT fail
+    the whole job — that is the common case for web-scraped media
+    corpora. Parser errors (ValueError / struct.error) are caught
+    per-row and routed to the byte-histogram fallback with
+    decode_status='corrupt', so callers can filter or quarantine
+    corrupt rows instead of losing the partition.
 
     Field mapping per modality: images -> (width, height, 1); audio ->
     (sample_rate, channels, n_frames) — one schema, documented overload,
     exactly how mixed-modality training manifests carry per-type dims.
     """
     kind = codecs.sniff(payload)
-    if kind == "bmp":
-        w, h, _bpp, pixels = codecs.parse_bmp(payload)
-        hist = [0.0] * 8
-        for b in pixels:
-            hist[b % 8] += 1.0
-        total = sum(hist) or 1.0
-        return w, h, 1, [v / total for v in hist]
-    if kind == "wav":
-        rate, channels, n_frames, samples = codecs.parse_wav(payload)
-        hist = [0.0] * 8
-        for s in samples:
-            hist[s % 8] += 1.0
-        total = sum(hist) or 1.0
-        return rate, channels, n_frames, [v / total for v in hist]
-    # FALLBACK (non-media payload): deterministic byte-derived pseudo-dims
-    # + byte histogram — marked fake, never claimed as a decode.
+    status = kind if kind in ("bmp", "wav") else "fallback"
+    try:
+        if kind == "bmp":
+            w, h, _bpp, pixels = codecs.parse_bmp(payload)
+            hist = [0.0] * 8
+            for b in pixels:
+                hist[b % 8] += 1.0
+            total = sum(hist) or 1.0
+            return w, h, 1, [v / total for v in hist], status
+        if kind == "wav":
+            rate, channels, n_frames, samples = codecs.parse_wav(payload)
+            hist = [0.0] * 8
+            for s in samples:
+                hist[s % 8] += 1.0
+            total = sum(hist) or 1.0
+            return rate, channels, n_frames, [v / total for v in hist], status
+    except (ValueError, struct.error):
+        status = "corrupt"
+    # FALLBACK (non-media or corrupt payload): deterministic byte-derived
+    # pseudo-dims + byte histogram — marked fake, never claimed as a decode.
     n = len(payload)
     width = 16 + n % 64
     height = 16 + (n // 64) % 64
@@ -111,7 +128,7 @@ def _decode_payload(payload: bytes, frame_sample: int) -> tuple[int, int, int, l
     total = sum(hist) or 1.0
     return width, height, max(1, (width * height) // (1024 * frame_sample)), [
         v / total for v in hist
-    ]
+    ], status
 
 
 def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
@@ -130,17 +147,19 @@ def decode_and_featurize(media: DataFrame, frame_sample: int = 1) -> DataFrame:
                 "modality": pdf["modality"],
                 "byte_len": pdf["byte_len"],
             }
-            widths, heights, frames, feats = [], [], [], []
+            widths, heights, frames, feats, statuses = [], [], [], [], []
             for payload in pdf["payload"]:
-                w, h, nf, feat = _decode_payload(bytes(payload), frame_sample)
+                w, h, nf, feat, status = _decode_payload(bytes(payload), frame_sample)
                 widths.append(w)
                 heights.append(h)
                 frames.append(nf)
                 feats.append(feat)
+                statuses.append(status)
             out["width"] = pd.Series(widths, dtype="int32")
             out["height"] = pd.Series(heights, dtype="int32")
             out["n_frames"] = pd.Series(frames, dtype="int32")
             out["feature"] = feats
+            out["decode_status"] = statuses
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

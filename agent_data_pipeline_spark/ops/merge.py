@@ -27,6 +27,8 @@ Semantics notes:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,7 @@ def scd2_apply(
     batch_ts: str,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    validate_unique: bool = True,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: apply an update batch to a
     versioned dimension, closing changed current rows at ``batch_ts``
@@ -63,6 +66,14 @@ def scd2_apply(
     * update key absent from the dimension -> new open row inserted;
     * historical (already closed) rows always pass through.
 
+    The update batch must be key-unique (one version per key per batch —
+    the same "multiple source rows matched" contract lakehouse MERGE
+    enforces); duplicate keys would fan the current row out into several
+    closed/new versions. Enforced here with a cheap distinct-vs-total
+    count over the (small, broadcast-size by contract) batch; pass
+    ``validate_unique=False`` to skip the extra job when uniqueness is
+    guaranteed upstream.
+
     Plan shape: ONE left join of current rows to the update batch on the
     key (broadcast when the batch is small — the common incremental
     case), a change predicate, and a union for the inserted versions.
@@ -70,8 +81,17 @@ def scd2_apply(
     as changes. History never rewrites: at 100 TB pair this with a
     valid_to-partitioned layout so the closed partition is append-only.
     """
+    if not tracked:
+        raise ValueError("scd2_apply: tracked attribute list must be non-empty")
     ts = F.lit(batch_ts).cast(dict(dim.dtypes)[valid_from])
     upd = updates.select(key, *tracked)
+    if validate_unique:
+        dup = upd.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"scd2_apply: update batch has multiple rows for key "
+                f"{key}={dup[0][0]!r} (one version per key per batch)"
+            )
     u_cols = {c: f"_u_{c}" for c in (key, *tracked)}
     upd_renamed = upd.select(*[F.col(c).alias(a) for c, a in u_cols.items()])
 
@@ -81,9 +101,13 @@ def scd2_apply(
     joined = current.join(
         upd_renamed, F.col(key) == F.col(u_cols[key]), "left"
     )
-    changed = F.col(u_cols[key]).isNotNull() & ~F.expr(
-        " AND ".join(f"({c} <=> {u_cols[c]})" for c in tracked)
+    # Column-op predicate, not an F.expr string: immune to column names
+    # that need backticks, and structurally valid for any tracked list.
+    same = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(u_cols[c])) for c in tracked],
     )
+    changed = F.col(u_cols[key]).isNotNull() & ~same
     kept_or_closed = joined.select(
         *dim.columns,
         changed.alias("_changed"),

@@ -195,14 +195,16 @@ def validate_generated_ddl(
 
 def _ddl_column_names(statements: list[str]) -> list[str]:
     """Column names declared by validated CREATE TABLE / ADD COLUMNS
-    statements: first token of each depth-0 comma-separated item in the
-    outermost paren group (depth-aware so decimal(10,2) etc. don't split)."""
+    statements: first token of each top-level comma-separated item in the
+    outermost paren group. Depth-aware over BOTH parentheses and angle
+    brackets so neither decimal(10,2) nor nested complex types
+    (struct<x:int,y:int>, map<string,int>) split mid-type."""
     names: list[str] = []
     for stmt in statements:
         start = stmt.find("(")
         if start < 0:
             continue
-        depth, item, items = 0, "", []
+        depth, angle, item, items = 0, 0, "", []
         for ch in stmt[start:]:
             if ch == "(":
                 depth += 1
@@ -213,7 +215,11 @@ def _ddl_column_names(statements: list[str]) -> list[str]:
                 if depth == 0:
                     items.append(item)
                     break
-            if ch == "," and depth == 1:
+            elif ch == "<":
+                angle += 1
+            elif ch == ">":
+                angle -= 1
+            if ch == "," and depth == 1 and angle == 0:
                 items.append(item)
                 item = ""
             else:

@@ -79,6 +79,27 @@ def test_scd2_close_insert_noop_newkey_history(spark):
     ], key=repr)
 
 
+def test_scd2_rejects_duplicate_update_keys_and_empty_tracked(spark):
+    """A batch with two versions of the same key would fan the current
+    row into multiple closed/new versions — the lakehouse 'multiple
+    source rows matched' error. An empty tracked list has no defined
+    change predicate."""
+    import pytest
+
+    from agent_data_pipeline_spark.ops.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, 1.0, "2020-01-01", None)],
+        "id int, bal double, valid_from string, valid_to string",
+    )
+    dup_upd = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id int, bal double")
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        scd2_apply(dim, dup_upd, "id", ["bal"], "2024-06-01")
+    ok_upd = spark.createDataFrame([(1, 2.0)], "id int, bal double")
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_apply(dim, ok_upd, "id", [], "2024-06-01")
+
+
 def test_scd2_null_transitions_count_as_changes(spark):
     """NULL -> value and value -> NULL must both version (null-safe
     comparison), not silently pass through."""

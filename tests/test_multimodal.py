@@ -143,3 +143,57 @@ def test_resize_images_rejects_non_bmp(spark):
     audio = _media_df(spark).filter(F.col("modality") == "audio")
     with pytest.raises(Exception, match="not a BMP"):
         multimodal.resize_images(audio, 8, 8).collect()
+
+
+def test_decode_is_total_over_corrupt_payloads(spark):
+    """Payloads that SNIFF as media but are malformed — the common case
+    for web-scraped corpora — must not fail the job: they flow through
+    with decode_status='corrupt' and fallback features, alongside good
+    BMP/WAV ('bmp'/'wav') and non-media ('fallback') rows."""
+    good_bmp = codecs.make_bmp(4, 3, bytes([7]) * 36)
+    good_wav = codecs.make_wav(8000, 1, [100] * 50)
+    rows = [
+        (1, "image", good_bmp, "image/bmp"),
+        (2, "image", good_bmp[:20], "image/bmp"),            # truncated BMP
+        (3, "audio", good_wav, "audio/wav"),
+        (4, "audio", good_wav[:16], "audio/wav"),            # RIFF, chunks gone
+        (5, "audio", b"RIFF\x10\x00\x00\x00WAVEjunkdata",    # WAVE, no fmt/data
+         "audio/wav"),
+        (6, "text", b"plain bytes payload", "text/plain"),
+        # crafted header: claims width=-5 — must be rejected by the
+        # parse_bmp bounds check, not silently decoded as empty pixels
+        (7, "image",
+         good_bmp[:18]
+         + (-5).to_bytes(4, "little", signed=True)
+         + good_bmp[22:], "image/bmp"),
+    ]
+    import hashlib
+
+    media = spark.createDataFrame(
+        [
+            (i, mod, payload, mime, len(payload),
+             hashlib.sha256(payload).hexdigest())
+            for i, mod, payload, mime in rows
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_and_featurize(media).collect()}
+    assert len(out) == 7, "corrupt rows must not drop or fail the job"
+    assert out[1]["decode_status"] == "bmp" and out[1]["width"] == 4
+    assert out[3]["decode_status"] == "wav" and out[3]["width"] == 8000
+    assert out[6]["decode_status"] == "fallback"
+    for corrupt_id in (2, 4, 5, 7):
+        assert out[corrupt_id]["decode_status"] == "corrupt", corrupt_id
+        assert len(out[corrupt_id]["feature"]) == 8  # fallback histogram
+
+
+def test_parse_bmp_rejects_implausible_dimensions():
+    good = codecs.make_bmp(4, 3, bytes([7]) * 36)
+    for w in (-5, 0, 1 << 21):
+        bad = good[:18] + w.to_bytes(4, "little", signed=True) + good[22:]
+        with pytest.raises(ValueError, match="implausible|truncated"):
+            codecs.parse_bmp(bad)
+    # zero height is meaningless too
+    bad_h = good[:22] + (0).to_bytes(4, "little", signed=True) + good[26:]
+    with pytest.raises(ValueError, match="implausible"):
+        codecs.parse_bmp(bad_h)

@@ -242,6 +242,21 @@ def test_validate_generated_ddl_pins_location_and_zone():
     assert validate_generated_ddl("CREATE SCHEMA IF NOT EXISTS raw", "raw.t") is not None
 
 
+def test_ddl_column_names_handle_nested_complex_types():
+    """Commas inside angle brackets (struct<x:int,y:int>, map<string,int>)
+    must not split the column list mid-type — only top-level commas
+    delimit columns."""
+    from agent_data_pipeline_spark.schema.evolve import _ddl_column_names
+
+    names = _ddl_column_names(
+        [
+            "CREATE TABLE t (a struct<x:int,y:int>, b map<string,int>, "
+            "c decimal(10,2), d array<struct<k:string,v:decimal(10,2)>>, e string)"
+        ]
+    )
+    assert names == ["a", "b", "c", "d", "e"]
+
+
 def test_ddl_generator_plan_reports_generated_statements(spark, csv_v1):
     """When generator DDL is accepted the returned plan must describe the
     statements that actually ran: generator_used set, added_columns taken
