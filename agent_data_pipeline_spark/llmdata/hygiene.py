@@ -121,6 +121,85 @@ def flag_contaminated(
     )
 
 
+def neardup_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag training docs whose token-SET
+    Jaccard similarity to ANY eval doc reaches ``threshold`` — the
+    fuzzy-overlap complement of ``flag_contaminated`` (exact n-gram
+    hits miss an eval doc that was lightly paraphrased or re-whitespaced
+    into the training crawl; set-Jaccard catches it).
+
+    Plan shape: distinct tokens per doc on both sides; the eval posting
+    list is broadcast (eval sets are thousands of docs vs billions —
+    broadcast-sized by contract, same as ``eval_ngram_set``); equi-join
+    on token gives per-(train, eval) intersection counts; Jaccard =
+    |A∩B| / (|A| + |B| − |A∩B|) from the two set sizes; keep each train
+    doc's best match. The training corpus is scanned once and shuffles
+    only (train_id, eval_id) count rows — never text. Candidate fan-out
+    per train doc is bounded by eval postings, not the corpus.
+
+    Returns every train row with (best_eval_id, best_jaccard,
+    is_contaminated); docs sharing no token keep best_eval_id NULL and
+    jaccard 0. Deterministic: best match ties break on lowest eval id
+    over the ROUNDED similarity (6dp) so engine ulp noise can't flip
+    the pick.
+    """
+    from pyspark.sql.window import Window as W
+
+    def tok_set(df: DataFrame, out_id: str) -> DataFrame:
+        toksed = spread(
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.split(F.trim(F.lower(F.col(text_col))), _WS).alias("_toks"),
+            ),
+            force=True,
+        )
+        return toksed.select(out_id, F.explode(F.array_distinct("_toks")).alias("tok"))
+
+    tr = tok_set(train, "_tid")
+    ev = tok_set(eval_df, "_eid")
+    ev_sizes = ev.groupBy("_eid").agg(F.count(F.lit(1)).alias("_ne"))
+    tr_sizes = tr.groupBy("_tid").agg(F.count(F.lit(1)).alias("_nt"))
+
+    inter = (
+        tr.join(F.broadcast(ev), "tok")
+        .groupBy("_tid", "_eid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    jac = (
+        inter.join(tr_sizes, "_tid")
+        .join(F.broadcast(ev_sizes), "_eid")
+        .withColumn(
+            "_jac",
+            rnd(F.col("_c") / (F.col("_nt") + F.col("_ne") - F.col("_c")), 6),
+        )
+    )
+    w = W.partitionBy("_tid").orderBy(F.col("_jac").desc(), F.col("_eid"))
+    best = (
+        jac.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_tid").alias(id_col),
+            F.col("_eid").alias("best_eval_id"),
+            F.col("_jac").alias("best_jaccard"),
+        )
+    )
+    out = train.join(best, id_col, "left")
+    return out.select(
+        *train.columns,
+        F.col("best_eval_id"),
+        F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+        (F.coalesce(F.col("best_jaccard"), F.lit(0.0)) >= threshold)
+        .cast("long")
+        .alias("is_contaminated"),
+    )
+
+
 def with_repetition_stats(
     df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
 ) -> DataFrame:

@@ -377,6 +377,66 @@ def semantic_dedup(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    cosine similarity to ANY eval-set vector reaches ``threshold`` —
+    the semantic complement of n-gram/Jaccard decontamination (a
+    paraphrased eval answer shares no 8-gram but sits next to the eval
+    embedding).
+
+    Plan shape: the eval matrix is driver-collected (eval sets are
+    broadcast-sized by contract) and ships inside a mapInPandas kernel's
+    closure; the training corpus streams through in Arrow batches, each
+    batch doing ONE (batch × dim) @ (dim × |eval|) matmul — a single
+    linear scan, no join, no shuffle of embeddings. Per row we keep the
+    max cosine and its eval id (ties on the ROUNDED 6dp similarity break
+    to the lowest eval id, so engine ulp noise can't flip the pick).
+
+    Returns (id, nearest_eval_id, max_cosine, is_contaminated) for every
+    training vector.
+    """
+    erows = eval_df.select(id_col, vec_col).collect()
+    eids = np.array([r[0] for r in erows], dtype=np.int64)
+    emat = np.stack([np.asarray(r[1], dtype=np.float64) for r in erows])
+    enorm = np.linalg.norm(emat, axis=1)
+    enorm[enorm == 0.0] = 1.0
+
+    out_schema = (
+        f"{id_col} long, nearest_eval_id long, max_cosine double, is_contaminated long"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            tmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            tnorm = np.linalg.norm(tmat, axis=1)
+            tnorm[tnorm == 0.0] = 1.0
+            sims = (tmat @ emat.T) / np.outer(tnorm, enorm)
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            # argmax with lowest-eval-id tie-break over the rounded sims
+            order = np.lexsort((np.broadcast_to(eids, sims.shape), -sims), axis=1)
+            pick = order[:, 0]
+            best = sims[np.arange(len(ids)), pick]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "nearest_eval_id": eids[pick],
+                    "max_cosine": best,
+                    "is_contaminated": (best >= threshold).astype(np.int64),
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(scan, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

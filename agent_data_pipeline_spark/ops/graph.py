@@ -1,0 +1,91 @@
+"""Iterative graph algorithms on DataFrames: PageRank.
+
+The engine already runs one fixed-point graph algorithm distributed
+(connected components, llmdata/dedup.py); PageRank is the weighted
+cousin — the canonical "iterative joins on Spark" workload (e.g. link
+authority over a crawl graph when ranking training documents by source
+quality).
+
+Scale shape per iteration: ONE join of the rank vector to the edge list
+on src (both keyed by node id — with both sides pre-partitioned on the
+key this is a co-located join), one groupBy(dst) sum. Rank rows are
+(node, double) — the edge list, not the payload, dominates and is never
+widened. Lineage is truncated with localCheckpoint every few rounds
+(same trick as connected components) so the plan doesn't grow
+superlinearly with iterations. The dangling-mass correction is a
+scalar-only aggregate per iteration (collects ONE double to the driver,
+never rows).
+
+Determinism: fixed iteration count, fixed damping; float sums are
+shuffle-order dependent at the last ulp, so consumers round before
+comparing (the registry query rounds to 6dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list, ``iters`` fixed power
+    iterations with uniform teleport and dangling-mass redistribution.
+
+    Ranks are normalized to sum to 1: r(v) = (1-d)/N + d * (in-flow +
+    dangling/N). Parallel edges count once (the edge list is
+    deduplicated); nodes are everything appearing as src or dst.
+    Returns (node, rank).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges with the sender's out-degree attached — static across
+    # iterations, checkpoint once so each round replans from here
+    flow_edges = e.join(out_deg, "src").localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(iters):
+        # dangling nodes (no out-edges) leak their whole rank: collect
+        # that one scalar and redistribute it uniformly
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        inflow = (
+            flow_edges.join(ranks, flow_edges["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -141,6 +141,75 @@ def gap_fill(
     )
 
 
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (pandas
+    ``ewm(adjust=False)`` semantics): y_1 = x_1, y_i = (1-α)·y_{i-1} +
+    α·x_i, ordered by ``order_col`` within each key.
+
+    Execution shape: EWMA is a linear recurrence, which no window frame
+    expresses incrementally — but per key it IS one sequential fold, so
+    the series is collected per key (collect_list + array_sort, ONE
+    shuffle on the key) and folded JVM-side with the ``aggregate``
+    higher-order function carrying (prev, out-array) state, then
+    re-exploded. No Python, no O(n²) frame re-evaluation. The per-key
+    series must fit in one task (same contract as any
+    partitionBy(key) window over the full history — bucket upstream if
+    a key's history is unbounded).
+    """
+    packed = (
+        df.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("x")))
+            ).alias("_series")
+        )
+    )
+    folded = F.aggregate(
+        F.col("_series"),
+        F.struct(
+            F.lit(None).cast("double").alias("prev"),
+            F.array().cast("array<double>").alias("ys"),
+        ),
+        lambda acc, s: F.struct(
+            F.when(
+                acc["prev"].isNull(), s["x"].cast("double")
+            ).otherwise(
+                F.lit(1.0 - alpha) * acc["prev"] + F.lit(alpha) * s["x"]
+            ).alias("prev"),
+            F.concat(
+                acc["ys"],
+                F.array(
+                    F.when(acc["prev"].isNull(), s["x"].cast("double")).otherwise(
+                        F.lit(1.0 - alpha) * acc["prev"] + F.lit(alpha) * s["x"]
+                    )
+                ),
+            ).alias("ys"),
+        ),
+        lambda acc: acc["ys"],
+    )
+    return (
+        packed.withColumn("_ys", folded)
+        .select(
+            *keys,
+            F.arrays_zip(F.col("_series"), F.col("_ys")).alias("_z"),
+        )
+        .select(*keys, F.explode("_z").alias("_e"))
+        .select(
+            *keys,
+            F.col("_e._series.o").alias(order_col),
+            F.col("_e._series.x").alias(value_col),
+            F.col("_e._ys").alias(out_col),
+        )
+    )
+
+
 def locf(df: DataFrame, bucket_col: str, keys: list[str], col: str) -> DataFrame:
     """Last observation carried forward: latest non-null ``col`` at or
     before each row, per key, ordered by bucket."""

@@ -5,7 +5,18 @@ as a QuerySpec — Spark callable + DuckDB oracle SQL (None => rows-only).
 from __future__ import annotations
 
 from .core import QuerySpec
-from . import extras, extras2, extras3, extras4, extras5, llmdata_q, relational, scalars, temporal
+from . import (
+    extras,
+    extras2,
+    extras3,
+    extras4,
+    extras5,
+    extras6,
+    llmdata_q,
+    relational,
+    scalars,
+    temporal,
+)
 
 REGISTRY: dict[str, QuerySpec] = {}
 # Registry order policy (deterministic, documented — not ad-hoc): an
@@ -30,9 +41,16 @@ _NEVER_VERIFIED_FRONT = [
     "unigram_logprob_scores",
     "scd2_customers",
     "stream_docs_quality_dedup",
+    # added during round 4 (extras6) — in the sample front immediately
+    "neardup_decontam",
+    "semantic_decontam",
+    "bigram_top_terms",
+    "xml_roundtrip",
+    "ewma_daily_value",
+    "pagerank_entities",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

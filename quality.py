@@ -44,7 +44,7 @@ def main() -> None:
     lsh = _pairs(
         similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=64, n_bits=8).collect()
     )
-    ivf = _pairs(similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect())
+    ivf = _pairs(similarity.ivf_topk(emb, queries, k=5, n_cells=32, n_probe=12).collect())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 100
@@ -63,6 +63,47 @@ def main() -> None:
         ).collect()
     }
 
+    # Planted-duplicate quality for passage- and semantic-dedup: append
+    # exact copies under shifted (higher) ids, so every planted unit /
+    # vector duplicates a lower-id original and a correct operator must
+    # flag exactly the planted side. recall = planted items flagged;
+    # precision = of the flags the planting ADDED (vs the base corpus's
+    # natural duplicates), the fraction that are planted items.
+    copies = docs.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    aug = docs.unionByName(copies)
+
+    def _passage_flags(df):
+        rows = dedup.passage_dedup(df, unit_tokens=8).collect()
+        return {r["doc_id"]: (r["n_units"], r["n_kept"]) for r in rows}
+
+    base_p = _passage_flags(docs)
+    aug_p = _passage_flags(aug)
+    planted_units = sum(n for n, _ in (aug_p[d] for d in aug_p if d >= 10_000))
+    planted_flagged = sum(
+        n - k for n, k in (aug_p[d] for d in aug_p if d >= 10_000)
+    )
+    base_flagged = sum(n - k for n, k in base_p.values())
+    delta_flagged = sum(n - k for n, k in aug_p.values()) - base_flagged
+
+    emb_copies = emb.filter(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    emb_aug = emb.unionByName(emb_copies)
+    sem_base = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(emb, threshold=0.92, n_cells=16).collect()
+        if r["is_dup"] == 1
+    }
+    sem_aug = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(emb_aug, threshold=0.92, n_cells=16).collect()
+        if r["is_dup"] == 1
+    }
+    sem_planted_flagged = len({v for v in sem_aug if v >= 10_000})
+    sem_delta = len(sem_aug) - len(sem_base)
+
     out = {
         "sf_dir": sf_dir,
         "ann_lsh_recall_at_5": round(len(lsh & exact) / len(exact), 4),
@@ -76,6 +117,16 @@ def main() -> None:
         ) if lsh_jac else None,
         "minhash_exact_pairs": len(exact_jac),
         "minhash_lsh_pairs": len(lsh_jac),
+        "passage_planted_recall": round(planted_flagged / planted_units, 4)
+        if planted_units
+        else None,
+        "passage_planted_precision": round(planted_flagged / delta_flagged, 4)
+        if delta_flagged
+        else None,
+        "semantic_planted_recall": round(sem_planted_flagged / 50, 4),
+        "semantic_planted_precision": round(sem_planted_flagged / sem_delta, 4)
+        if sem_delta
+        else None,
     }
     print(json.dumps(out))
 

@@ -109,6 +109,37 @@ def composed_neardup(spark, sf_dir: str) -> dict:
     return {"sec": round(time.perf_counter() - t0, 3), "pairs": n_pairs}
 
 
+# Round-3 operators, measured at base AND 10x with their own ratio: all
+# are linear per-row (codec/regex/passage explode) or vocabulary-bounded
+# (unigram join) or cell-bounded (semantic dedup) by design — the sweep
+# proves the measured growth stays at/below the data ratio instead of
+# asserting it. Kept separate from HEADLINE so bench totals stay
+# comparable round-over-round.
+R3_OPS = [
+    "passage_dedup_stats",
+    "semantic_dedup_summary",
+    "html_strip_kit",
+    "url_parse_kit",
+    "unigram_logprob_scores",
+]
+
+
+def _sweep(spark, names: list[str], sf_dir: str, n_passes: int = 2) -> dict[str, float]:
+    """Interleaved rotated min-of-N timing over `names` at `sf_dir` —
+    same methodology as bench.py so a background-load burst can't poison
+    one query's every sample."""
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for p in range(n_passes):
+        shift = (p * len(names)) // n_passes
+        for name in names[shift:] + names[:shift]:
+            start = time.perf_counter()
+            REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.perf_counter() - start)
+    return {name: round(min(ts), 3) for name, ts in samples.items()}
+
+
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/spark_graft_stress10x")
@@ -129,17 +160,18 @@ def main() -> None:
         )
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # interleaved rotated passes, min per query — same methodology as
-    # bench.py so a background-load burst can't poison one query's slot.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    n_passes = 2
-    for p in range(n_passes):
-        shift = (p * len(HEADLINE)) // n_passes
-        for name in HEADLINE[shift:] + HEADLINE[:shift]:
-            start = time.perf_counter()
-            REGISTRY[name].spark(spark, dst).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - start)
-    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    timings = _sweep(spark, HEADLINE, dst)
+
+    r3_base = _sweep(spark, R3_OPS, src)
+    r3_x10 = _sweep(spark, R3_OPS, dst)
+    r3 = {
+        name: {
+            "base": r3_base[name],
+            "x10": r3_x10[name],
+            "ratio": round(r3_x10[name] / max(r3_base[name], 1e-9), 2),
+        }
+        for name in R3_OPS
+    }
 
     # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
     # the measured semantic superlinearity of direct pair mining on a
@@ -160,6 +192,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "round3_ops_base_vs_10x": r3,
                 "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,

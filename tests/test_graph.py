@@ -1,0 +1,64 @@
+"""PageRank (ops/graph.py): exactness against an independent pure-Python
+power iteration on hand graphs — the check the rows-only driver pass
+can't do — plus the dangling-mass and normalization invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from agent_data_pipeline_spark.ops.graph import pagerank
+
+
+def _reference_pagerank(edges, damping=0.85, iters=8):
+    """Independent dense power iteration (same conventions: uniform
+    init, uniform teleport, dangling mass redistributed uniformly)."""
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    out = {v: [] for v in nodes}
+    for s, d in set(edges):
+        out[s].append(d)
+    ranks = [1.0 / n] * n
+    for _ in range(iters):
+        dangling = sum(ranks[idx[v]] for v in nodes if not out[v])
+        nxt = [(1.0 - damping) / n + damping * dangling / n] * n
+        for v in nodes:
+            for d in out[v]:
+                nxt[idx[d]] += damping * ranks[idx[v]] / len(out[v])
+        ranks = nxt
+    return {v: ranks[idx[v]] for v in nodes}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_reference_on_cyclic_graph(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    got = _run(spark, edges, damping=0.85, iters=12)
+    want = _reference_pagerank(edges, damping=0.85, iters=12)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # C receives from both A and B: highest authority
+    assert max(got, key=got.get) == 3
+
+
+def test_pagerank_handles_dangling_nodes(spark):
+    # 2 is a sink (no out-edges): its rank must recirculate, not leak
+    edges = [(1, 2), (3, 2)]
+    got = _run(spark, edges, damping=0.85, iters=10)
+    want = _reference_pagerank(edges, damping=0.85, iters=10)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[2] > got[1] == got[3]
+
+
+def test_pagerank_parallel_edges_count_once(spark):
+    a = _run(spark, [(1, 2), (1, 2), (2, 1)], iters=6)
+    b = _run(spark, [(1, 2), (2, 1)], iters=6)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)

@@ -98,3 +98,30 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     got = {r["doc_id"]: r["avg_logprob"] for r in textstats.unigram_logprob(df).collect()}
     assert got[0] > got[100]
     assert all(v < 0 for v in got.values())  # log-probs
+
+
+def test_neardup_decontaminate_planted_paraphrase(spark):
+    """A training doc that is a re-whitespaced/reordered token copy of an
+    eval doc must flag (set-Jaccard 1.0 ignores order and spacing); a
+    token-disjoint doc must not, and keeps a NULL best match."""
+    from agent_data_pipeline_spark.llmdata.hygiene import neardup_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (100, "dog lazy the   over jumps fox brown quick the"),  # permuted copy
+            (101, "entirely different words everywhere here"),
+            (102, "the quick brown fox jumps over the hazy dog"),    # 1-token swap
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in neardup_decontaminate(train, eval_df, 0.5).collect()}
+    assert out[100]["best_jaccard"] == 1.0 and out[100]["is_contaminated"] == 1
+    assert out[101]["best_jaccard"] == 0.0 and out[101]["is_contaminated"] == 0
+    assert out[101]["best_eval_id"] is None
+    # 8 distinct tokens each, 7 shared -> 7/9
+    assert abs(out[102]["best_jaccard"] - 7 / 9) < 1e-6
+    assert out[102]["is_contaminated"] == 1

@@ -308,3 +308,29 @@ def test_semantic_dedup_join_is_cell_bounded(spark):
     plan = plan_of(spark, "semantic_dedup_summary")
     assert "CartesianProduct" not in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_neardup_decontam_is_broadcast_bounded(spark):
+    """The fuzzy-decontamination token join must broadcast the (small)
+    eval posting list and never degenerate to a cartesian — the corpus
+    side shuffles only id/count rows."""
+    plan = plan_of(spark, "neardup_decontam")
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_semantic_decontam_is_join_free(spark):
+    """Embedding decontamination ships the eval matrix in the kernel
+    closure: ONE linear scan, no join, no shuffle of embeddings."""
+    plan = plan_of(spark, "semantic_decontam")
+    assert "Join" not in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_pagerank_iterations_join_on_node_key(spark):
+    """Each PageRank iteration is an equi-join rank->edges plus a
+    groupBy(dst): no cartesian anywhere in the final plan."""
+    plan = plan_of(spark, "pagerank_entities")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -140,3 +140,29 @@ def test_kmeans_clusters_shape(spark, sf_oracle):
     assert sum(sizes) == 500
     assert sizes == sorted(sizes, reverse=True)
     assert all(s > 0 for s in sizes)
+
+
+def test_semantic_decontaminate_flags_planted_eval_copy(spark):
+    """A training vector equal (or near-equal) to an eval vector must
+    flag with max_cosine ~1.0 and point at the right eval id; orthogonal
+    vectors must not flag."""
+    eval_df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [
+            (100, [2.0, 0.0, 0.0, 0.0]),   # scaled copy of eval 1
+            (101, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both
+            (102, [0.0, 0.999, 0.04, 0.0]),  # near eval 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontaminate(train, eval_df, 0.95).collect()
+    }
+    assert out[100]["max_cosine"] == 1.0 and out[100]["nearest_eval_id"] == 1
+    assert out[100]["is_contaminated"] == 1
+    assert out[101]["is_contaminated"] == 0 and out[101]["max_cosine"] == 0.0
+    assert out[102]["nearest_eval_id"] == 2 and out[102]["is_contaminated"] == 1

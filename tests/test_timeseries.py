@@ -164,3 +164,42 @@ def test_gap_fill_chunked_grid_equals_unchunked(spark):
     assert got == want
     # key 'a' spans 00:00..01:30 -> 7 buckets; chunks of 3 => 3+3+1
     assert len({g for g in got if g[0] == "a"}) == 7
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    """ops/timeseries.ewma implements pandas ewm(adjust=False) semantics
+    per key: verify the HOF fold against pandas directly, including
+    single-point series and multiple keys."""
+    import pandas as pd
+    import pytest
+
+    from agent_data_pipeline_spark.ops.timeseries import ewma
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0), ("a", 4, 40.0),
+        ("b", 1, 7.0), ("b", 2, 7.0),
+        ("c", 5, 3.25),
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, x double")
+    got = {
+        (r["k"], r["o"]): r["ewma"]
+        for r in ewma(df, ["k"], "o", "x", alpha=0.3).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "o", "x"]).sort_values(["k", "o"])
+    for k, grp in pdf.groupby("k"):
+        want = grp["x"].ewm(alpha=0.3, adjust=False).mean().tolist()
+        for o, w in zip(grp["o"], want):
+            assert got[(k, o)] == pytest.approx(w, abs=1e-12), (k, o)
+
+
+def test_ewma_ignores_input_row_order(spark):
+    """The fold sorts each key's series by the order column, so a
+    shuffled input must produce the identical smoothing."""
+    from agent_data_pipeline_spark.ops.timeseries import ewma
+
+    rows = [("a", i, float((i * 37) % 11)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "k string, o int, x double")
+    shuffled = spark.createDataFrame(list(reversed(rows)), "k string, o int, x double")
+    a = sorted(map(tuple, ewma(df, ["k"], "o", "x", 0.3).collect()))
+    b = sorted(map(tuple, ewma(shuffled.repartition(5), ["k"], "o", "x", 0.3).collect()))
+    assert a == b
