@@ -47,6 +47,7 @@ _NEVER_VERIFIED_FRONT = [
     "bigram_top_terms",
     "xml_roundtrip",
     "ewma_daily_value",
+    "ccnet_quality_buckets",
     "pagerank_entities",
 ]
 _merged: dict[str, QuerySpec] = {}

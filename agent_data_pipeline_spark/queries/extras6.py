@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fns import rnd, spread
-from ..llmdata import hygiene, similarity
+from ..llmdata import hygiene, similarity, textstats
 from ..ops import graph, timeseries
 from .core import QuerySpec, t
 
@@ -209,6 +209,67 @@ SELECT user_id, day, day_value, floor(y * 10000 + 0.5) / 10000 AS ewma FROM rec
 """
 
 
+def _ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: score every document with the
+    corpus's own unigram LM (textstats.unigram_logprob), then split each
+    LANGUAGE into head/middle/tail terciles — the standard
+    perplexity-bucket step before mixing training data. Buckets are
+    assigned by ntile(3) over a deterministic total order
+    (score desc, doc_id), i.e. by RANK, not by float threshold — no
+    knife-edge cut values to disagree about, and the window partitions
+    by language exactly as CCNet shards do (never one global window)."""
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    scored = textstats.unigram_logprob(docs)
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+            rnd(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_CCNET_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+), logp AS (
+  SELECT tok, ln(cnt / total) AS lp FROM vocab, tot
+), scored AS (
+  SELECT id AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_logprob
+  FROM toks JOIN logp USING (tok)
+  GROUP BY id
+), j AS (
+  SELECT s.*, d.lang FROM scored s JOIN documents d USING (doc_id)
+), b AS (
+  SELECT *, ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob DESC, doc_id) AS bucket
+  FROM j
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_logprob) AS min_lp,
+       max(avg_logprob) AS max_lp,
+       floor(avg(n_tokens) * 100 + 0.5) / 100 AS avg_tokens
+FROM b GROUP BY lang, bucket
+"""
+
+
 def _pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier->customer trade graph (edges derived
     from lineitem x orders; supplier nodes offset by 10^6 to disjoint
@@ -249,6 +310,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ewma_daily_value": QuerySpec(
         _ewma_daily_value, _EWMA_DAILY_SQL, "per-key EWMA smoothing (HOF fold)"
+    ),
+    "ccnet_quality_buckets": QuerySpec(
+        _ccnet_quality_buckets, _CCNET_BUCKETS_SQL,
+        "CCNet perplexity-tercile bucketing per language",
     ),
     "pagerank_entities": QuerySpec(
         _pagerank_entities, None, "PageRank over derived trade graph (iterative)"
