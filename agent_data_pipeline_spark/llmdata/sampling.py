@@ -195,3 +195,39 @@ def chunk_documents(
         .withColumn("chunk_text", F.concat_ws(" ", piece))
         .drop("_toks")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``cap`` rows per group,
+    chosen by ``order_cols`` rank (ascending, must form a total order
+    within the group for reproducibility). The corpus-balancing step
+    that stops one domain/source from dominating a training mix —
+    CommonCrawl pipelines cap documents per registered domain exactly
+    this way.
+
+    Plan shape: one window (``row_number`` partitioned by the group) —
+    a single shuffle on the group key. Groups are domains/sources, so
+    cardinality is high and per-group size moderate; for a pathological
+    heavy-hitter group the window still ranks all its rows on one
+    partition before the filter drops them — if one group were a large
+    fraction of 100 TB, pre-aggregate group counts and short-circuit
+    groups already under the cap, windowing only the oversized ones.
+    """
+    if cap < 1:
+        raise ValueError("cap_per_group: cap must be >= 1")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -1,0 +1,64 @@
+"""Declarative data-quality expectations (Deequ/Great-Expectations shape).
+
+The reference's only quality gate is the binary non-empty validation
+(`dags/taxi_transform_dag.py:52` — our A1 ``validate_nonempty``). A
+production pipeline wants *named, per-rule* violation counts so a batch
+can be quarantined with a reason, not just rejected. ``run_expectations``
+evaluates an arbitrary list of boolean rules over a table in ONE
+aggregation pass and returns the long-form audit report.
+
+Plan shape (the 100 TB story): every rule becomes one conditional
+aggregate (``count_if(NOT rule)``) inside a single global ``agg`` — one
+scan, map-side partial aggregation, a single-row shuffle regardless of
+table size or rule count. The single wide row is then unpivoted to
+long form with ``stack`` (a per-row expression on ONE row — no second
+scan, no driver loop). Adding a 50th rule adds a column to the
+aggregate, not a job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def run_expectations(
+    df: DataFrame, checks: list[tuple[str, Column]]
+) -> DataFrame:
+    """Evaluate named boolean expectations over ``df`` in one pass.
+
+    ``checks`` is a list of ``(name, rule)`` where ``rule`` is a boolean
+    Column that should hold for every row; a NULL rule result (e.g. a
+    comparison against NULL) counts as a violation — the conservative
+    audit contract.
+
+    Returns one row per expectation:
+    ``expectation | violations | total | passed`` (passed = violations
+    == 0, as BIGINT 0/1 for engine-neutral hashing).
+    """
+    if not checks:
+        raise ValueError("run_expectations: checks list must be non-empty")
+    names = [n for n, _ in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"run_expectations: duplicate expectation names in {names}")
+    wide = df.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.count_if(~F.coalesce(rule, F.lit(False))).alias(f"_v_{i}")
+            for i, (_, rule) in enumerate(checks)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', _v_{i}" for i, (name, _) in enumerate(checks)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(checks)}, {stack_args}) AS (expectation, violations)"
+        ),
+        F.col("_total").alias("total"),
+    ).select(
+        "expectation",
+        "violations",
+        "total",
+        (F.col("violations") == 0).cast("bigint").alias("passed"),
+    )

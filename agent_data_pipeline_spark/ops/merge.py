@@ -148,3 +148,141 @@ def scd2_apply(
         .unionByName(changed_new)
         .unionByName(brand_new)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots of the same keyed table.
+
+    Returns one row per key whose state changed between snapshots:
+    ``keys... | change_type ('insert'|'delete'|'update') | changed_cols``
+    (comma-joined sorted list of differing compared columns; empty for
+    insert/delete). Unchanged keys are dropped. NULL-safe comparison, so
+    value->NULL and NULL->value count as changes; null keys never match
+    (same contract as :func:`upsert`).
+
+    Plan shape: ONE full outer join on the key. At 100 TB both snapshots
+    shuffle on the key unless written bucketed by it (io/tables
+    .save_bucketed => zero-Exchange diff); the per-column comparison is
+    a pure projection. This is how a lakehouse computes a CDC feed from
+    periodic full snapshots when the source cannot emit a changelog.
+    """
+    if compare is None:
+        compare = [c for c in old.columns if c not in keys]
+    # presence flags are dedicated marker columns, not data columns that
+    # may legitimately be all-NULL on a present row
+    o = old.select(*keys, F.lit(1).alias("_in_o"), *[F.col(c).alias(f"_o_{c}") for c in compare])
+    n = new.select(*keys, F.lit(1).alias("_in_n"), *[F.col(c).alias(f"_n_{c}") for c in compare])
+    j = o.join(n, keys, "full_outer")
+    in_old = F.col("_in_o").isNotNull()
+    in_new = F.col("_in_n").isNotNull()
+    any_diff = functools.reduce(
+        lambda a, b: a | b,
+        [~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in compare],
+    )
+    change_type = (
+        F.when(in_old & ~in_new, F.lit("delete"))
+        .when(~in_old & in_new, F.lit("insert"))
+        .when(any_diff, F.lit("update"))
+    )
+    changed_cols = F.when(
+        change_type == "update",
+        F.concat_ws(
+            ",",
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                )
+                for c in sorted(compare)
+            ],
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        j.select(
+            *keys,
+            change_type.alias("change_type"),
+            changed_cols.alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    fact_ts: Column,
+    dim_key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time-correct join of a fact stream to an SCD2-versioned
+    dimension (:func:`scd2_apply` output): each fact row picks the
+    dimension version whose validity interval ``[valid_from, valid_to)``
+    contains the fact's own timestamp — the feature-store "as of event
+    time" lookup that prevents training-serving leakage from future
+    attribute values.
+
+    ``fact_ts`` is a Column expression over ``facts`` whose type is
+    comparable to the validity bounds (the SCD2 contract stores them as
+    ISO strings, which compare correctly lexicographically). An open
+    interval (``valid_to IS NULL``) matches everything at/after
+    ``valid_from``. Facts with no matching version (timestamp before the
+    key's first version, or unknown key) survive with NULL attributes —
+    left join, auditable rather than silently dropped.
+
+    Plan shape (why this scales): the join is an EQUI-join on the
+    dimension key with the interval predicate as a residual filter —
+    Catalyst plans hash/sort-merge on the key, never a range-only
+    BroadcastNestedLoop. Versions-per-key is small (dimension churn),
+    so the residual evaluates over a handful of candidate rows per fact.
+    Dimensions are broadcast-size in the common case; at 100 TB of facts
+    the fact side never moves when the dim broadcasts.
+
+    SCD2 validity invariant (non-overlapping intervals per key, produced
+    by construction in ``scd2_apply``) guarantees at most one match per
+    fact — the join cannot fan out.
+    """
+    ts = fact_ts.alias("_fact_ts")
+    f = facts.select("*", ts)
+    d = dim.select(
+        F.col(dim_key).alias("_dim_key"),
+        *[F.col(c) for c in dim.columns if c != dim_key],
+    )
+    cond = (
+        (F.col(fact_key) == F.col("_dim_key"))
+        & (F.col("_fact_ts") >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (F.col("_fact_ts") < F.col(valid_to)))
+    )
+    return f.join(d, cond, "left").drop("_dim_key", "_fact_ts")
+
+
+def merge_partial_aggs(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sums: list[str],
+) -> DataFrame:
+    """Algebraic incremental-aggregate maintenance: combine two partial
+    aggregate states (same schema: keys + additive measure columns) into
+    the aggregate of the union of their inputs — without touching the
+    raw rows that produced ``base``.
+
+    This is the MERGE step of a materialized rollup at 100 TB: the base
+    aggregate is tiny (one row per group), each batch aggregates only
+    its own delta, and the combine is a shuffle over group cardinality,
+    not data volume. Valid for any commutative-monoid measure (sum,
+    count, min/max with the right combine); averages must be carried as
+    (sum, count) pairs and finalized downstream — the classic
+    partial-aggregation decomposition Spark itself uses map-side.
+    """
+    return (
+        base.select(*keys, *sums)
+        .unionByName(delta.select(*keys, *sums))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sums])
+    )

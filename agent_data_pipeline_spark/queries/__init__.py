@@ -12,6 +12,7 @@ from . import (
     extras4,
     extras5,
     extras6,
+    extras7,
     llmdata_q,
     relational,
     scalars,
@@ -49,9 +50,16 @@ _NEVER_VERIFIED_FRONT = [
     "ewma_daily_value",
     "ccnet_quality_buckets",
     "pagerank_entities",
+    # added during round 4, part 2 (extras7)
+    "expectations_audit",
+    "snapshot_diff_summary",
+    "scd2_pointintime_join",
+    "source_cap_sample",
+    "pmi_top_bigrams",
+    "incremental_rollup",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -115,3 +115,103 @@ def test_scd2_null_transitions_count_as_changes(spark):
     opened = {(r["id"], r["bal"]) for r in out if r["valid_from"] == "2024-06-01"}
     assert closed == {1, 2}
     assert opened == {(1, 7.0), (2, None)}
+
+
+def test_snapshot_diff_insert_delete_update_attribution(spark):
+    """CDC diff: per-key change_type + per-column attribution; unchanged
+    keys drop out; value->NULL counts as a change (null-safe compare)."""
+    from agent_data_pipeline_spark.ops.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", None)],
+        "k int, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "C", 31.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k int, s string, x double",
+    )
+    got = {
+        (r["k"], r["change_type"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        (1, "delete", ""),
+        (3, "update", "s,x"),
+        (4, "update", "x"),
+        (5, "insert", ""),
+    }
+
+
+def test_snapshot_diff_all_null_compare_row_present_both(spark):
+    """A key present in both snapshots with all compared columns NULL is
+    unchanged — presence must come from the marker, not data columns."""
+    from agent_data_pipeline_spark.ops.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, None)], "k int, v string")
+    assert snapshot_diff(old, new, ["k"]).count() == 0
+
+
+def test_point_in_time_join_picks_version_at_fact_ts(spark):
+    """Each fact row lands on the dim version whose interval holds its
+    timestamp; facts before the first version or on unknown keys keep
+    NULL attributes (left join audit contract)."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.ops.merge import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2020-01-01", "2020-06-01"),
+            (1, "v2", "2020-06-01", None),
+            (2, "w1", "2020-03-01", None),
+        ],
+        "id int, attr string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2020-02-15"),  # v1 window
+            (101, 1, "2020-06-01"),  # boundary -> v2 (half-open)
+            (102, 1, "2021-01-01"),  # open interval -> v2
+            (103, 2, "2020-01-01"),  # before first version -> NULL
+            (104, 9, "2020-07-01"),  # unknown key -> NULL
+        ],
+        "fid int, key int, ts string",
+    )
+    out = point_in_time_join(
+        facts, dim, fact_key="key", fact_ts=F.col("ts"), dim_key="id"
+    )
+    got = {(r["fid"], r["attr"]) for r in out.collect()}
+    assert got == {
+        (100, "v1"),
+        (101, "v2"),
+        (102, "v2"),
+        (103, None),
+        (104, None),
+    }
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    """Combining per-batch (count, sum) partial states == aggregating
+    the union of the raw batches (monoid combine law)."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.ops.merge import merge_partial_aggs
+
+    a = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("y", 3.0)], "g string, v double"
+    )
+    b = spark.createDataFrame(
+        [("x", 4.0), ("z", 5.0)], "g string, v double"
+    )
+
+    def partial(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    merged = merge_partial_aggs(partial(a), partial(b), ["g"], ["n", "s"])
+    full = partial(a.unionByName(b))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }

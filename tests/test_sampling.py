@@ -150,3 +150,37 @@ def test_chunk_documents_windows_and_overlap(spark):
     # every token appears in at least one chunk
     covered = {t for v in (rows[(1, i)][1] for i in range(4)) for t in v.split()}
     assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_cap_per_group_keeps_first_k_by_order(spark):
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.llmdata.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", i) for i in range(2)],
+        "g string, i int",
+    )
+    kept = cap_per_group(df, ["g"], ["i"], cap=3)
+    got = sorted((r["g"], r["i"]) for r in kept.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 1)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["g"], ["i"], cap=0)
+
+
+def test_cap_per_group_partition_layout_invariant(spark):
+    """Same kept set regardless of input partitioning — the total-order
+    contract, not a physical-layout accident."""
+    from agent_data_pipeline_spark.llmdata.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(20)], "g string, i int"
+    )
+    a = sorted(r["i"] for r in cap_per_group(df, ["g"], ["i"], 7).collect())
+    b = sorted(
+        r["i"]
+        for r in cap_per_group(df.repartition(13), ["g"], ["i"], 7).collect()
+    )
+    assert a == b == list(range(7))
