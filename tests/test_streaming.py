@@ -288,3 +288,46 @@ def test_read_events_stream_directory_layout(spark, tmp_path):
         for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {(r["event_type"], r["n"]) for r in got.collect()} == want
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restart durability: a NEW query restarted from the same
+    checkpoint must not re-land files already committed (exactly-once at
+    the sink), must pick up files dropped while the stream was down, and
+    a restart with nothing new must write nothing. This is the recovery
+    contract a 100 TB continuous ingest leans on — the driver can die
+    mid-stream and the ledger stays correct."""
+    from agent_data_pipeline_spark.streaming import stream_ingest_csv
+
+    watch = tmp_path / "incoming"
+    target = tmp_path / "landed"
+    ckpt = tmp_path / "ckpt"
+    watch.mkdir()
+    (watch / "a.csv").write_text("id,v\n1,a\n2,b\n")
+
+    q1 = stream_ingest_csv(
+        spark, str(watch), str(target), str(ckpt), "id long, v string"
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination(60)
+    assert sorted(r["id"] for r in spark.read.parquet(str(target)).collect()) == [1, 2]
+
+    # downtime: a file arrives while no query is running
+    (watch / "b.csv").write_text("id,v\n3,c\n")
+    q2 = stream_ingest_csv(
+        spark, str(watch), str(target), str(ckpt), "id long, v string"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+    assert sorted(r["id"] for r in spark.read.parquet(str(target)).collect()) == [1, 2, 3]
+
+    # idle restart: nothing new -> nothing duplicated
+    q3 = stream_ingest_csv(
+        spark, str(watch), str(target), str(ckpt), "id long, v string"
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    q3.awaitTermination(60)
+    assert sorted(r["id"] for r in spark.read.parquet(str(target)).collect()) == [1, 2, 3]
