@@ -44,3 +44,32 @@ def spread(df, min_partitions: int | None = None, force: bool = False):
     if force or df.rdd.getNumPartitions() < target:
         return df.repartition(max(target, df.rdd.getNumPartitions()))
     return df
+
+
+def epoch_micros(col: Column | str, ntz: bool = True) -> Column:
+    """Microsecond-exact epoch seconds*1e6 for both timestamp flavors,
+    session-TZ immune, matching DuckDB ``epoch_us`` over the same
+    parquet values.
+
+    * ``ntz=False`` (TIMESTAMP instant): ``unix_micros`` reads the
+      internal UTC micros directly — no wall-clock conversion.
+    * ``ntz=True`` (TIMESTAMP_NTZ, what the parquet fixtures surface):
+      ``unix_micros`` rejects NTZ and any cast through TIMESTAMP applies
+      the session zone, so the epoch is rebuilt from TZ-free wall-clock
+      components (day diff + hour/minute/second + the 'SSSSSS'
+      fractional field). Integer arithmetic only — bit-exact.
+
+    Use this (never ``unix_timestamp``/``cast``) wherever a duration or
+    weight needs sub-second resolution; interval subtraction remains the
+    right tool for pure gap comparisons (ops/sessionize.py).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    if not ntz:
+        return F.unix_micros(col)
+    return (
+        F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long") * 86400
+        + F.hour(col) * 3600
+        + F.minute(col) * 60
+        + F.second(col)
+    ) * 1000000 + F.date_format(col, "SSSSSS").cast("long")

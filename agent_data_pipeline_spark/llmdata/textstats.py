@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..fns import rnd, spread
 
@@ -178,3 +179,51 @@ def rolling_hash(df: DataFrame, text_col: str = "text", mod: int = 1 << 31) -> D
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(mod).cast("long"),
     )
     return df.withColumn("rolling_hash", fp)
+
+
+def vocab_encode_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Tokenizer-style vocabulary encoding audit: build a corpus
+    vocabulary of the ``vocab_size`` most frequent words (total-order
+    tie-break: count desc, then word — so the vocabulary is
+    deterministic), assign ids 1..V by that rank, and re-encode every
+    document against it. Per document: token count, out-of-vocabulary
+    count, OOV rate, and the sum of assigned ids (an order-insensitive
+    checksum of the encoding itself, so two engines must agree on WHICH
+    id every token got, not just how many were known).
+
+    Scale shape: the vocabulary is vocabulary-bounded (top-V, tiny) and
+    broadcast to the token join; tokens explode map-side from the
+    documents they live in. One shuffle for the vocab count, one
+    broadcast join, one groupBy on the document id.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(vocab_size)
+        .select(
+            "w",
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), "w"))
+            .cast("long")
+            .alias("tok_id"),
+        )
+    )
+    enc = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("tok_id").isNull()).alias("n_oov"),
+            F.coalesce(F.sum("tok_id"), F.lit(0)).cast("long").alias("id_checksum"),
+        )
+    )

@@ -90,3 +90,29 @@ def salted_join(
     )
     out = big_s.join(small_s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-distribution diagnostics for a prospective join/agg key: ONE
+    row with group count, max/avg group size, p50/p99 group sizes, and
+    the hottest key (min key among ties, rendered as a string). This is
+    the measurement step before choosing a skew mitigation — a key whose
+    p99 is close to its max doesn't need salting; a key whose max is
+    1000x its p99 does (salted_agg / salted_join above, or AQE skew
+    join for the shuffle itself).
+
+    Two aggregations: per-key sizes (map-side partial), then a global
+    single-row reduce over one long per group — the report costs one
+    shuffle on the key plus a scalar collect-free reduce, so it is
+    runnable casually against 100 TB before a backfill.
+    """
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    return sizes.select(F.col("_n"), key_str.alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("_n").alias("max_size"),
+        F.min("_n").alias("min_size"),
+        F.expr("percentile(_n, 0.5)").alias("p50_size"),
+        F.expr("percentile(_n, 0.99)").alias("p99_size"),
+        F.min_by("_k", F.struct((-F.col("_n")).alias("a"), F.col("_k").alias("b"))).alias("hottest_key"),
+    )

@@ -263,3 +263,91 @@ def interpolate_linear(
         prev["v"] + (nxt["v"] - prev["v"]) * frac
     )
     return with_pn.withColumn(f"interp_{col}", interp).drop("_i", "_a", "_prev", "_nxt")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key (TimescaleDB ``time_weight('LOCF')``
+    semantics): each observation holds its value until the next one, so
+    the average weights each value by how long it was current —
+    ``sum(v·dt) / sum(dt)`` over consecutive-pair intervals. The final
+    observation has no successor and carries no weight (standard LOCF
+    endpoint convention). Keys with a single observation yield NULL
+    (zero total weight) — auditable, not silently the raw value.
+
+    Durations come from ``fns.epoch_micros`` of the next/current
+    timestamps: microsecond-exact and session-TZ-independent for both
+    timestamp flavors (see its docstring). One window (lead) + one
+    aggregation, both shuffling on the key — the per-key series never
+    materializes anywhere, so a 100 TB event table TWAPs in two
+    exchanges.
+    """
+    from ..fns import epoch_micros
+
+    field = next(
+        (f for f in df.schema.fields if f.name.lower() == ts_col.lower()), None
+    )
+    ntz = field is None or field.dataType.simpleString() != "timestamp"
+    w = W.partitionBy(*keys).orderBy(ts_col)
+    # materialize the lead ONCE: epoch_micros decomposes NTZ into six
+    # field extractions, which would otherwise each re-state the window
+    dt = (
+        epoch_micros(F.col("_nxt"), ntz) - epoch_micros(F.col(ts_col), ntz)
+    ).cast("double")
+    return (
+        df.withColumn("_nxt", F.lead(ts_col).over(w))
+        .withColumn("_dt", dt)
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col(value_col) * F.col("_dt")).alias("_wsum"),
+            F.sum("_dt").alias("_wtot"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            *keys,
+            "n_obs",
+            F.try_divide(F.col("_wsum"), F.col("_wtot")).alias("twap"),
+        )
+    )
+
+
+def counter_deltas(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    counter_col: str,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Monotonic-counter delta aggregation with reset handling
+    (TimescaleDB ``counter_agg`` / PromQL ``increase`` semantics): a
+    counter sample smaller than its predecessor means the source
+    restarted from zero, so the true increase across the reset is the
+    new reading itself, not the negative difference. Per key:
+    total increase, number of resets, observation count.
+
+    One lag window + one aggregation on the key. Resets are detected
+    per consecutive pair, so out-of-order ingestion must be resolved
+    upstream (the ``order_tiebreak`` columns make the ordering total
+    when timestamps collide).
+    """
+    order_cols = [ts_col, *(order_tiebreak or [])]
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    prev = F.lag(counter_col).over(w)
+    delta = F.when(prev.isNull(), F.lit(None)).when(
+        F.col(counter_col) >= prev, F.col(counter_col) - prev
+    ).otherwise(F.col(counter_col))
+    is_reset = (prev.isNotNull() & (F.col(counter_col) < prev)).cast("long")
+    return (
+        df.withColumn("_delta", delta)
+        .withColumn("_reset", is_reset)
+        .groupBy(*keys)
+        .agg(
+            F.sum("_delta").alias("total_increase"),
+            F.sum("_reset").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

@@ -13,6 +13,7 @@ from . import (
     extras5,
     extras6,
     extras7,
+    extras8,
     llmdata_q,
     relational,
     scalars,
@@ -57,9 +58,17 @@ _NEVER_VERIFIED_FRONT = [
     "source_cap_sample",
     "pmi_top_bigrams",
     "incremental_rollup",
+    # added during round 4, part 3 (extras8)
+    "funnel_conversion",
+    "retention_cohorts",
+    "time_weighted_avg",
+    "counter_deltas",
+    "mad_outliers",
+    "skew_report",
+    "vocab_encode_stats",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

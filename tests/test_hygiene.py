@@ -125,3 +125,22 @@ def test_neardup_decontaminate_planted_paraphrase(spark):
     # 8 distinct tokens each, 7 shared -> 7/9
     assert abs(out[102]["best_jaccard"] - 7 / 9) < 1e-6
     assert out[102]["is_contaminated"] == 1
+
+
+def test_vocab_encode_checksum_and_oov(spark):
+    """3-word vocab over a tiny corpus: ids by (count desc, word);
+    checksum proves per-token id assignment, not just counts."""
+    from agent_data_pipeline_spark.llmdata.textstats import vocab_encode_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "b b a c zz"),
+            (2, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: b=3, a=2, c=1, zz=1 -> vocab3: b->1, a->2, c->3 (count desc, word)
+    rows = {r["doc_id"]: r for r in vocab_encode_stats(df, vocab_size=3).collect()}
+    assert rows[1]["n_tokens"] == 5 and rows[1]["n_oov"] == 1
+    assert rows[1]["id_checksum"] == 1 + 1 + 2 + 3  # b b a c
+    assert rows[2]["id_checksum"] == 2 + 1

@@ -72,3 +72,20 @@ def test_salted_left_join_preserves_unmatched(spark, skewed):
         "k", "v", "label"
     )
     assert _rows(salted) == _rows(plain)
+
+
+def test_skew_report_distribution_and_hottest_key(spark):
+    """sizes {a:4, b:2, c:2}: max 4, min 2, p50 = 2, hottest 'a';
+    ties on size break to the smallest key string."""
+    from agent_data_pipeline_spark.ops.skew import skew_report
+
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, ["k"]).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["max_size"] == 4 and r["min_size"] == 2
+    assert r["p50_size"] == 2.0
+    assert r["hottest_key"] == "a"
+
+    tie = spark.createDataFrame([("z",), ("z",), ("y",), ("y",)], "k string")
+    assert skew_report(tie, ["k"]).collect()[0]["hottest_key"] == "y"

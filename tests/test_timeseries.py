@@ -203,3 +203,59 @@ def test_ewma_ignores_input_row_order(spark):
     a = sorted(map(tuple, ewma(df, ["k"], "o", "x", 0.3).collect()))
     b = sorted(map(tuple, ewma(shuffled.repartition(5), ["k"], "o", "x", 0.3).collect()))
     assert a == b
+
+
+def test_time_weighted_avg_locf_weights(spark):
+    """Hand series: v=10 held 3s, v=20 held 1s -> twap (10*3+20*1)/4;
+    the final observation carries no weight; single-obs keys yield NULL."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.ops.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 10.0),
+            ("a", "2024-01-01 00:00:03", 20.0),
+            ("a", "2024-01-01 00:00:04", 99.0),
+            ("b", "2024-01-01 00:00:00", 7.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = {r["k"]: r for r in time_weighted_avg(df, ["k"], "ts", "v").collect()}
+    assert rows["a"]["twap"] == (10.0 * 3 + 20.0 * 1) / 4
+    assert rows["a"]["n_obs"] == 3
+    assert rows["b"]["twap"] is None
+
+
+def test_time_weighted_avg_subsecond_exact(spark):
+    """Sub-second gaps weight exactly (microsecond integers, not
+    truncated whole seconds)."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.ops.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00.000000", 0.0),
+            ("k", "2024-01-01 00:00:00.250000", 100.0),
+            ("k", "2024-01-01 00:00:01.000000", 50.0),
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]["twap"]
+    assert got == (0.0 * 250000 + 100.0 * 750000) / 1000000
+
+
+def test_counter_deltas_reset_semantics(spark):
+    """Counter 5,8,2,4: increase = 3 + 2(reset: new reading) + 2 = 7,
+    one reset; first sample contributes nothing."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.ops.timeseries import counter_deltas
+
+    df = spark.createDataFrame(
+        [("k", 1, 5), ("k", 2, 8), ("k", 3, 2), ("k", 4, 4)],
+        "k string, ts int, c int",
+    )
+    r = counter_deltas(df, ["k"], "ts", "c").collect()[0]
+    assert (r["total_increase"], r["n_resets"], r["n_obs"]) == (7, 1, 4)
