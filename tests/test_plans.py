@@ -334,3 +334,53 @@ def test_pagerank_iterations_join_on_node_key(spark):
     plan = plan_of(spark, "pagerank_entities")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_join_is_equi_join_not_nested_loop(spark):
+    """point_in_time_join's interval predicate must ride as a residual
+    on an EQUI-join (hash/broadcast on the dim key) — a range-only
+    BroadcastNestedLoopJoin would evaluate facts x all versions."""
+    plan = plan_of(spark, "scd2_pointintime_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_snapshot_diff_is_one_join(spark):
+    """CDC diff = ONE full-outer join on the key; the per-column
+    attribution is a projection, not extra joins."""
+    plan = plan_of(spark, "snapshot_diff_summary")
+    assert plan.count("Join FullOuter") == 1, plan[:1200]
+    assert "CartesianProduct" not in plan
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical nodes named ``op`` in a formatted explain (each
+    node appears once in the tree and once in the detail section — count
+    only the numbered detail headings)."""
+    return len(re.findall(rf"^\(\d+\) {op}", plan, flags=re.M))
+
+
+def test_expectations_is_single_scan(spark):
+    """The audit's five rules fold into one aggregation over one scan
+    of lineitem — rule count must not multiply scans."""
+    plan = plan_of(spark, "expectations_audit")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+
+
+def test_pmi_vocab_joins_broadcast(spark):
+    """Both unigram-count joins must broadcast their vocabulary-bounded
+    side; the only nested-loop joins allowed are the two single-row
+    scalar-totals crosses — the bigram side never shuffles for a join."""
+    plan = plan_of(spark, "pmi_top_bigrams")
+    assert "CartesianProduct" not in plan
+    assert _nodes(plan, "BroadcastHashJoin") >= 2, plan[:1200]
+    assert _nodes(plan, "BroadcastNestedLoopJoin") <= 2, plan[:1200]
+
+
+def test_twap_single_window_single_agg(spark):
+    """TWAP = one window (lead) + one aggregation, both on the key;
+    the NTZ epoch decomposition must not re-state the window per
+    extracted field."""
+    plan = plan_of(spark, "time_weighted_avg")
+    assert _nodes(plan, "Window") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
