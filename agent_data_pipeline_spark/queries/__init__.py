@@ -14,6 +14,7 @@ from . import (
     extras6,
     extras7,
     extras8,
+    extras9,
     llmdata_q,
     relational,
     scalars,
@@ -66,9 +67,13 @@ _NEVER_VERIFIED_FRONT = [
     "mad_outliers",
     "skew_report",
     "vocab_encode_stats",
+    # added during round 4, part 4 (extras9)
+    "triangle_census",
+    "chisq_lang_source",
+    "approx_quantile_kit",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

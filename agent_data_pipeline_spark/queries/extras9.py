@@ -1,0 +1,185 @@
+"""Round-4 surface additions, part 4: graph census, categorical
+statistics, and mergeable quantile sketches.
+
+Triangle counting is the second non-iterative graph workload (after
+connected components / PageRank in dedup.py and ops/graph.py) — the
+join-only shape Spark executes well; chi-square is the categorical
+independence test every corpus-composition dashboard wants; the
+approx-quantile kit is the sketch counterpart of percentile_by_group
+(same mergeable-sketch story as the HLL rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fns import rnd
+from ..ops import graph
+from .core import QuerySpec, t
+
+
+# --------------------------------------------------------------------------
+# triangle_census
+# --------------------------------------------------------------------------
+
+
+def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (ops/graph.triangle_count) of the supplier
+    co-supply graph — suppliers connected when they ship the same part
+    (the collaboration projection every supply-chain analysis
+    starts from). One row: nodes/edges/triangles/wedges/transitivity.
+    Edge derivation is a self-equi-join of the distinct (part,
+    supplier) incidence list on the part key."""
+    li = t(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = sp.select("p", F.col("s").alias("src"))
+    b = sp.select("p", F.col("s").alias("dst"))
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return graph.triangle_count(edges)
+
+
+_TRIANGLE_SQL = """
+WITH sp AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), e AS (
+  SELECT DISTINCT a.s AS lo, b.s AS hi
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.hi = e2.lo
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+), deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT lo AS n FROM e UNION ALL SELECT hi AS n FROM e)
+  GROUP BY n
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS wedges
+  FROM deg
+)
+SELECT st.n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       tri.n_triangles,
+       st.wedges,
+       CASE WHEN st.wedges > 0
+            THEN 3.0 * tri.n_triangles / st.wedges END AS transitivity
+FROM st, tri
+"""
+
+
+# --------------------------------------------------------------------------
+# chisq_lang_source
+# --------------------------------------------------------------------------
+
+
+def _chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document language
+    and source, via the zero-cell-free identity
+    ``chi2 = N·(Σ o²/(rowtot·coltot)) − N`` — empty contingency cells
+    contribute only through the marginals, so the computation never
+    cross-joins the category spaces. Three aggregations over one
+    grouped count; all joins are on tiny marginal tables (broadcast)."""
+    d = t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_t = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = d.count()
+    cells = (
+        obs.join(F.broadcast(row_t), "lang")
+        .join(F.broadcast(col_t), "source")
+        .agg(
+            F.sum(
+                F.col("o") * F.col("o") / (F.col("rt") * F.col("ct"))
+            ).alias("s")
+        )
+    )
+    return cells.crossJoin(
+        row_t.agg(F.count(F.lit(1)).alias("n_langs"))
+    ).crossJoin(
+        col_t.agg(F.count(F.lit(1)).alias("n_sources"))
+    ).select(
+        F.lit(n).cast("bigint").alias("n_docs"),
+        "n_langs",
+        "n_sources",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        rnd(F.lit(n) * F.col("s") - F.lit(n), 4).alias("chi2"),
+    )
+
+
+_CHISQ_SQL = """
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rt AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY lang
+), ct AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY source
+), s AS (
+  SELECT sum(o.o * o.o / (rt.rt * ct.ct)) AS s
+  FROM obs o JOIN rt ON o.lang = rt.lang JOIN ct ON o.source = ct.source
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT n.n AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_langs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_sources,
+       (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt)
+         * (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct) AS dof,
+       floor((n.n * s.s - n.n) * 10000 + 0.5) / 10000 AS chi2
+FROM n, s
+"""
+
+
+# --------------------------------------------------------------------------
+# approx_quantile_kit (rows-only: sketch internals are engine-specific)
+# --------------------------------------------------------------------------
+
+
+def _approx_quantile_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles per return flag
+    (``approx_percentile``, the Greenwald-Khanna-family sketch Spark
+    aggregates map-side and merges — the 100 TB path where exact
+    ``percentile``'s sort-based agg is off the table). Declared approx:
+    rows-only driver check; tests/test_approx.py bounds the rank error
+    against the exact interpolated percentiles."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pct[0].alias("p50"),
+            pct[1].alias("p90"),
+            pct[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "triangle_census": QuerySpec(
+        _triangle_census,
+        _TRIANGLE_SQL,
+        "global triangle count + transitivity of the co-supply graph",
+    ),
+    "chisq_lang_source": QuerySpec(
+        _chisq_lang_source,
+        _CHISQ_SQL,
+        "chi-square independence of lang x source (zero-cell-free form)",
+    ),
+    "approx_quantile_kit": QuerySpec(
+        _approx_quantile_kit,
+        None,
+        "mergeable approx-percentile sketch per group (declared approx)",
+    ),
+}

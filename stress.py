@@ -123,6 +123,26 @@ R3_OPS = [
     "unigram_logprob_scores",
 ]
 
+# Round-4 operators: pipeline ops (one-join/one-scan shapes asserted in
+# test_plans.py), analytics compositions (windows + equi-joins), and the
+# two corpus ops whose joins are vocabulary-bounded. Expected growth is
+# the data ratio everywhere; the sweep proves it.
+R4_OPS = [
+    "expectations_audit",
+    "snapshot_diff_summary",
+    "scd2_pointintime_join",
+    "source_cap_sample",
+    "pmi_top_bigrams",
+    "incremental_rollup",
+    "funnel_conversion",
+    "retention_cohorts",
+    "time_weighted_avg",
+    "counter_deltas",
+    "mad_outliers",
+    "skew_report",
+    "vocab_encode_stats",
+]
+
 
 def _sweep(spark, names: list[str], sf_dir: str, n_passes: int = 2) -> dict[str, float]:
     """Interleaved rotated min-of-N timing over `names` at `sf_dir` —
@@ -162,16 +182,20 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings = _sweep(spark, HEADLINE, dst)
 
-    r3_base = _sweep(spark, R3_OPS, src)
-    r3_x10 = _sweep(spark, R3_OPS, dst)
-    r3 = {
-        name: {
-            "base": r3_base[name],
-            "x10": r3_x10[name],
-            "ratio": round(r3_x10[name] / max(r3_base[name], 1e-9), 2),
+    def base_vs_10x(names: list[str]) -> dict:
+        b = _sweep(spark, names, src)
+        x = _sweep(spark, names, dst)
+        return {
+            name: {
+                "base": b[name],
+                "x10": x[name],
+                "ratio": round(x[name] / max(b[name], 1e-9), 2),
+            }
+            for name in names
         }
-        for name in R3_OPS
-    }
+
+    r3 = base_vs_10x(R3_OPS)
+    r4 = base_vs_10x(R4_OPS)
 
     # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
     # the measured semantic superlinearity of direct pair mining on a
@@ -193,6 +217,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "round3_ops_base_vs_10x": r3,
+                "round4_ops_base_vs_10x": r4,
                 "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,

@@ -75,3 +75,37 @@ def test_freq_items_superset_guarantee(spark, sf_oracle):
         """
     ).fetchall()
     assert {r[0] for r in exact} <= got_langs
+
+
+def test_approx_quantile_kit_rank_error_bound(spark):
+    """approx_percentile at accuracy 10000 must sit within a tight
+    value band of the exact interpolated percentile (the sketch bounds
+    RANK error at n/accuracy; translate to value space by comparing
+    against the exact values one rank either side)."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["approx_quantile_kit"].spark(spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        for q in ("p50", "p90", "p99"):
+            # generous value tolerance: 2% relative — the sketch's rank
+            # guarantee is far tighter at this accuracy/n, so a breach
+            # means the operator regressed, not the sketch's math
+            assert abs(a[q] - e[q]) <= 0.02 * abs(e[q]), (flag, q, a[q], e[q])

@@ -62,3 +62,29 @@ def test_pagerank_parallel_edges_count_once(spark):
     b = _run(spark, [(1, 2), (2, 1)], iters=6)
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge: {a-b,a-c,a-d,b-c,b-d} has 2 triangles
+    (abc, abd); wedges = sum d(d-1)/2 = 3+3+1+1 = 8; duplicate /
+    reversed / self-loop inputs must not change the census."""
+    from agent_data_pipeline_spark.ops.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+         (2, 1), (3, 1),        # reversed duplicates
+         (1, 1)],               # self loop
+        "src bigint, dst bigint",
+    )
+    r = triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["wedges"]) == (4, 5, 2, 8)
+    assert r["transitivity"] == 3.0 * 2 / 8
+
+
+def test_triangle_count_triangle_free(spark):
+    """A path graph has wedges but zero triangles; transitivity 0."""
+    from agent_data_pipeline_spark.ops.graph import triangle_count
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    r = triangle_count(edges).collect()[0]
+    assert r["n_triangles"] == 0 and r["transitivity"] == 0.0
