@@ -560,3 +560,59 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN measurement: the sliding-window
+    counterpart of passage_dedup, after the exact-substring dedup
+    finding of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better" — arXiv:2107.06499): a span is duplicated
+    when its ``window``-token text occurs anywhere else in the corpus
+    (any document, including again in its own). Per document: total
+    spans, duplicated spans, duplicated fraction — the metric that
+    decides whether substring-level dedup is worth running at all.
+
+    Plan shape: spans explode map-side from a materialized token column
+    (hygiene.ngrams_from_tokens contract); occurrence counts come from
+    ONE window aggregation partitioned by the 16-byte span digest — no
+    join-back of the span stream (the passage_dedup trick), so the
+    exploded stream shuffles exactly once. Documents shorter than the
+    window survive with zero counts (explode_outer).
+    """
+    from . import hygiene
+
+    toks = spread(
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+        ),
+        force=True,
+    )
+    spans = toks.select(
+        F.col(id_col),
+        F.explode_outer(
+            hygiene.ngrams_from_tokens(F.col("_toks"), window)
+        ).alias("_span"),
+    ).select(F.col(id_col), F.md5(F.col("_span")).alias("_dg"))
+    occ = F.count(F.lit(1)).over(W.partitionBy("_dg"))
+    flagged = spans.withColumn(
+        "_occ", F.when(F.col("_dg").isNotNull(), occ)
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count_if(F.col("_dg").isNotNull()).alias("n_spans"),
+        F.count_if(F.col("_occ") > 1).alias("n_dup_spans"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_spans",
+        "n_dup_spans",
+        F.when(F.col("n_spans") > 0,
+               F.col("n_dup_spans") / F.col("n_spans"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_span_fraction"),
+    )

@@ -166,7 +166,117 @@ def _approx_quantile_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dup_span_stats
+# --------------------------------------------------------------------------
+
+
+def _dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span measurement (llmdata/dedup
+    .duplicate_span_stats, Lee et al. 2022 shape): fraction of each
+    document's 20-token sliding windows whose exact text recurs
+    anywhere in the corpus. Oracle replays the same window/md5/count
+    algebra in SQL."""
+    from ..llmdata import dedup
+
+    d = t(spark, sf_dir, "documents")
+    out = dedup.duplicate_span_stats(d, "doc_id", "text", window=20)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        rnd(F.col("dup_span_fraction"), 6).alias("dup_span_fraction"),
+    ).orderBy("doc_id")
+
+
+_DUP_SPAN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, md5(array_to_string(t[i : i + 19], ' ')) AS dg
+  FROM toks, unnest(generate_series(1, len(t) - 19)) AS g(i)
+  WHERE len(t) >= 20
+), c AS (
+  SELECT dg, count(*) AS occ FROM w GROUP BY dg
+), per AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(*) FILTER (c.occ > 1) AS BIGINT) AS n_dup_spans
+  FROM w JOIN c USING (dg)
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0) AS n_spans,
+       coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN coalesce(per.n_spans, 0) > 0
+            THEN floor(per.n_dup_spans / per.n_spans * 1000000 + 0.5)
+                 / 1000000
+            ELSE 0.0 END AS dup_span_fraction
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# join_hints_kit
+# --------------------------------------------------------------------------
+
+
+def _join_hints_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: the same orders⋈customer aggregate
+    computed twice — once forced through SHUFFLE_HASH, once through
+    MERGE (sort-merge) — and unioned with a strategy label. The values
+    must be identical (hints pick physical strategy, never semantics);
+    tests/test_plans.py asserts each hint was actually honored. The
+    oracle computes the aggregate once and replicates it per label."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def agg_with(hint: str, label: str) -> DataFrame:
+        return (
+            o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .select(F.lit(label).alias("strategy"), "*")
+        )
+
+    return (
+        agg_with("shuffle_hash", "shuffle_hash")
+        .unionByName(agg_with("merge", "sort_merge"))
+        .orderBy("strategy", "c_mktsegment")
+    )
+
+
+_JOIN_HINTS_SQL = """
+WITH agg AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT s.strategy, a.c_mktsegment, a.n_orders, a.revenue
+FROM agg a, (VALUES ('shuffle_hash'), ('sort_merge')) s(strategy)
+ORDER BY s.strategy, a.c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dup_span_stats": QuerySpec(
+        _dup_span_stats,
+        _DUP_SPAN_SQL,
+        "cross-document duplicate-span fractions (substring-dedup metric)",
+    ),
+    "join_hints_kit": QuerySpec(
+        _join_hints_kit,
+        _JOIN_HINTS_SQL,
+        "SHUFFLE_HASH vs MERGE hint parity (strategy, not semantics)",
+    ),
     "triangle_census": QuerySpec(
         _triangle_census,
         _TRIANGLE_SQL,

@@ -141,6 +141,9 @@ R4_OPS = [
     "mad_outliers",
     "skew_report",
     "vocab_encode_stats",
+    "triangle_census",
+    "chisq_lang_source",
+    "approx_quantile_kit",
 ]
 
 

@@ -102,3 +102,41 @@ def test_keep_representatives(spark, docs):
     ids = {r["doc_id"] for r in kept.collect()}
     assert 0 in ids and 1 not in ids and 2 not in ids
     assert {3, 4} <= ids
+
+
+def test_duplicate_span_stats_planted_and_short_docs(spark):
+    """Two docs sharing one exact 5-token span flag exactly the shared
+    windows; a unique doc flags none; sub-window docs survive with
+    zeros (explode_outer)."""
+    from agent_data_pipeline_spark.llmdata.dedup import duplicate_span_stats
+
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "x y " + shared),
+            (3, "totally unrelated words here now then"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_span_stats(df, window=5).collect()}
+    # doc1: 4 windows of 5 tokens over 8 tokens; only the first (the
+    # shared span) recurs (as doc2's last window)
+    assert rows[1]["n_spans"] == 4 and rows[1]["n_dup_spans"] == 1
+    assert rows[2]["n_spans"] == 3 and rows[2]["n_dup_spans"] == 1
+    assert rows[3]["n_dup_spans"] == 0
+    assert rows[4]["n_spans"] == 0 and rows[4]["dup_span_fraction"] == 0.0
+
+
+def test_duplicate_span_stats_within_doc_repeat_counts(spark):
+    """A span repeated INSIDE one document counts as duplicated (total
+    occurrences > 1), matching the substring-dedup contract."""
+    from agent_data_pipeline_spark.llmdata.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    r = duplicate_span_stats(df, window=3).collect()[0]
+    # windows: abc bca cab abc -> 'a b c' occurs twice
+    assert r["n_spans"] == 4 and r["n_dup_spans"] == 2

@@ -384,3 +384,20 @@ def test_twap_single_window_single_agg(spark):
     plan = plan_of(spark, "time_weighted_avg")
     assert _nodes(plan, "Window") == 1, plan[:1200]
     assert "Join" not in plan, plan[:800]
+
+
+def test_dup_span_stats_is_join_free_single_span_shuffle(spark):
+    """Span occurrence counts come from a window over the digest — the
+    exploded span stream must never join back to itself."""
+    plan = plan_of(spark, "dup_span_stats")
+    assert "Join" not in plan, plan[:800]
+    assert _nodes(plan, "Window") == 1, plan[:1200]
+
+
+def test_join_hints_honored(spark):
+    """The SHUFFLE_HASH branch must plan a ShuffledHashJoin and the
+    MERGE branch a SortMergeJoin — hints change strategy, and the kit
+    exists to prove both strategies return identical values."""
+    plan = plan_of(spark, "join_hints_kit")
+    assert _nodes(plan, "ShuffledHashJoin") >= 1, plan[:1200]
+    assert _nodes(plan, "SortMergeJoin") >= 1, plan[:1200]
