@@ -231,3 +231,60 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-corpus
+    rebalancing rule from mBERT/XLM-R and the shape DoReMi tunes): each
+    group's target share is ``n_g^alpha / sum(n^alpha)`` — alpha<1
+    up-samples the tail and caps the head — realized as a deterministic
+    per-group KEEP RATE ``min(1, share * N / n_g)`` applied with the
+    same id-hash bucketing as hash_split (reproducible, shuffle-free at
+    the row level). alpha=0.5 keeps the weight function inside exact
+    IEEE ops (sqrt), so both engines derive bit-identical rates; the
+    rate is rounded (engine-portable 6dp) BEFORE the bucket threshold.
+
+    Returns the sampled rows plus the group's ``mix_rate``. Plan shape:
+    one aggregation over group sizes (tiny), broadcast back; the corpus
+    itself never shuffles — filter + broadcast join only.
+    """
+    if alpha != 0.5:
+        raise ValueError(
+            "temperature_mix: only alpha=0.5 is offered — sqrt is the "
+            "one power both engines (and any two libms) compute "
+            "bit-identically; other exponents would make the keep-rate "
+            "threshold engine-dependent"
+        )
+    from ..fns import rnd
+
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    totals = sizes.agg(
+        F.sum("_n").alias("_N"), F.sum(F.sqrt(F.col("_n"))).alias("_Z")
+    )
+    # rename the per-group count before the cross join: totals derives
+    # FROM sizes, so an unrenamed `_n` would be ambiguous against the
+    # aggregate's child lineage
+    rates = (
+        sizes.withColumnRenamed("_n", "_gn")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            rnd(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(F.col("_gn")) / F.col("_Z") * F.col("_N") / F.col("_gn"),
+                ),
+                6,
+            ).alias("mix_rate"),
+        )
+    )
+    thr = F.floor(F.col("mix_rate") * buckets + F.lit(0.5))
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_bucket(id_col, buckets) < thr
+    )

@@ -266,7 +266,67 @@ ORDER BY s.strategy, a.c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# temperature_mix_summary
+# --------------------------------------------------------------------------
+
+
+def _temperature_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature rebalancing of the language mix (llmdata/
+    sampling.temperature_mix — the mBERT/XLM-R up-sample-the-tail rule):
+    per language, the original count, derived keep rate, and the rows
+    actually kept by the deterministic id-hash sampler. English (the
+    head) gets rate < 1, tail languages saturate at 1. Oracle replays
+    the identical sqrt-share algebra and Knuth-hash bucketing."""
+    from ..llmdata import sampling
+
+    d = t(spark, sf_dir, "documents")
+    kept = sampling.temperature_mix(d, "lang", "doc_id", alpha=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.first("mix_rate").alias("mix_rate"),
+        )
+        .join(
+            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total")),
+            "lang",
+        )
+        .select("lang", "n_total", "mix_rate", "n_kept")
+        .orderBy("lang")
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(n) AS nn, sum(sqrt(n)) AS z FROM sizes
+), rates AS (
+  SELECT lang, n,
+         floor(least(1.0, sqrt(n) / z * nn / n) * 1000000 + 0.5) / 1000000
+           AS mix_rate
+  FROM sizes, tot
+)
+SELECT r.lang,
+       r.n AS n_total,
+       r.mix_rate,
+       CAST(count(*) FILTER (
+         ((d.doc_id * 2654435761) % 1000 + 1000) % 1000
+           < floor(r.mix_rate * 1000 + 0.5)
+       ) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r ON d.lang = r.lang
+GROUP BY r.lang, r.n, r.mix_rate
+ORDER BY r.lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "temperature_mix_summary": QuerySpec(
+        _temperature_mix_summary,
+        _TEMPERATURE_MIX_SQL,
+        "alpha=0.5 temperature language rebalancing, deterministic sampler",
+    ),
     "dup_span_stats": QuerySpec(
         _dup_span_stats,
         _DUP_SPAN_SQL,

@@ -184,3 +184,26 @@ def test_cap_per_group_partition_layout_invariant(spark):
         for r in cap_per_group(df.repartition(13), ["g"], ["i"], 7).collect()
     )
     assert a == b == list(range(7))
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """alpha=0.5 shares: head group rate < 1, tail saturates at 1 (all
+    tail rows kept); kept set is identical under repartitioning; only
+    alpha=0.5 is accepted (bit-exact sqrt contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.llmdata.sampling import temperature_mix
+
+    rows = [("head", i) for i in range(400)] + [("tail", 1000 + i) for i in range(25)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    kept = temperature_mix(df, "g", "id", alpha=0.5)
+    per = {r["g"]: r for r in kept.groupBy("g").agg(
+        F.count(F.lit(1)).alias("k"), F.first("mix_rate").alias("r")).collect()}
+    assert per["tail"]["r"] == 1.0 and per["tail"]["k"] == 25
+    assert per["head"]["r"] < 1.0 and per["head"]["k"] < 400
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(r["id"] for r in temperature_mix(df.repartition(7), "g", "id").collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mix(df, "g", "id", alpha=0.3)
