@@ -62,3 +62,46 @@ def run_expectations(
         "total",
         (F.col("violations") == 0).cast("bigint").alias("passed"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-profile audit: one row per column with null count, null
+    fraction, and EXACT distinct count — the first thing a data engineer
+    asks of an unfamiliar 100 TB table, and the input to join-key /
+    partition-key choices (skew_report's column-level sibling).
+
+    ONE pass over the data: all profiles fold into a single Aggregate.
+    The multiple COUNT(DISTINCT) make Catalyst plan an Expand (k-way row
+    multiplication before the shuffle) — the standard exact-distinct
+    trade; swap to approx_count_distinct when a 2% error is acceptable
+    and the Expand is not (documented, deliberate default to exact so
+    the audit is hashable).
+    """
+    cols = cols or df.columns
+    wide = df.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.count_if(F.col(c).isNull()).alias(f"_n_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.count_distinct(F.col(c)).alias(f"_d_{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', _n_{i}, _d_{i}" for i, c in enumerate(cols)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct)"
+        ),
+        F.col("_total").alias("n_rows"),
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_fraction"),
+    )

@@ -74,6 +74,8 @@ _NEVER_VERIFIED_FRONT = [
     "dup_span_stats",
     "join_hints_kit",
     "temperature_mix_summary",
+    "table_profile",
+    "winsorized_stats",
 ]
 _merged: dict[str, QuerySpec] = {}
 for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, temporal, llmdata_q, extras2, relational):

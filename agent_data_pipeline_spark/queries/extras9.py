@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fns import rnd
+from ..ops import expectations as expectations_mod
 from ..ops import graph
 from .core import QuerySpec, t
 
@@ -321,7 +322,119 @@ ORDER BY r.lang
 """
 
 
+# --------------------------------------------------------------------------
+# table_profile
+# --------------------------------------------------------------------------
+
+
+def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders (ops/expectations
+    .profile_table): per column, exact null and distinct counts — the
+    ops sibling of skew_report at column granularity. props-style JSON
+    and timestamp columns profile like any other (counts only, no
+    engine-specific value rendering)."""
+    o = t(spark, sf_dir, "orders")
+    out = expectations_mod.profile_table(o)
+    return out.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        rnd(F.col("null_fraction"), 6).alias("null_fraction"),
+    ).orderBy("column_name")
+
+
+_TABLE_PROFILE_SQL = """
+WITH longform AS (
+  SELECT 'o_orderkey' AS column_name, count(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct, count(*) AS n_rows FROM orders
+  UNION ALL SELECT 'o_custkey', count(*) FILTER (o_custkey IS NULL),
+         count(DISTINCT o_custkey), count(*) FROM orders
+  UNION ALL SELECT 'o_orderstatus', count(*) FILTER (o_orderstatus IS NULL),
+         count(DISTINCT o_orderstatus), count(*) FROM orders
+  UNION ALL SELECT 'o_totalprice', count(*) FILTER (o_totalprice IS NULL),
+         count(DISTINCT o_totalprice), count(*) FROM orders
+  UNION ALL SELECT 'o_orderdate', count(*) FILTER (o_orderdate IS NULL),
+         count(DISTINCT o_orderdate), count(*) FROM orders
+  UNION ALL SELECT 'o_orderpriority', count(*) FILTER (o_orderpriority IS NULL),
+         count(DISTINCT o_orderpriority), count(*) FROM orders
+)
+SELECT column_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       floor(n_nulls / n_rows * 1000000 + 0.5) / 1000000 AS null_fraction
+FROM longform
+ORDER BY column_name
+"""
+
+
+# --------------------------------------------------------------------------
+# winsorized_stats
+# --------------------------------------------------------------------------
+
+
+def _winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per order priority: clip at the exact
+    p05/p95 percentiles, then average — the outlier-resistant location
+    estimate dashboards prefer over the raw mean. Percentile bounds
+    broadcast back onto the rows; clipping is a pure projection."""
+    o = t(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    clipped = o.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("o_totalprice"))).alias("w"),
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.first("n").alias("n"),
+            rnd(F.first("lo"), 2).alias("p05"),
+            rnd(F.first("hi"), 2).alias("p95"),
+            rnd(F.avg("w"), 4).alias("winsorized_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_WINSORIZED_SQL = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       min(b.n) AS n,
+       floor(min(b.lo) * 100 + 0.5) / 100 AS p05,
+       floor(min(b.hi) * 100 + 0.5) / 100 AS p95,
+       floor(avg(greatest(b.lo, least(b.hi, o.o_totalprice))) * 10000 + 0.5)
+         / 10000 AS winsorized_mean
+FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_profile": QuerySpec(
+        _table_profile,
+        _TABLE_PROFILE_SQL,
+        "one-pass per-column null/distinct profile",
+    ),
+    "winsorized_stats": QuerySpec(
+        _winsorized_stats,
+        _WINSORIZED_SQL,
+        "p05/p95-winsorized robust mean per group",
+    ),
     "temperature_mix_summary": QuerySpec(
         _temperature_mix_summary,
         _TEMPERATURE_MIX_SQL,

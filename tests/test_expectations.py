@@ -53,3 +53,20 @@ def test_rejects_empty_and_duplicate_names(spark):
         run_expectations(
             df, [("a", F.lit(True)), ("a", F.lit(False))]
         )
+
+
+def test_profile_table_counts_and_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x int, s string"
+    )
+    from agent_data_pipeline_spark.ops.expectations import profile_table
+
+    rows = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert rows["x"]["n_nulls"] == 1 and rows["x"]["n_distinct"] == 2
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["x"]["n_rows"] == 4 and rows["x"]["null_fraction"] == 0.25
+    # single scan: the profile is one aggregation over one relation
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
