@@ -292,3 +292,99 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 import sys as _sys
 
 cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def synthesize_tonal_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Square-wave WAV fixture for AUDIO ANALYSIS (not just header
+    parsing): one mono PCM16 WAV per id whose signal is
+    ``+A/-A`` alternating every ``p`` samples, with
+    ``p = 2 + id % 5``, ``N = 60 + id % 40`` samples,
+    ``A = 1 + id % 300``. Every analysis quantity is then a pure
+    function of the id — zero crossings = floor((N-1)/p), RMS = A
+    (IEEE sqrt of a perfect square is exact) — so a SQL oracle can
+    hash-check features computed from a REAL decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, modality, payloads, mimes = [], [], [], []
+            for raw_id in pdf["_media_src_id"]:
+                i = int(raw_id)
+                p, n, amp = 2 + i % 5, 60 + i % 40, 1 + i % 300
+                samples = [amp if (k // p) % 2 == 0 else -amp for k in range(n)]
+                wav = codecs.make_wav(8000, 1, samples)
+                ids.append(i)
+                modality.append("audio")
+                payloads.append(wav)
+                mimes.append("audio/wav")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "modality": modality,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "byte_len": pd.Series(
+                        [len(x) for x in payloads], dtype="int64"
+                    ),
+                    "sha256": [hashlib.sha256(x).hexdigest() for x in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id BIGINT, n_samples BIGINT, zero_crossings BIGINT, rms DOUBLE, "
+    "decode_status STRING"
+)
+
+
+def audio_signal_features(media: DataFrame) -> DataFrame:
+    """Signal-level audio featurization over REAL WAV decode: per
+    payload, sample count, strict zero-crossing count
+    (``s[k-1]·s[k] < 0``), and RMS energy — the fingerprints an audio
+    curation pipeline filters on (silence, clipping, tone detection).
+    Same totality contract as decode_and_featurize: malformed payloads
+    land with status='corrupt' and zeroed features, never a failed job.
+    Multi-channel signals analyze the interleaved stream (channel
+    separation is a slicing detail the caller owns)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out_rows = {
+                "media_id": pdf["media_id"],
+            }
+            ns, zcs, rmss, statuses = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    _rate, _ch, _nf, samples = codecs.parse_wav(bytes(payload))
+                    n = len(samples)
+                    zc = sum(
+                        1
+                        for a, b in zip(samples, samples[1:])
+                        if a * b < 0
+                    )
+                    rms = (
+                        math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                    )
+                    ns.append(n)
+                    zcs.append(zc)
+                    rmss.append(rms)
+                    statuses.append("ok")
+                except (ValueError, struct.error):
+                    ns.append(0)
+                    zcs.append(0)
+                    rmss.append(0.0)
+                    statuses.append("corrupt")
+            out_rows["n_samples"] = pd.Series(ns, dtype="int64")
+            out_rows["zero_crossings"] = pd.Series(zcs, dtype="int64")
+            out_rows["rms"] = pd.Series(rmss, dtype="float64")
+            out_rows["decode_status"] = statuses
+            yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

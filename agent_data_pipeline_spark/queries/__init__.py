@@ -76,6 +76,7 @@ _NEVER_VERIFIED_FRONT = [
     "temperature_mix_summary",
     "table_profile",
     "winsorized_stats",
+    "wav_signal_features",
 ]
 _merged: dict[str, QuerySpec] = {}
 for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, temporal, llmdata_q, extras2, relational):

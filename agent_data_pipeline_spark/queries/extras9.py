@@ -424,7 +424,48 @@ ORDER BY o.o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# wav_signal_features
+# --------------------------------------------------------------------------
+
+
+def _wav_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-level audio analysis over a REAL PCM16 decode (llmdata/
+    multimodal.audio_signal_features): zero-crossing count and RMS of
+    square-wave WAVs whose period/length/amplitude are pure functions
+    of the id — so the oracle predicts, arithmetically, what a correct
+    decoder + correct DSP must produce: zc = floor((N-1)/p), rms = A
+    (IEEE sqrt of a perfect square is exact)."""
+    from ..llmdata import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_tonal_audio(d, "doc_id")
+    feats = multimodal.audio_signal_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_samples",
+        "zero_crossings",
+        "rms",
+    ).orderBy("doc_id")
+
+
+_WAV_SIGNAL_SQL = """
+SELECT doc_id,
+       CAST(60 + doc_id % 40 AS BIGINT) AS n_samples,
+       CAST((60 + doc_id % 40 - 1) // (2 + doc_id % 5) AS BIGINT)
+         AS zero_crossings,
+       CAST(1 + doc_id % 300 AS DOUBLE) AS rms
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "wav_signal_features": QuerySpec(
+        _wav_signal_features,
+        _WAV_SIGNAL_SQL,
+        "real PCM16 decode -> ZCR/RMS vs arithmetic oracle",
+    ),
     "table_profile": QuerySpec(
         _table_profile,
         _TABLE_PROFILE_SQL,

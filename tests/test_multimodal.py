@@ -197,3 +197,31 @@ def test_parse_bmp_rejects_implausible_dimensions():
     bad_h = good[:22] + (0).to_bytes(4, "little", signed=True) + good[26:]
     with pytest.raises(ValueError, match="implausible"):
         codecs.parse_bmp(bad_h)
+
+
+def test_audio_signal_features_corrupt_payload_total(spark):
+    """A payload that sniffs as RIFF but is truncated must land with
+    decode_status='corrupt' and zeroed features — never a failed job —
+    while well-formed rows in the same batch analyze normally."""
+    import pandas as pd
+
+    from agent_data_pipeline_spark.llmdata import codecs
+    from agent_data_pipeline_spark.llmdata.multimodal import (
+        audio_signal_features,
+    )
+
+    good = codecs.make_wav(8000, 1, [5, -5, 5, -5])
+    bad = good[:20]  # truncated mid-header
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": pd.Series([1, 2], dtype="int64"),
+                "payload": [good, bad],
+            }
+        )
+    )
+    rows = {r["media_id"]: r for r in audio_signal_features(df).collect()}
+    assert rows[1]["decode_status"] == "ok"
+    assert rows[1]["zero_crossings"] == 3 and rows[1]["rms"] == 5.0
+    assert rows[2]["decode_status"] == "corrupt"
+    assert rows[2]["n_samples"] == 0 and rows[2]["rms"] == 0.0
