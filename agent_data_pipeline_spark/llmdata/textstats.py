@@ -227,3 +227,51 @@ def vocab_encode_stats(
             F.coalesce(F.sum("tok_id"), F.lit(0)).cast("long").alias("id_checksum"),
         )
     )
+
+
+def with_compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/MassiveText
+    redundancy signal (arXiv:2112.11446 filters on it): highly
+    compressible text is boilerplate/repetition, incompressible text is
+    often binary junk; natural prose sits in a band. Ratio =
+    deflate(utf8(text), level 6) / raw bytes.
+
+    Runs as an Arrow-batched mapInPandas kernel (zlib releases the GIL;
+    the payload never shuffles — the kernel projects id + two lengths).
+    DECLARED ENGINE-LOCAL: DEFLATE output length is a property of the
+    zlib build, not of SQL — no DuckDB oracle exists, so the registry
+    entry is rows-only and tests/test_hygiene.py pins exactness against
+    a direct zlib call plus the band sanity for repetitive vs random
+    text."""
+    import zlib
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    def run(batches: "_Iter[_pd.DataFrame]") -> "_Iter[_pd.DataFrame]":
+        for pdf in batches:
+            raw_lens, comp_lens = [], []
+            for text in pdf[text_col]:
+                b = (text or "").encode("utf-8")
+                raw_lens.append(len(b))
+                comp_lens.append(len(zlib.compress(b, 6)))
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": _pd.Series(raw_lens, dtype="int64"),
+                    "compressed_bytes": _pd.Series(comp_lens, dtype="int64"),
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, raw_bytes long, compressed_bytes long"
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("raw_bytes") > 0,
+            F.col("compressed_bytes") / F.col("raw_bytes"),
+        ).otherwise(0.0),
+    )

@@ -15,6 +15,7 @@ from . import (
     extras7,
     extras8,
     extras9,
+    extras10,
     llmdata_q,
     relational,
     scalars,
@@ -77,9 +78,14 @@ _NEVER_VERIFIED_FRONT = [
     "table_profile",
     "winsorized_stats",
     "wav_signal_features",
+    # added during round 4, part 5 (extras10)
+    "copurchase_pairs",
+    "token_entropy_kit",
+    "encoding_quality_kit",
+    "compression_ratio_stats",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -144,3 +144,33 @@ def test_vocab_encode_checksum_and_oov(spark):
     assert rows[1]["n_tokens"] == 5 and rows[1]["n_oov"] == 1
     assert rows[1]["id_checksum"] == 1 + 1 + 2 + 3  # b b a c
     assert rows[2]["id_checksum"] == 2 + 1
+
+
+def test_compression_ratio_exact_and_band_ordering(spark):
+    """Kernel output must equal a direct zlib call byte-for-byte, and
+    the redundancy band must order: repetitive < prose < random-ish."""
+    import zlib
+
+    from agent_data_pipeline_spark.llmdata.textstats import (
+        with_compression_ratio,
+    )
+
+    rep = "spam " * 200
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "farmer watches from the old wooden fence near the river "
+    ) * 8
+    rnd_ish = " ".join(f"x{i * 2654435761 % 9973}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, rnd_ish)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in with_compression_ratio(df).collect()}
+    for i, text in [(1, rep), (2, prose), (3, rnd_ish)]:
+        b = text.encode("utf-8")
+        assert rows[i]["raw_bytes"] == len(b)
+        assert rows[i]["compressed_bytes"] == len(zlib.compress(b, 6))
+    assert (
+        rows[1]["compression_ratio"]
+        < rows[2]["compression_ratio"]
+        < rows[3]["compression_ratio"]
+    )
