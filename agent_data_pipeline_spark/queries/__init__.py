@@ -83,6 +83,7 @@ _NEVER_VERIFIED_FRONT = [
     "token_entropy_kit",
     "encoding_quality_kit",
     "compression_ratio_stats",
+    "stream_static_join",
 ]
 _merged: dict[str, QuerySpec] = {}
 for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, temporal, llmdata_q, extras2, relational):

@@ -193,7 +193,59 @@ def _compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# stream_static_join
+# --------------------------------------------------------------------------
+
+
+def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the enrichment pattern between stateless maps
+    and full stream-stream joins: the event stream joins a static
+    customer-tier dimension (broadcast per micro-batch, no watermark or
+    state needed), then aggregates per (tier, event_type). Complete-mode
+    memory sink, drained; the oracle is the identical batch algebra.
+    At 100 TB-per-day the static side re-broadcasts per batch, which is
+    exactly the semantics a slowly-refreshed dimension wants."""
+    import uuid
+
+    from ..streaming import drain, stream_to_memory
+    from .temporal import _read_events_stream
+
+    tiers = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat(F.lit("tier"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "tier"
+        ),
+    )
+    stream = _read_events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(tiers), "user_id")
+    agged = joined.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(agged, name, output_mode="complete")
+    drain(q)
+    return spark.table(name).orderBy("tier", "event_type")
+
+
+_STREAM_STATIC_JOIN_SQL = """
+SELECT 'tier' || CAST(c_custkey % 3 AS VARCHAR) AS tier,
+       e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(e.value) * 100 + 0.5) / 100 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY tier, event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_static_join": QuerySpec(
+        _stream_static_join,
+        _STREAM_STATIC_JOIN_SQL,
+        "stream-static broadcast enrichment join, stream == batch oracle",
+    ),
     "copurchase_pairs": QuerySpec(
         _copurchase_pairs,
         _COPURCHASE_SQL,
