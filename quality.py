@@ -104,8 +104,25 @@ def main() -> None:
     sem_planted_flagged = len({v for v in sem_aug if v >= 10_000})
     sem_delta = len(sem_aug) - len(sem_base)
 
+    # approx_percentile sketch error at the registry's operating point
+    # (approx_quantile_kit: accuracy 10000, grouped by return flag):
+    # max relative deviation from the exact interpolated percentile.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("a"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("e"),
+    )
+    max_rel_err = 0.0
+    for r in both.collect():
+        for av, ev in zip(r["a"], r["e"]):
+            if ev:
+                max_rel_err = max(max_rel_err, abs(av - ev) / abs(ev))
+
     out = {
         "sf_dir": sf_dir,
+        "approx_quantile_max_rel_err": round(max_rel_err, 6),
         "ann_lsh_recall_at_5": round(len(lsh & exact) / len(exact), 4),
         "ann_ivf_recall_at_5": round(len(ivf & exact) / len(exact), 4),
         "ann_n_queries": 10,
