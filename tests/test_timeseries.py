@@ -259,3 +259,45 @@ def test_counter_deltas_reset_semantics(spark):
     )
     r = counter_deltas(df, ["k"], "ts", "c").collect()[0]
     assert (r["total_increase"], r["n_resets"], r["n_obs"]) == (7, 1, 4)
+
+
+def test_epoch_micros_tz_immune_across_dst(spark):
+    """epoch_micros on TIMESTAMP_NTZ must equal the naive-as-UTC epoch
+    regardless of session TZ — including for wall clocks inside a DST
+    transition window, where any cast-through-TIMESTAMP path shifts."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.fns import epoch_micros
+
+    # 2024-03-10 02:30 does not exist in America/New_York (spring
+    # forward); 2024-11-03 01:30 happens twice. Both must map to their
+    # naive-as-UTC micros exactly.
+    df = spark.createDataFrame(
+        [("2024-03-10 02:30:00.123456",), ("2024-11-03 01:30:00.5",)],
+        "s string",
+    ).withColumn("ts", F.col("s").cast("timestamp_ntz"))
+    import datetime as dt
+
+    want = [
+        int(
+            dt.datetime(2024, 3, 10, 2, 30, 0, 123456, tzinfo=dt.timezone.utc).timestamp()
+            * 1_000_000
+        ),
+        int(
+            dt.datetime(2024, 11, 3, 1, 30, 0, 500000, tzinfo=dt.timezone.utc).timestamp()
+            * 1_000_000
+        ),
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = [
+                r["e"]
+                for r in df.select(epoch_micros("ts").alias("e"))
+                .orderBy("e")
+                .collect()
+            ]
+            assert got == sorted(want), (tz, got, want)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
