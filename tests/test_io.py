@@ -141,3 +141,51 @@ def test_jdbc_round_trip_embedded_derby(spark, orders, tmp_path):
     )
     assert part.rdd.getNumPartitions() == 4
     assert part.count() == 50
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """Backfilling one partition must leave the others byte-identical;
+    re-running the same batch is idempotent (no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.io.sinks import (
+        write_parquet,
+        write_parquet_dynamic_overwrite,
+    )
+
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        "day string, v int",
+    )
+    write_parquet(base, path, partition_by=["day"])
+
+    patch = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    for _ in range(2):  # idempotent re-run
+        write_parquet_dynamic_overwrite(patch, path, ["day"])
+        # partition values read back type-inferred (DATE) — compare ISO
+        got = sorted(
+            (str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()
+        )
+        assert got == [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)]
+    # scoped conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from agent_data_pipeline_spark.io.sinks import compact_parquet
+
+    path = str(tmp_path / "fragged")
+    spark.range(1000).repartition(40).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 40
+    compact_parquet(spark, path, target_file_mb=512)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after < before
+    assert spark.read.parquet(path).count() == 1000
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == list(range(1000))
