@@ -84,6 +84,7 @@ _NEVER_VERIFIED_FRONT = [
     "encoding_quality_kit",
     "compression_ratio_stats",
     "stream_static_join",
+    "asof_nearest_clicks",
 ]
 _merged: dict[str, QuerySpec] = {}
 for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, temporal, llmdata_q, extras2, relational):

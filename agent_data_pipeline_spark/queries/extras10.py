@@ -240,7 +240,83 @@ ORDER BY tier, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# asof_nearest_clicks
+# --------------------------------------------------------------------------
+
+
+def _asof_nearest_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with a tolerance window (ops/asof
+    full merge_asof parity): each purchase event finds its closest click
+    by the same user within ±30 min — before or after, tie to the
+    earlier one — the attribution primitive. One shuffle on the user
+    key; both directional windows share the union. The oracle
+    enumerates candidates within the window and ranks by
+    (|delta|, backward-first), which is exactly the nearest contract."""
+    from ..fns import epoch_micros
+    from ..ops.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_event_id", "click_ts"],
+        tolerance=1800.0,
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_event_id",
+        F.abs(
+            epoch_micros(F.col("click_ts")) - epoch_micros(F.col("ts"))
+        ).alias("delta_us"),
+    ).orderBy("event_id")
+
+
+_ASOF_NEAREST_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS cid, user_id, ts AS cts FROM events
+  WHERE event_type = 'click'
+), cand AS (
+  SELECT p.event_id, c.cid,
+         abs(epoch_us(c.cts) - epoch_us(p.ts)) AS adelta,
+         CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END AS fwd
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE abs(epoch_us(c.cts) - epoch_us(p.ts)) <= 1800000000
+), best AS (
+  SELECT event_id, cid, adelta,
+         row_number() OVER (PARTITION BY event_id ORDER BY adelta, fwd) AS rn
+  FROM cand
+)
+SELECT p.event_id, p.user_id,
+       b.cid AS click_event_id,
+       b.adelta AS delta_us
+FROM p LEFT JOIN (SELECT event_id, cid, adelta FROM best WHERE rn = 1) b
+  ON p.event_id = b.event_id
+ORDER BY p.event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "asof_nearest_clicks": QuerySpec(
+        _asof_nearest_clicks,
+        _ASOF_NEAREST_SQL,
+        "nearest-direction tolerance as-of join (attribution primitive)",
+    ),
     "stream_static_join": QuerySpec(
         _stream_static_join,
         _STREAM_STATIC_JOIN_SQL,

@@ -28,10 +28,15 @@ from .core import QuerySpec, t
 def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census (ops/graph.triangle_count) of the supplier
     co-supply graph — suppliers connected when they ship the same part
-    (the collaboration projection every supply-chain analysis
-    starts from). One row: nodes/edges/triangles/wedges/transitivity.
-    Edge derivation is a self-equi-join of the distinct (part,
-    supplier) incidence list on the part key."""
+    (the collaboration projection every supply-chain analysis starts
+    from). The co-supply projection of TPC-H-shaped data is NEAR-
+    COMPLETE (every supplier meets most others at sf≥0.1), so the
+    census runs on a deterministic 1/16 EDGE SAMPLE — the DOULION
+    estimator (Tsourakakis et al., KDD'09): exact counts on the sampled
+    graph plus the 1/p³-scaled triangle estimate. Sampling is id-hash
+    arithmetic (no RNG), so the oracle reproduces the same subgraph
+    bit-for-bit. One row: sampled nodes/edges/triangles/wedges/
+    transitivity + est_triangles."""
     li = t(spark, sf_dir, "lineitem")
     sp = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
@@ -42,8 +47,14 @@ def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "p")
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
+        .filter(
+            ((F.col("src") % 100003) * 31 + F.col("dst") % 100003) % 16 == 0
+        )
     )
-    return graph.triangle_count(edges)
+    return graph.triangle_count(edges).select(
+        "*",
+        (F.col("n_triangles") * 4096).alias("est_triangles"),
+    )
 
 
 _TRIANGLE_SQL = """
@@ -52,6 +63,7 @@ WITH sp AS (
 ), e AS (
   SELECT DISTINCT a.s AS lo, b.s AS hi
   FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+   AND ((a.s % 100003) * 31 + b.s % 100003) % 16 = 0
 ), tri AS (
   SELECT CAST(count(*) AS BIGINT) AS n_triangles
   FROM e e1
@@ -71,7 +83,8 @@ SELECT st.n_nodes,
        tri.n_triangles,
        st.wedges,
        CASE WHEN st.wedges > 0
-            THEN 3.0 * tri.n_triangles / st.wedges END AS transitivity
+            THEN 3.0 * tri.n_triangles / st.wedges END AS transitivity,
+       CAST(tri.n_triangles * 4096 AS BIGINT) AS est_triangles
 FROM st, tri
 """
 
