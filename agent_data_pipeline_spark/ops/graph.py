@@ -128,7 +128,9 @@ def triangle_count(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("wedges"),
+        F.coalesce(
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long"), F.lit(0)
+        ).alias("wedges"),
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (

@@ -173,6 +173,11 @@ def snapshot_diff(
     """
     if compare is None:
         compare = [c for c in old.columns if c not in keys]
+    if not compare:
+        raise ValueError(
+            "snapshot_diff: no columns to compare (table is keys-only — "
+            "pass compare explicitly or diff presence with a semi/anti join)"
+        )
     # presence flags are dedicated marker columns, not data columns that
     # may legitimately be all-NULL on a present row
     o = old.select(*keys, F.lit(1).alias("_in_o"), *[F.col(c).alias(f"_o_{c}") for c in compare])

@@ -75,7 +75,7 @@ WITH sp AS (
   GROUP BY n
 ), st AS (
   SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS wedges
+         CAST(coalesce(sum(d * (d - 1)) / 2, 0) AS BIGINT) AS wedges
   FROM deg
 )
 SELECT st.n_nodes,
