@@ -16,6 +16,7 @@ from . import (
     extras8,
     extras9,
     extras10,
+    extras11,
     llmdata_q,
     relational,
     scalars,
@@ -85,9 +86,18 @@ _NEVER_VERIFIED_FRONT = [
     "compression_ratio_stats",
     "stream_static_join",
     "asof_nearest_clicks",
+    # added during round 4, part 6 (extras11)
+    "streak_islands",
+    "interval_overlap_join",
+    "event_transitions",
+    "quantile_bins",
+    "concurrency_peaks",
+    "union_by_name_kit",
+    "haversine_kit",
+    "rolling_7d_users",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -401,3 +401,37 @@ def test_join_hints_honored(spark):
     plan = plan_of(spark, "join_hints_kit")
     assert _nodes(plan, "ShuffledHashJoin") >= 1, plan[:1200]
     assert _nodes(plan, "SortMergeJoin") >= 1, plan[:1200]
+
+
+def test_interval_overlap_is_bin_equi_join(spark):
+    """The overlap join must plan as an equi-join on the 7-day bin with
+    the overlap predicate as a residual — never a nested-loop/cartesian
+    theta join (the quadratic default for non-equi range predicates)."""
+    plan = plan_of(spark, "interval_overlap_join")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_rolling_7d_users_no_self_join_blowup(spark):
+    """The sliding distinct count is explode + semi-join + agg: no
+    range join of days against a week of rows (the quadratic form).
+    The only join is the left-semi day filter."""
+    plan = plan_of(spark, "rolling_7d_users")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_haversine_pairs_is_nation_equi_join(spark):
+    """Geo pair generation must block on the nation key (equi-join with
+    the k1<k2 residual), not enumerate the global cross product."""
+    plan = plan_of(spark, "haversine_kit")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_streak_islands_single_exchange_for_both_windows(spark):
+    """Both windows (row_number island id, best-streak pick) and the
+    island aggregation partition on user_id — Catalyst must reuse one
+    Exchange rather than re-shuffling per step."""
+    plan = plan_of(spark, "streak_islands")
+    assert _nodes(plan, "Exchange") <= 2, plan[:1500]
