@@ -17,6 +17,7 @@ from . import (
     extras9,
     extras10,
     extras11,
+    extras12,
     llmdata_q,
     relational,
     scalars,
@@ -95,9 +96,14 @@ _NEVER_VERIFIED_FRONT = [
     "union_by_name_kit",
     "haversine_kit",
     "rolling_7d_users",
+    # added during round 4, part 7 (extras12)
+    "golden_record",
+    "pareto_revenue",
+    "benford_digits",
+    "path_3grams",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -435,3 +435,18 @@ def test_streak_islands_single_exchange_for_both_windows(spark):
     Exchange rather than re-shuffling per step."""
     plan = plan_of(spark, "streak_islands")
     assert _nodes(plan, "Exchange") <= 2, plan[:1500]
+
+
+def test_golden_record_single_aggregation(spark):
+    """Survivorship merge is ONE aggregate over one scan — per-attribute
+    last-non-null picks must not multiply scans or add joins."""
+    plan = plan_of(spark, "golden_record")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_path_3grams_one_window_exchange(spark):
+    """Both lead() steps share the (user_id; ts, event_id) window — one
+    Window node, one hash Exchange for it."""
+    plan = plan_of(spark, "path_3grams")
+    assert _nodes(plan, "Window") == 1, plan[:1500]
