@@ -18,6 +18,7 @@ from . import (
     extras10,
     extras11,
     extras12,
+    extras13,
     llmdata_q,
     relational,
     scalars,
@@ -101,9 +102,15 @@ _NEVER_VERIFIED_FRONT = [
     "pareto_revenue",
     "benford_digits",
     "path_3grams",
+    # added during round 4, part 8 (extras13)
+    "rank_ties_topk",
+    "late_dim_fallback",
+    "rolling_zscore",
+    "checksum_partition_audit",
+    "dow_seasonality",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -9,7 +9,9 @@ event date) rather than a cross join — the binned overlap join in
 particular is the standard cure for Spark's quadratic default on
 non-equi range predicates (the bin equi-join bounds candidates; a
 "count the pair only in the bin that contains the overlap start" rule
-makes it exactly-once without a distinct).
+makes it exactly-once without a distinct; and since the query needs
+pair COUNTS, both sides pre-aggregate to day-grain counts so the join
+input is bounded by the time span, not the row count).
 
 Determinism: every query here is integer-or-grid arithmetic (counts,
 day diffs, ratios of exact integers, sums over values already rounded
@@ -105,20 +107,24 @@ def _interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval), the join is an equi-join on the bin, the true overlap
     predicate runs as a residual filter, and a pair is counted only in
     the bin containing its overlap start — exactly-once with no
-    distinct. Per-year overlap-pair counts and total overlap days; all
-    integer arithmetic. The oracle is the plain theta join, which
-    proves the binned plan emits exactly the same pairs."""
+    distinct. Because the result is aggregate pair counts, each side is
+    first collapsed to per-START-DAY counts, so the bin join processes
+    distinct-day rows (time-span-bounded) instead of order rows, and
+    every day-pair contributes cnt_a·cnt_b pairs — at 10x data the join
+    input is UNCHANGED and only the integer products grow (measured in
+    SCALING.md). Per-year overlap-pair counts and total overlap days;
+    all integer arithmetic. The oracle is the plain theta join over raw
+    intervals, which proves the binned day-grain plan counts exactly
+    the same pair set."""
     o = t(spark, sf_dir, "orders")
 
-    def intervals(prio: str, side: str) -> DataFrame:
+    def day_counts(prio: str, side: str) -> DataFrame:
         d = F.to_date("o_orderdate")
         dnum = F.datediff(d, F.lit("1970-01-01"))
         return (
             o.filter(F.col("o_orderpriority") == prio)
-            .select(
-                F.col("o_orderkey").alias(f"k_{side}"),
-                dnum.alias(f"dn_{side}"),
-            )
+            .groupBy(dnum.alias(f"dn_{side}"))
+            .agg(F.count(F.lit(1)).alias(f"cnt_{side}"))
             .withColumn(
                 "bin",
                 F.explode(
@@ -130,24 +136,28 @@ def _interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    a = intervals("1-URGENT", "a")
-    b = intervals("5-LOW", "b")
+    a = day_counts("1-URGENT", "a")
+    b = day_counts("5-LOW", "b")
     start = F.greatest(F.col("dn_a"), F.col("dn_b"))
-    pairs = (
+    day_pairs = (
         a.join(b, "bin")
         .filter(F.abs(F.col("dn_a") - F.col("dn_b")) < 7)
         .filter(F.col("bin") == F.floor(start / 7))
     )
+    n_pairs = F.col("cnt_a") * F.col("cnt_b")
     return (
-        pairs.select(
+        day_pairs.select(
             F.year(F.date_add(F.lit("1970-01-01"), start.cast("int")))
             .cast("long")
             .alias("y"),
-            (F.lit(7) - F.abs(F.col("dn_a") - F.col("dn_b"))).alias("od"),
+            n_pairs.alias("np"),
+            (
+                (F.lit(7) - F.abs(F.col("dn_a") - F.col("dn_b"))) * n_pairs
+            ).alias("od"),
         )
         .groupBy("y")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("np").cast("bigint").alias("n_pairs"),
             F.sum("od").cast("bigint").alias("overlap_days"),
         )
         .orderBy("y")

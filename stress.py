@@ -146,6 +146,32 @@ R4_OPS = [
     "approx_quantile_kit",
 ]
 
+# Round-4 part 6/7 operators (sequence/interval analytics + record
+# mastering): islands/windows shuffle on their own key, the overlap
+# join is bin-blocked (≤2 bins per 7-day interval), rolling distinct is
+# a bounded ≤7-way explode, golden record is one aggregate. Expected
+# growth ≤ data ratio; pair-producing ops (copurchase, haversine,
+# interval overlap) grow with PAIR count, which the blocking keys bound.
+R4C_OPS = [
+    "streak_islands",
+    "interval_overlap_join",
+    "event_transitions",
+    "quantile_bins",
+    "concurrency_peaks",
+    "union_by_name_kit",
+    "haversine_kit",
+    "rolling_7d_users",
+    "golden_record",
+    "pareto_revenue",
+    "benford_digits",
+    "path_3grams",
+    "rank_ties_topk",
+    "late_dim_fallback",
+    "rolling_zscore",
+    "checksum_partition_audit",
+    "dow_seasonality",
+]
+
 
 def _sweep(spark, names: list[str], sf_dir: str, n_passes: int = 2) -> dict[str, float]:
     """Interleaved rotated min-of-N timing over `names` at `sf_dir` —
@@ -199,6 +225,7 @@ def main() -> None:
 
     r3 = base_vs_10x(R3_OPS)
     r4 = base_vs_10x(R4_OPS)
+    r4c = base_vs_10x(R4C_OPS)
 
     # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
     # the measured semantic superlinearity of direct pair mining on a
@@ -221,6 +248,7 @@ def main() -> None:
                 "queries": timings,
                 "round3_ops_base_vs_10x": r3,
                 "round4_ops_base_vs_10x": r4,
+                "round4_part67_ops_base_vs_10x": r4c,
                 "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,

@@ -450,3 +450,29 @@ def test_path_3grams_one_window_exchange(spark):
     Window node, one hash Exchange for it."""
     plan = plan_of(spark, "path_3grams")
     assert _nodes(plan, "Window") == 1, plan[:1500]
+
+
+def test_late_dim_fallback_broadcasts_dim(spark):
+    """The UNKNOWN-member rollup must broadcast the filtered part dim —
+    a fact-side shuffle for a dim join is the at-scale regression."""
+    plan = plan_of(spark, "late_dim_fallback")
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_checksum_audit_single_scan(spark):
+    """Fixity checksums fold into one aggregation over one scan."""
+    plan = plan_of(spark, "checksum_partition_audit")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_interval_overlap_day_grain_preagg(spark):
+    """The overlap join must aggregate to day-grain counts BEFORE the
+    bin join (join input bounded by time span): two pre-join
+    HashAggregate pairs feed the join, and no nested-loop join
+    appears."""
+    plan = plan_of(spark, "interval_overlap_join")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert _nodes(plan, "HashAggregate") >= 5, plan[:1500]
