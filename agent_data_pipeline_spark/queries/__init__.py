@@ -19,6 +19,7 @@ from . import (
     extras11,
     extras12,
     extras13,
+    extras14,
     llmdata_q,
     relational,
     scalars,
@@ -108,9 +109,16 @@ _NEVER_VERIFIED_FRONT = [
     "rolling_zscore",
     "checksum_partition_audit",
     "dow_seasonality",
+    # added during round 4, part 9 (extras14)
+    "rfm_segments",
+    "gini_lorenz",
+    "proration_penny_split",
+    "survival_curve",
+    "ab_test_ztest",
+    "trend_forecast",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
