@@ -20,6 +20,7 @@ from . import (
     extras12,
     extras13,
     extras14,
+    extras15,
     llmdata_q,
     relational,
     scalars,
@@ -116,9 +117,16 @@ _NEVER_VERIFIED_FRONT = [
     "survival_curve",
     "ab_test_ztest",
     "trend_forecast",
+    # added during round 4, part 10 (extras15)
+    "sequence_gaps",
+    "orphan_audit",
+    "fuzzy_part_match",
+    "weighted_percentile_kit",
+    "corr_matrix",
+    "date_spine_fill",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
