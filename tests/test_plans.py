@@ -476,3 +476,109 @@ def test_interval_overlap_day_grain_preagg(spark):
     assert "CartesianProduct" not in plan, plan[:1200]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
     assert _nodes(plan, "HashAggregate") >= 5, plan[:1500]
+
+
+def test_rfm_collapses_facts_before_global_windows(spark):
+    """RFM scores: the fact scan must aggregate to customer-dim rows
+    BEFORE any global ntile window, and the anchor-date join must not
+    be a cartesian over facts."""
+    plan = plan_of(spark, "rfm_segments")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+    assert _nodes(plan, "Window") >= 1, plan[:1500]
+
+
+def test_gini_single_rank_exchange(spark):
+    """Gini/Lorenz: customer-dim aggregation first, then the global
+    rank/decile windows; no cartesian over fact rows."""
+    plan = plan_of(spark, "gini_lorenz")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_proration_broadcasts_order_totals(spark):
+    """Penny proration joins lineitems to their order totals via
+    broadcast (the filtered orders side is small); allocation windows
+    must not introduce a shuffle join."""
+    plan = plan_of(spark, "proration_penny_split")
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_survival_curve_no_fact_scale_join(spark):
+    """Kaplan-Meier: facts collapse per-customer, then per-lifetime —
+    the horizon/total joins are broadcast scalars, never a shuffle of
+    fact rows."""
+    plan = plan_of(spark, "survival_curve")
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan, plan[:1200]
+
+
+def test_ab_test_single_row_from_partial_aggs(spark):
+    """The z-test reduces to one row via partial aggregation — map-side
+    combine must be present at every aggregate step."""
+    plan = plan_of(spark, "ab_test_ztest")
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_trend_forecast_broadcasts_dims(spark):
+    """Trend moments join orders to customer/nation dims by broadcast;
+    the moment sums partial-aggregate map-side."""
+    plan = plan_of(spark, "trend_forecast")
+    assert _nodes(plan, "BroadcastHashJoin") >= 2, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_sequence_gaps_key_only_scan_one_window_each(spark):
+    """Gap islands: the gaps branch and its totals branch each scan the
+    key column once through one lag() window — nothing wider, and the
+    totals attach as a broadcast scalar, not a shuffle join."""
+    plan = plan_of(spark, "sequence_gaps")
+    assert _nodes(plan, "Scan parquet") <= 2, plan[:1200]
+    assert _nodes(plan, "Window") <= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert all(s == "o_orderkey:bigint" for s in read_schemas(plan)), read_schemas(plan)
+
+
+def test_orphan_audit_all_edges_broadcast_anti(spark):
+    """Every FK edge checks via a broadcast anti-join on the dim side —
+    a sort-merge anti over a fact table is the at-scale regression."""
+    plan = plan_of(spark, "orphan_audit")
+    assert _nodes(plan, "BroadcastHashJoin") >= 5, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_fuzzy_match_is_block_equi_join(spark):
+    """Blocked record linkage must candidate-generate through the
+    blocking-key equi-join — an all-pairs nested loop means blocking
+    regressed."""
+    plan = plan_of(spark, "fuzzy_part_match")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_weighted_percentile_one_scan_no_join(spark):
+    """Weighted quantiles: one scan, windows on the group key, no
+    joins."""
+    plan = plan_of(spark, "weighted_percentile_kit")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_corr_matrix_one_pass(spark):
+    """All six correlations come from ONE aggregate over ONE scan."""
+    plan = plan_of(spark, "corr_matrix")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_date_spine_never_scans_facts_wide(spark):
+    """The spine is dims x months: the only fact scan is orders, pruned
+    to the three columns the monthly rollup needs."""
+    plan = plan_of(spark, "date_spine_fill")
+    schemas = read_schemas(plan)
+    wide = [s for s in schemas if s.count(",") + 1 > 3]
+    assert not wide, f"over-wide scan: {wide}"
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
