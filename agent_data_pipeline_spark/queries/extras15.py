@@ -200,27 +200,41 @@ def _fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 10; emits the distance histogram. Blocking keeps the
     self-join candidate set Σ(block²) instead of corpus² — at larger
     corpora the block key widens (first two tokens / token+size), the
-    same knob every record-linkage deployment tunes. Pair identity is
-    (key_a < key_b); distances are exact integers."""
+    same knob every record-linkage deployment tunes.
+
+    Dedup-first candidate generation: the block join runs over DISTINCT
+    names with multiplicities, and row-pair counts come back by
+    arithmetic (m_a·m_b across names, C(m,2) within a duplicated name
+    at distance 0). On a duplicate-heavy corpus the expensive
+    Levenshtein join is bounded by distinct-name block sizes — the same
+    exact-dedup-first composition the MinHash path uses — while the
+    oracle stays the raw quadratic pair join, proving the rewrite
+    counts the identical pair set. Row-pair identity is (key_a <
+    key_b); distances are exact integers."""
     p = t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.split(F.col("p_name"), " ")[0].alias("blk"),
+        "p_name", F.split(F.col("p_name"), " ")[0].alias("blk")
     )
-    a, b = p.alias("a"), p.alias("b")
-    pairs = (
+    names = p.groupBy("blk", "p_name").agg(F.count(F.lit(1)).alias("m"))
+    a, b = names.alias("a"), names.alias("b")
+    cross_pairs = (
         a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .filter(F.col("a.p_name") < F.col("b.p_name"))
         .select(
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast(
-                "long"
-            ).alias("dist")
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("dist"),
+            (F.col("a.m") * F.col("b.m")).alias("n"),
         )
         .filter(F.col("dist") <= 10)
     )
+    within = names.filter(F.col("m") > 1).select(
+        F.lit(0).cast("long").alias("dist"),
+        F.expr("(m * (m - 1)) div 2").alias("n"),
+    )
     return (
-        pairs.groupBy("dist")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        cross_pairs.unionAll(within)
+        .groupBy("dist")
+        .agg(F.sum("n").alias("n_pairs"))
         .orderBy("dist")
     )
 
@@ -245,43 +259,100 @@ GROUP BY dist ORDER BY dist
 
 def _weighted_percentile_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted percentiles (p25/p50/p75) of extended price
-    weighted by quantity, per return flag: sort by price within the
-    group, take the first price whose cumulative weight crosses q·W.
-    The crossing test is pure integer arithmetic (4·cumw ≥ q·4·W), so
-    the pick is exact — no interpolation, no float. One window per
-    group ordered by (price, key tie-break)."""
-    li = t(spark, sf_dir, "lineitem").select(
+    weighted by quantity, per return flag: the smallest price whose
+    cumulative weight crosses q·W. The crossing test is pure integer
+    arithmetic (4·cum ≥ q·4·W), so the pick is exact — no
+    interpolation, no float.
+
+    Bucket-then-refine, NOT a fact-scale cumulative window: the return
+    flag has only 3 values, so a running-sum window partitioned on it
+    serializes the whole fact table into 3 sorted partitions (measured
+    4.3× at 10× data — SCALING.md). Instead, (1) aggregate weights into
+    $1000 price buckets — windows then run over the tiny bucket
+    histogram to locate each quantile's target bucket and the
+    cumulative weight before it; (2) re-scan only the rows landing in a
+    target bucket (~1/n_buckets of the data) and refine the exact
+    crossing price inside it. Both passes are fully parallel; the pick
+    is identical because the global cumulative at any price equals
+    cum_before(bucket) + within-bucket cumulative."""
+    rows = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("price_cents"),
         F.col("l_quantity").cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+    ).withColumn("bucket", F.expr("price_cents div 100000"))
+    bstats = rows.groupBy("l_returnflag", "bucket").agg(
+        F.sum("w").alias("bw")
     )
-    win = Window.partitionBy("l_returnflag").orderBy(
-        "price_cents", "l_orderkey", "l_linenumber"
+    wcum = Window.partitionBy("l_returnflag").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
     )
     wtot = Window.partitionBy("l_returnflag")
-    cum = li.withColumn("cumw", F.sum("w").over(win)).withColumn(
-        "totw", F.sum("w").over(wtot)
+    bcum = bstats.withColumn("cum", F.sum("bw").over(wcum)).withColumn(
+        "totw", F.sum("bw").over(wtot)
     )
-
-    def pick(qnum: int, qden: int, name: str):
-        return F.min(
-            F.when(
-                F.col("cumw") * qden >= F.col("totw") * qnum,
-                F.col("price_cents"),
-            )
-        ).alias(name)
-
-    return (
-        cum.groupBy("l_returnflag")
+    qs = spark.range(1, 4).select(F.col("id").alias("qnum"))
+    targets = (
+        bcum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 4 >= F.col("qnum") * F.col("totw"))
+        .groupBy("l_returnflag", "qnum")
         .agg(
-            F.sum("w").alias("total_weight"),
-            pick(1, 4, "wp25_cents"),
-            pick(2, 4, "wp50_cents"),
-            pick(3, 4, "wp75_cents"),
+            F.min_by(
+                F.struct(
+                    F.col("bucket"),
+                    (F.col("cum") - F.col("bw")).alias("cum_before"),
+                    F.col("totw"),
+                ),
+                F.col("bucket"),
+            ).alias("tgt")
+        )
+        .select(
+            "l_returnflag",
+            "qnum",
+            F.col("tgt.bucket").alias("bucket"),
+            F.col("tgt.cum_before").alias("cum_before"),
+            F.col("tgt.totw").alias("totw"),
+        )
+    )
+    refine_rows = rows.join(
+        F.broadcast(targets), ["l_returnflag", "bucket"]
+    )
+    # Within one (flag, qnum) target bucket: collapse to per-price
+    # weights, then the cumulative over distinct prices picks the
+    # crossing price — identical to a row-level cumulative because all
+    # rows at one price cross together.
+    per_price = refine_rows.groupBy(
+        "l_returnflag", "qnum", "cum_before", "totw", "price_cents"
+    ).agg(F.sum("w").alias("pw"))
+    win_p = Window.partitionBy("l_returnflag", "qnum").orderBy(
+        "price_cents"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    picks = (
+        per_price.withColumn("cum_in", F.sum("pw").over(win_p))
+        .filter(
+            (F.col("cum_before") + F.col("cum_in")) * 4
+            >= F.col("qnum") * F.col("totw")
+        )
+        .groupBy("l_returnflag", "qnum")
+        .agg(
+            F.min("price_cents").alias("pick"),
+            F.min("totw").alias("totw"),
+        )
+    )
+    return (
+        picks.groupBy("l_returnflag")
+        .agg(
+            F.min("totw").alias("total_weight"),
+            F.min(F.when(F.col("qnum") == 1, F.col("pick"))).alias(
+                "wp25_cents"
+            ),
+            F.min(F.when(F.col("qnum") == 2, F.col("pick"))).alias(
+                "wp50_cents"
+            ),
+            F.min(F.when(F.col("qnum") == 3, F.col("pick"))).alias(
+                "wp75_cents"
+            ),
         )
         .orderBy("l_returnflag")
     )

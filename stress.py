@@ -172,6 +172,30 @@ R4C_OPS = [
     "dow_seasonality",
 ]
 
+# Round-4 part 9/10 operators (customer analytics, finance allocation,
+# warehouse integrity, record linkage). RFM/Gini collapse facts to
+# customer-dim rows before their global ntile windows (exact-small
+# variant — the windows grow with the CUSTOMER count, here 10x, through
+# a single-partition sort like quantile_bins); proration windows are
+# per-order; the orphan audit is broadcast anti-joins; fuzzy matching
+# candidate-generates over DISTINCT names, so a duplicate-heavy 10x
+# corpus must NOT grow its Levenshtein join (dedup-first composition —
+# the ratio proves it).
+R4D_OPS = [
+    "rfm_segments",
+    "gini_lorenz",
+    "proration_penny_split",
+    "survival_curve",
+    "ab_test_ztest",
+    "trend_forecast",
+    "sequence_gaps",
+    "orphan_audit",
+    "fuzzy_part_match",
+    "weighted_percentile_kit",
+    "corr_matrix",
+    "date_spine_fill",
+]
+
 
 def _sweep(spark, names: list[str], sf_dir: str, n_passes: int = 2) -> dict[str, float]:
     """Interleaved rotated min-of-N timing over `names` at `sf_dir` —
@@ -226,6 +250,7 @@ def main() -> None:
     r3 = base_vs_10x(R3_OPS)
     r4 = base_vs_10x(R4_OPS)
     r4c = base_vs_10x(R4C_OPS)
+    r4d = base_vs_10x(R4D_OPS)
 
     # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
     # the measured semantic superlinearity of direct pair mining on a
@@ -249,6 +274,7 @@ def main() -> None:
                 "round3_ops_base_vs_10x": r3,
                 "round4_ops_base_vs_10x": r4,
                 "round4_part67_ops_base_vs_10x": r4c,
+                "round4_part910_ops_base_vs_10x": r4d,
                 "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,

@@ -558,12 +558,18 @@ def test_fuzzy_match_is_block_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
 
 
-def test_weighted_percentile_one_scan_no_join(spark):
-    """Weighted quantiles: one scan, windows on the group key, no
-    joins."""
+def test_weighted_percentile_bucket_then_refine(spark):
+    """Weighted quantiles must NOT run a cumulative window over fact
+    rows partitioned by the 3-value flag (serializes the table into 3
+    sorted partitions — measured 4.3x at 10x). The histogram pass and
+    the refine pass each scan the pruned fact columns once; the
+    target-bucket join is broadcast."""
     plan = plan_of(spark, "weighted_percentile_kit")
-    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
-    assert "Join" not in plan, plan[:800]
+    assert _nodes(plan, "Scan parquet") <= 2, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    wide = [s for s in read_schemas(plan) if s.count(",") + 1 > 3]
+    assert not wide, f"over-wide fact scan: {wide}"
 
 
 def test_corr_matrix_one_pass(spark):
