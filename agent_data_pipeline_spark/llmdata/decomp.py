@@ -1,0 +1,103 @@
+"""Distributed decomposition ops for embedding columns.
+
+PCA at corpus scale is a one-pass moment computation: each Arrow batch
+contributes a partial (count, sum vector, Gram matrix) via a single
+numpy matmul, partials reduce in Spark (the only shuffled data is d and
+d² scalars per batch — never the vectors), and the d×d eigensolve runs
+on the driver where it belongs (d is the embedding width, 64 here; the
+cost is microseconds and independent of corpus size). This is the same
+partial-moments design the reference-class systems use for covariance
+at scale; compare `similarity.cosine_topk_bruteforce` for the kernel
+conventions (self-contained closures, float64 accumulation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pca_explained_variance(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k PCA explained-variance ratios over an embedding column.
+
+    One distributed pass: mapInPandas emits per-batch partials
+    (n, Σx, flattened XᵀX); the partials explode to (idx, value) rows
+    and reduce by index — two tiny shuffles bounded by d², independent
+    of corpus size. The covariance C = (G − n·μμᵀ)/(n−1) is then
+    eigensolved with numpy on the driver. Returns a DataFrame
+    (component, eigenvalue, explained_ratio, cum_ratio) with component
+    1-based in descending-eigenvalue order, floats rounded so partial
+    accumulation order cannot leak into the result.
+    """
+
+    def moments(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]]
+            )
+            g = x.T @ x
+            yield _pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [g.ravel().tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        moments, "n long, s array<double>, g array<double>"
+    )
+    s_sum = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .orderBy("i")
+    )
+    g_sum = (
+        parts.select(F.posexplode("g").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .orderBy("i")
+    )
+    n_total = parts.agg(F.sum("n")).collect()[0][0]
+    if not n_total or n_total < 2:
+        return spark.createDataFrame(
+            [], "component long, eigenvalue double, explained_ratio double, cum_ratio double"
+        )
+    s = np.array([r.v for r in s_sum.collect()])
+    d = s.shape[0]
+    g = np.array([r.v for r in g_sum.collect()]).reshape(d, d)
+    mu = s / n_total
+    cov = (g - n_total * np.outer(mu, mu)) / (n_total - 1)
+    evals = np.linalg.eigh(cov)[0][::-1]  # descending
+    evals = np.clip(evals, 0.0, None)
+    trace = evals.sum() or 1.0
+    ratios = evals / trace
+    scale = 10.0**round_digits
+    rows = []
+    cum = 0.0
+    for i in range(min(k, d)):
+        cum += ratios[i]
+        rows.append(
+            (
+                i + 1,
+                float(np.floor(evals[i] * scale + 0.5) / scale),
+                float(np.floor(ratios[i] * scale + 0.5) / scale),
+                float(np.floor(cum * scale + 0.5) / scale),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, explained_ratio double, cum_ratio double"
+    )

@@ -616,3 +616,47 @@ def duplicate_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_span_fraction"),
     )
+
+
+def token_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment pairs via the same inverted-index self-join
+    as :func:`token_jaccard_pairs`.
+
+    Containment C(A,B) = |A ∩ B| / |A| detects quote/subset duplication
+    that symmetric Jaccard misses: a paragraph fully contained in a much
+    longer document has near-1 containment but tiny Jaccard. Emits one
+    row per unordered pair (id_a < id_b) with BOTH directions
+    (c_a_in_b, c_b_in_a), kept when either crosses the threshold.
+    Candidate generation is the posting-list equi-join — identical scale
+    shape (and DF-cap options composable the same way) as the Jaccard
+    path; no new join strategy.
+    """
+    df = spread(df)
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(df, text_col)).alias("tok")
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("c_a_in_b", rnd(F.col("inter") / F.col("sz_a"), 6))
+        .withColumn("c_b_in_a", rnd(F.col("inter") / F.col("sz_b"), 6))
+        .filter(
+            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
+    )

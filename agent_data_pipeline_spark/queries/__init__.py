@@ -21,6 +21,7 @@ from . import (
     extras13,
     extras14,
     extras15,
+    extras16,
     llmdata_q,
     relational,
     scalars,
@@ -124,9 +125,15 @@ _NEVER_VERIFIED_FRONT = [
     "weighted_percentile_kit",
     "corr_matrix",
     "date_spine_fill",
+    # added during round 4, part 11 (extras16)
+    "readability_kit",
+    "zipf_fit",
+    "embedding_norm_audit",
+    "containment_pairs",
+    "pca_variance",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -166,3 +166,28 @@ def test_semantic_decontaminate_flags_planted_eval_copy(spark):
     assert out[100]["is_contaminated"] == 1
     assert out[101]["is_contaminated"] == 0 and out[101]["max_cosine"] == 0.0
     assert out[102]["nearest_eval_id"] == 2 and out[102]["is_contaminated"] == 1
+
+
+def test_pca_variance_matches_numpy(spark):
+    """The distributed moment pass + driver eigensolve must reproduce
+    numpy's full-precision PCA explained-variance ratios."""
+    import numpy as np
+
+    from agent_data_pipeline_spark.llmdata.decomp import pca_explained_variance
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = pca_explained_variance(spark, df, k=8).toPandas()
+
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in df.toPandas()["embedding"]]
+    )
+    cov = np.cov(x, rowvar=False)
+    evals = np.clip(np.linalg.eigh(cov)[0][::-1], 0.0, None)
+    ratios = evals / evals.sum()
+    assert len(got) == 8
+    np.testing.assert_allclose(
+        got["explained_ratio"].to_numpy(), ratios[:8], atol=2e-6
+    )
+    np.testing.assert_allclose(
+        got["cum_ratio"].to_numpy(), np.cumsum(ratios)[:8], atol=2e-5
+    )
