@@ -18,24 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def pca_explained_variance(
-    spark: SparkSession,
-    df: DataFrame,
-    vec_col: str = "embedding",
-    k: int = 8,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Top-k PCA explained-variance ratios over an embedding column.
-
-    One distributed pass: mapInPandas emits per-batch partials
-    (n, Σx, flattened XᵀX); the partials explode to (idx, value) rows
-    and reduce by index — two tiny shuffles bounded by d², independent
-    of corpus size. The covariance C = (G − n·μμᵀ)/(n−1) is then
-    eigensolved with numpy on the driver. Returns a DataFrame
-    (component, eigenvalue, explained_ratio, cum_ratio) with component
-    1-based in descending-eigenvalue order, floats rounded so partial
-    accumulation order cannot leak into the result.
-    """
+def moment_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The lazy distributed stage of PCA: per-Arrow-batch partial
+    moments (n, Σx, flattened XᵀX) via one numpy matmul each — the only
+    Python pass, and the only data that ever shuffles (d and d² scalars
+    per batch, never the vectors)."""
 
     def moments(batches):
         import numpy as _np
@@ -56,9 +43,31 @@ def pca_explained_variance(
                 }
             )
 
-    parts = df.select(vec_col).mapInPandas(
+    return df.select(vec_col).mapInPandas(
         moments, "n long, s array<double>, g array<double>"
     )
+
+
+def pca_explained_variance(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k PCA explained-variance ratios over an embedding column.
+
+    One distributed pass: mapInPandas emits per-batch partials
+    (n, Σx, flattened XᵀX); the partials explode to (idx, value) rows
+    and reduce by index — two tiny shuffles bounded by d², independent
+    of corpus size. The covariance C = (G − n·μμᵀ)/(n−1) is then
+    eigensolved with numpy on the driver. Returns a DataFrame
+    (component, eigenvalue, explained_ratio, cum_ratio) with component
+    1-based in descending-eigenvalue order, floats rounded so partial
+    accumulation order cannot leak into the result.
+    """
+
+    parts = moment_partials(df, vec_col)
     s_sum = (
         parts.select(F.posexplode("s").alias("i", "v"))
         .groupBy("i")

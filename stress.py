@@ -194,6 +194,15 @@ R4D_OPS = [
     "weighted_percentile_kit",
     "corr_matrix",
     "date_spine_fill",
+    # part 11: corpus statistics + embedding diagnostics. zipf/readability
+    # are linear per-row with vocabulary-bounded windows; containment's
+    # oracle slice is fixed (original doc ids only), so its 10x row is a
+    # constant-work sanity; pca is one linear moment pass.
+    "readability_kit",
+    "zipf_fit",
+    "embedding_norm_audit",
+    "containment_pairs",
+    "pca_variance",
 ]
 
 

@@ -588,3 +588,56 @@ def test_date_spine_never_scans_facts_wide(spark):
     wide = [s for s in schemas if s.count(",") + 1 > 3]
     assert not wide, f"over-wide scan: {wide}"
     assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_readability_single_scan_jvm_only(spark):
+    """Readability counts are JVM regexp expressions folded into one
+    scan + one aggregate — no Python, no joins."""
+    plan = plan_of(spark, "readability_kit")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+    assert "Python" not in plan, plan[:800]
+
+
+def test_zipf_rank_window_over_vocab_not_corpus(spark):
+    """The Zipf rank window runs over the vocabulary aggregate — the
+    corpus explode must aggregate to (token, count) before any window,
+    and nothing shuffle-joins fact-scale rows."""
+    plan = plan_of(spark, "zipf_fit")
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_embedding_norm_audit_single_scan(spark):
+    """The vector audit is one scan + one aggregate; the fold over the
+    array is a JVM higher-order function, not a UDF."""
+    plan = plan_of(spark, "embedding_norm_audit")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+    assert "Python" not in plan, plan[:800]
+
+
+def test_containment_posting_list_equi_join(spark):
+    """Containment candidate generation is the posting-list equi-join —
+    never an all-pairs nested loop."""
+    plan = plan_of(spark, "containment_pairs")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_pca_one_python_moment_pass(spark):
+    """PCA's only Python stage is the batched moment kernel, and only
+    the vector column reaches it; no joins anywhere in the moment
+    pass. (The registry entry returns an eagerly-solved local result,
+    so the shape check targets the lazy distributed stage.)"""
+    from agent_data_pipeline_spark.llmdata.decomp import moment_partials
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = moment_partials(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert _nodes(plan, "MapInPandas") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+    assert all("vec_id" not in s for s in read_schemas(plan)), read_schemas(plan)
