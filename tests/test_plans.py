@@ -641,3 +641,43 @@ def test_pca_one_python_moment_pass(spark):
     assert _nodes(plan, "MapInPandas") == 1, plan[:1200]
     assert "Join" not in plan, plan[:800]
     assert all("vec_id" not in s for s in read_schemas(plan)), read_schemas(plan)
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """At cluster scale, a selective dim filter should inject a runtime
+    bloom filter into the fact scan (semi-join reduction before the
+    shuffle join). The feature is size-threshold-gated — designed to
+    trigger on real multi-GB scans, so the engine session keeps
+    `spark.sql.optimizer.runtime.bloomFilter.enabled` at its true
+    default and this test drops the application-side threshold to prove
+    the rule fires on the engine's plans."""
+    import pyspark.sql.functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    app_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bcast = spark.conf.get(app_key), spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(app_key, "0")
+        spark.conf.set(bcast_key, "-1")  # force a shuffle join so the
+        # bloom (not a broadcast) is the pruning mechanism under test
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        p = spark.read.parquet(f"{SF}/part.parquet").filter(
+            F.col("p_size") == 1
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, plan[:1500]
+        assert "bloom_filter_agg" in plan, plan[:1500]
+    finally:
+        spark.conf.set(app_key, old_app)
+        spark.conf.set(bcast_key, old_bcast)
