@@ -291,3 +291,25 @@ def merge_partial_aggs(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sums])
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change batch (op ∈ {'I','U','D'}) to a snapshot.
+
+    Semantics of one transactionally-consistent batch: every base row
+    whose key appears in the batch (any op) is removed via ONE anti-join
+    on the keys, then the I/U payload rows append — so updates replace,
+    deletes vanish, inserts add, and a key can carry at most one change
+    row (enforce upstream with dropDuplicates; duplicate change keys
+    would fan out like any MERGE). Two shuffles total on the key
+    columns, independent of op mix; the change side is usually the
+    small side and broadcastable.
+    """
+    payload = changes.filter(F.col(op_col).isin("I", "U")).drop(op_col)
+    survivors = base.join(changes.select(*keys), keys, "left_anti")
+    return survivors.unionByName(payload)

@@ -22,6 +22,7 @@ from . import (
     extras14,
     extras15,
     extras16,
+    extras17,
     llmdata_q,
     relational,
     scalars,
@@ -131,9 +132,13 @@ _NEVER_VERIFIED_FRONT = [
     "embedding_norm_audit",
     "containment_pairs",
     "pca_variance",
+    # added during round 4, part 12 (extras17)
+    "cdc_apply_summary",
+    "hwm_incremental_extract",
+    "session_attribution",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

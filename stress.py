@@ -203,6 +203,11 @@ R4D_OPS = [
     "embedding_norm_audit",
     "containment_pairs",
     "pca_variance",
+    # part 12: CDC apply is anti-join+union on the key; HWM extract is a
+    # pushed range predicate; attribution is user-key windows.
+    "cdc_apply_summary",
+    "hwm_incremental_extract",
+    "session_attribution",
 ]
 
 

@@ -215,3 +215,20 @@ def test_merge_partial_aggs_equals_full_recompute(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in full.collect()
     }
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    from agent_data_pipeline_spark.ops.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, x int"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 25, "U"), (3, None, 0, "D"), (4, "d", 40, "I")],
+        "k int, v string, x int, op string",
+    )
+    got = {
+        r.k: (r.v, r.x)
+        for r in apply_cdc(base, changes, keys=["k"]).collect()
+    }
+    assert got == {1: ("a", 10), 2: ("b2", 25), 4: ("d", 40)}

@@ -681,3 +681,29 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     finally:
         spark.conf.set(app_key, old_app)
         spark.conf.set(bcast_key, old_bcast)
+
+
+def test_cdc_apply_is_anti_join_plus_union(spark):
+    """CDC apply: one anti-join removes every touched key, the I/U
+    payload unions back — no per-op scans multiplying the base table,
+    no nested loops."""
+    plan = plan_of(spark, "cdc_apply_summary")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "LeftAnti" in plan, plan[:1500]
+
+
+def test_hwm_extract_filter_is_range_predicate(spark):
+    """The high-water-mark extract must filter with a range predicate
+    (partition-prunable at scale), not re-join facts to facts."""
+    plan = plan_of(spark, "hwm_incremental_extract")
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_attribution_single_user_shuffle_for_session_windows(spark):
+    """Sessionization + both ordered picks run on user-prefixed window
+    partitions — no join anywhere until the final dim-sized first/last
+    rollup merge."""
+    plan = plan_of(spark, "session_attribution")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert _nodes(plan, "Window") >= 1, plan[:1500]
