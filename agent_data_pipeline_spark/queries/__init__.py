@@ -24,6 +24,7 @@ from . import (
     extras16,
     extras17,
     extras18,
+    extras19,
     llmdata_q,
     relational,
     scalars,
@@ -140,9 +141,11 @@ _NEVER_VERIFIED_FRONT = [
     # added during round 4, part 13 (extras18)
     "map_transform_kit",
     "regr_builtin_kit",
+    # added during round 4, part 14 (extras19)
+    "skyline_parts",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
