@@ -42,6 +42,10 @@ def spread(df, min_partitions: int | None = None, force: bool = False):
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if force or df.rdd.getNumPartitions() < target:
+        # The df.rdd partition probe costs ~0.1-0.3 s of driver-side
+        # planning on wide text plans, but the max() is load-bearing at
+        # scale: a forced barrier must never SHRINK a widely-split scan
+        # to driver-parallelism-sized partitions.
         return df.repartition(max(target, df.rdd.getNumPartitions()))
     return df
 
