@@ -331,3 +331,49 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     q3.stop()
     q3.awaitTermination(60)
     assert sorted(r["id"] for r in spark.read.parquet(str(target)).collect()) == [1, 2, 3]
+
+
+def test_stream_cdc_dimension_maintenance(spark, tmp_path):
+    """A dimension maintained from a CDC stream: each micro-batch
+    applies its I/U/D ops through ops.merge.apply_cdc inside
+    foreachBatch. With per-batch-disjoint keys the final state must
+    equal the batch apply of all changes, whatever the file-arrival
+    order."""
+    from agent_data_pipeline_spark.ops.merge import apply_cdc
+
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    spark.createDataFrame(
+        [(1, "a2", "U"), (4, "d", "I")], "k long, v string, op string"
+    ).coalesce(1).write.mode("append").parquet(str(chg_dir))
+    spark.createDataFrame(
+        [(2, None, "D")], "k long, v string, op string"
+    ).coalesce(1).write.mode("append").parquet(str(chg_dir))
+
+    state = {"df": base}
+
+    def apply(batch_df, _bid):
+        rows = batch_df.collect()
+        if not rows:
+            return
+        chg = spark.createDataFrame(rows, batch_df.schema)
+        state["df"] = apply_cdc(state["df"], chg, keys=["k"])
+
+    stream = (
+        spark.readStream.schema("k long, v string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.k: r.v for r in state["df"].collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}
