@@ -26,6 +26,7 @@ from . import (
     extras18,
     extras19,
     extras20,
+    extras21,
     llmdata_q,
     relational,
     scalars,
@@ -146,9 +147,14 @@ _NEVER_VERIFIED_FRONT = [
     "skyline_parts",
     # added during round 4, part 15 (extras20)
     "url_canonical_dedup",
+    # added during round 4, part 16 (extras21)
+    "boilerplate_line_removal",
+    "normalized_exact_dedup",
+    "share_of_parent",
+    "knn_label_vote",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
