@@ -132,7 +132,10 @@ def _normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized form. Reports per-source kept/dropped — the cheap tier
     that catches case/punctuation variants byte-exact hashing misses,
     before MinHash spends real money. One shuffle on the 32-hex
-    digest."""
+    digest, explicitly projected to (source, digest, id) — Catalyst
+    already prunes the text through the window (the digest is computed
+    map-side as the partition key), the projection just makes the
+    shuffle-narrowing contract visible (same as exact_dedup)."""
     d = t(spark, sf_dir, "documents")
     norm = F.regexp_replace(
         F.trim(
@@ -145,8 +148,9 @@ def _normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"^$",
         "<empty>",
     )
-    w = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
-    ranked = d.withColumn("_rn", F.row_number().over(w))
+    slim = d.select("source", "doc_id", F.md5(norm).alias("_h"))
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    ranked = slim.withColumn("_rn", F.row_number().over(w))
     return (
         ranked.groupBy("source")
         .agg(

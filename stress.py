@@ -208,6 +208,17 @@ R4D_OPS = [
     "cdc_apply_summary",
     "hwm_incremental_extract",
     "session_attribution",
+    # parts 13-16: fn-surface kits are per-row + one agg; skyline is
+    # dim-scale distinct points; boilerplate mirrors the decontamination
+    # broadcast shape; knn is query-bounded (fixed original-id Q set).
+    "map_transform_kit",
+    "regr_builtin_kit",
+    "skyline_parts",
+    "url_canonical_dedup",
+    "boilerplate_line_removal",
+    "normalized_exact_dedup",
+    "share_of_parent",
+    "knn_label_vote",
 ]
 
 

@@ -707,3 +707,51 @@ def test_attribution_single_user_shuffle_for_session_windows(spark):
     plan = plan_of(spark, "session_attribution")
     assert "CartesianProduct" not in plan, plan[:1200]
     assert _nodes(plan, "Window") >= 1, plan[:1500]
+
+
+def test_skyline_runs_on_distinct_dim_points(spark):
+    """The skyline sort-scan deduplicates to distinct (price, size)
+    points before its global window — and never joins (the quadratic
+    NOT-EXISTS shape belongs to the oracle only)."""
+    plan = plan_of(spark, "skyline_parts")
+    assert "Join" not in plan, plan[:800]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_url_canonical_single_scan_no_join(spark):
+    """URL canonicalization is per-row string surgery + one aggregate."""
+    plan = plan_of(spark, "url_canonical_dedup")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+    assert "Python" not in plan, plan[:800]
+
+
+def test_boilerplate_blocklist_broadcasts_back(spark):
+    """The repeated-line blocklist (df-cap tail) must broadcast onto
+    the exploded lines — shuffling the corpus on the line text is the
+    at-scale regression (same contract as decontamination)."""
+    plan = plan_of(spark, "boilerplate_line_removal")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_normalized_dedup_one_digest_shuffle(spark):
+    """Normalized dedup shuffles once on the digest; no joins."""
+    plan = plan_of(spark, "normalized_exact_dedup")
+    assert "Join" not in plan, plan[:800]
+    assert _nodes(plan, "Window") == 1, plan[:1500]
+
+
+def test_share_of_parent_broadcast_dims(spark):
+    plan = plan_of(spark, "share_of_parent")
+    assert _nodes(plan, "BroadcastHashJoin") >= 3, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_knn_vote_query_bounded_cross(spark):
+    """The exact-kNN demo is |Q| x corpus with Q pushed-filtered to 20
+    ids: the cross join must carry the vec_id filter into the query-side
+    scan (the ANN kits are the corpus-scale path)."""
+    plan = plan_of(spark, "knn_label_vote")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("LessThan(vec_id,20)" in p for p in pushed), pushed
