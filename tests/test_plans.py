@@ -755,3 +755,15 @@ def test_knn_vote_query_bounded_cross(spark):
     plan = plan_of(spark, "knn_label_vote")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("LessThan(vec_id,20)" in p for p in pushed), pushed
+
+
+def test_incremental_refresh_is_o_batch(spark):
+    """The daily-refresh composition must stay O(batch): the shipped
+    corpus contributes only digest/gram columns (anti-join + broadcast
+    blocklist), and nothing re-processes base text through the quality
+    or dedup stages. Shape: no cartesian, broadcast decontamination,
+    and the base-side scans prune to the columns the digests/grams
+    need."""
+    plan = plan_of(spark, "incremental_corpus_refresh")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
