@@ -28,6 +28,7 @@ from . import (
     extras20,
     extras21,
     extras22,
+    extras23,
     llmdata_q,
     relational,
     scalars,
@@ -155,9 +156,13 @@ _NEVER_VERIFIED_FRONT = [
     "knn_label_vote",
     # added during round 4, part 17 (extras22)
     "incremental_corpus_refresh",
+    # added during round 4, part 18 (extras23)
+    "seasonal_decomposition",
+    "cusum_changepoint",
+    "order_consistency_audit",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
