@@ -219,6 +219,12 @@ R4D_OPS = [
     "normalized_exact_dedup",
     "share_of_parent",
     "knn_label_vote",
+    # parts 17-18: the incremental refresh is O(batch) by design; the
+    # decomposition/CUSUM windows run at day grain.
+    "incremental_corpus_refresh",
+    "seasonal_decomposition",
+    "cusum_changepoint",
+    "order_consistency_audit",
 ]
 
 

@@ -767,3 +767,27 @@ def test_incremental_refresh_is_o_batch(spark):
     plan = plan_of(spark, "incremental_corpus_refresh")
     assert "CartesianProduct" not in plan, plan[:1200]
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_seasonal_decomposition_daily_grain_windows(spark):
+    """Decomposition windows run over (type, day) aggregates — O(7)
+    frames — and the seasonal join broadcasts the weekday component."""
+    plan = plan_of(spark, "seasonal_decomposition")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_cusum_one_ordered_pass(spark):
+    """CUSUM is one ordered running-sum window per series key over
+    day-grain rows; the mean attaches by broadcast."""
+    plan = plan_of(spark, "cusum_changepoint")
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert _nodes(plan, "Window") >= 1, plan[:1500]
+
+
+def test_order_audit_single_fact_aggregate(spark):
+    """The consistency audit aggregates lineitem once on the order key
+    before joining orders."""
+    plan = plan_of(spark, "order_consistency_audit")
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1200]
