@@ -225,6 +225,9 @@ R4D_OPS = [
     "seasonal_decomposition",
     "cusum_changepoint",
     "order_consistency_audit",
+    # part 19: month-grain growth windows; latency percentile partials.
+    "mom_yoy_growth",
+    "ship_latency_percentiles",
 ]
 
 

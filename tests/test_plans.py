@@ -791,3 +791,21 @@ def test_order_audit_single_fact_aggregate(spark):
     plan = plan_of(spark, "order_consistency_audit")
     assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1200]
+
+
+def test_mom_yoy_windows_at_month_grain(spark):
+    """Growth lags run over (nation, month) aggregates with broadcast
+    dims — never fact-scale windows."""
+    plan = plan_of(spark, "mom_yoy_growth")
+    assert _nodes(plan, "BroadcastHashJoin") >= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert _nodes(plan, "Window") == 1, plan[:1500]
+
+
+def test_ship_latency_partial_aggregates(spark):
+    """Latency percentiles partial-aggregate; the order join is on the
+    key with pruned columns."""
+    plan = plan_of(spark, "ship_latency_percentiles")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    wide = [s for s in read_schemas(plan) if s.count(",") + 1 > 3]
+    assert not wide, f"over-wide scan: {wide}"
