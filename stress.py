@@ -228,6 +228,9 @@ R4D_OPS = [
     # part 19: month-grain growth windows; latency percentile partials.
     "mom_yoy_growth",
     "ship_latency_percentiles",
+    # part 20: capped pair join (copurchase shape); dim-scale rank fusion.
+    "degree_distribution",
+    "rrf_rank_fusion",
 ]
 
 

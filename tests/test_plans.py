@@ -809,3 +809,19 @@ def test_ship_latency_partial_aggregates(spark):
     assert "CartesianProduct" not in plan, plan[:1200]
     wide = [s for s in read_schemas(plan) if s.count(",") + 1 > 3]
     assert not wide, f"over-wide scan: {wide}"
+
+
+def test_degree_distribution_capped_pair_join(spark):
+    """The co-purchase edge join runs only over hot-vertex-capped
+    customers (broadcast cap filter); no nested loop."""
+    plan = plan_of(spark, "degree_distribution")
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_rrf_rank_windows_on_customer_dim(spark):
+    """Both rank windows run over the customer-dim aggregate, and the
+    top-20 compiles to TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "rrf_rank_fusion")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
