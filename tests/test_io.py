@@ -189,3 +189,41 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert after < before
     assert spark.read.parquet(path).count() == 1000
     assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == list(range(1000))
+
+
+def test_csv_malformed_rows_captured_permissive(spark, tmp_path):
+    """Ingest robustness: PERMISSIVE mode must load the well-formed
+    rows and capture malformed ones in the corrupt-record column
+    instead of failing the job (DROPMALFORMED must silently skip
+    them) — the contract a 100 TB crawl ingest relies on."""
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "id,price,day\n"
+        "1,9.50,2024-01-01\n"
+        "2,notanumber,2024-01-02\n"
+        "3,7.25,2024-01-03\n"
+    )
+    schema = "id INT, price DOUBLE, day DATE, _corrupt STRING"
+    perm = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema)
+        .csv(str(p))
+        .cache()
+    )
+    rows = {r.id: r for r in perm.collect()}
+    assert rows[1].price == 9.50 and rows[1]._corrupt is None
+    assert rows[3].price == 7.25
+    bad = [r for r in rows.values() if r._corrupt is not None]
+    assert len(bad) == 1 and "notanumber" in bad[0]._corrupt
+
+    dropped = (
+        spark.read.option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .schema("id INT, price DOUBLE, day DATE")
+        .csv(str(p))
+    )
+    # count() prunes every column, so the CSV parser never sees the bad
+    # cell and drops nothing — materialize rows to exercise the parse.
+    assert len(dropped.collect()) == 2
