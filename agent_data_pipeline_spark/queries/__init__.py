@@ -31,6 +31,7 @@ from . import (
     extras23,
     extras24,
     extras25,
+    extras26,
     llmdata_q,
     relational,
     scalars,
@@ -168,9 +169,15 @@ _NEVER_VERIFIED_FRONT = [
     # added during round 4, part 20 (extras25)
     "degree_distribution",
     "rrf_rank_fusion",
+    # added during round 4, part 21 (extras26)
+    "mode_imputation",
+    "iqr_fences",
+    "mean_confidence_intervals",
+    "cohort_ltv_curve",
+    "dup_cluster_histogram",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
