@@ -326,11 +326,16 @@ ORDER BY c.cohort, c.age
 
 def _dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup diagnostic: histogram of exact-duplicate cluster sizes
-    over the document corpus (by content digest), with the mass a
-    keep-one dedup would remove per size. One digest aggregate, one
-    size aggregate — both narrow."""
+    (by content digest), with the mass a keep-one dedup would remove
+    per size. The fixture corpus is fully unique, so the feed simulates
+    a re-crawl (docs ≡ 0 mod 10 ingested twice, ≡ 0 mod 50 three
+    times) — the histogram must report exactly those cluster sizes.
+    One digest aggregate, one size aggregate — both narrow."""
     d = t(spark, sf_dir, "documents")
-    clusters = d.groupBy(F.md5("text").alias("h")).agg(
+    feed = d.unionAll(d.filter(F.col("doc_id") % 10 == 0)).unionAll(
+        d.filter(F.col("doc_id") % 50 == 0)
+    )
+    clusters = feed.groupBy(F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).alias("sz")
     )
     return (
@@ -345,9 +350,13 @@ def _dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_CLUSTER_SQL = """
-WITH clusters AS (
+WITH feed AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 50 = 0
+), clusters AS (
   SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
-  FROM documents GROUP BY 1
+  FROM feed GROUP BY 1
 )
 SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
        CAST(sz * count(*) AS BIGINT) AS n_docs,
