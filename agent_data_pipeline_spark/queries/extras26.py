@@ -186,19 +186,19 @@ GROUP BY 1, 2, 3 ORDER BY li.l_returnflag
 
 def _mean_confidence_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% CI for mean order value per priority: mean ± 1.96·s/√n over
-    exact cents. Variance from exact integer moment sums (Σx, Σx² —
-    both < 2^63 at any plausible SF after the cents cast), so the only
-    float steps are two divisions and a sqrt, rounded at 4."""
+    exact integer DOLLARS. Units are load-bearing: the second moment of
+    cents overflows BIGINT past ~10⁵ rows of 10⁵-dollar orders (the 10×
+    sweep caught exactly that under ANSI mode), while Σ dollars² stays
+    exact to ~100× this corpus — so the only float steps are two
+    divisions and a sqrt, rounded at 4."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("dollars"),
     )
     mom = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum("dollars").alias("s1"),
+        F.sum(F.col("dollars") * F.col("dollars")).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * mean) / (F.col("n") - 1)
@@ -206,7 +206,7 @@ def _mean_confidence_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "o_orderpriority",
         F.col("n").alias("n_orders"),
-        rnd(mean, 4).alias("mean_cents"),
+        rnd(mean, 4).alias("mean_dollars"),
         rnd(mean - half, 4).alias("ci_lo"),
         rnd(mean + half, 4).alias("ci_hi"),
     ).orderBy("o_orderpriority")
@@ -215,16 +215,16 @@ def _mean_confidence_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEAN_CI_SQL = """
 WITH o AS (
   SELECT o_orderpriority,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         CAST(floor(o_totalprice) AS BIGINT) AS dollars
   FROM orders
 ), mom AS (
   SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(cents) AS BIGINT) AS s1,
-         CAST(sum(cents * cents) AS BIGINT) AS s2
+         CAST(sum(dollars) AS BIGINT) AS s1,
+         CAST(sum(dollars * dollars) AS BIGINT) AS s2
   FROM o GROUP BY 1
 )
 SELECT o_orderpriority, n AS n_orders,
-       floor(s1 / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_cents,
+       floor(s1 / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_dollars,
        floor((s1 / CAST(n AS DOUBLE)
               - 1.96 * sqrt((s2 - s1 * (s1 / CAST(n AS DOUBLE))) / (n - 1)
                             / n)) * 10000 + 0.5) / 10000 AS ci_lo,

@@ -231,6 +231,12 @@ R4D_OPS = [
     # part 20: capped pair join (copurchase shape); dim-scale rank fusion.
     "degree_distribution",
     "rrf_rank_fusion",
+    # part 21: histogram-backed modes/quartiles; cohort-grain windows.
+    "mode_imputation",
+    "iqr_fences",
+    "mean_confidence_intervals",
+    "cohort_ltv_curve",
+    "dup_cluster_histogram",
 ]
 
 

@@ -825,3 +825,39 @@ def test_rrf_rank_windows_on_customer_dim(spark):
     plan = plan_of(spark, "rrf_rank_fusion")
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_mode_imputation_histogram_not_fact_sort(spark):
+    """The mode derives from the (flag, value) histogram; the fill
+    joins back by broadcast."""
+    plan = plan_of(spark, "mode_imputation")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_iqr_fences_histogram_quartiles(spark):
+    """Quartiles come from the integer histogram (no buffering exact
+    percentile over fact groups); fences broadcast back."""
+    plan = plan_of(spark, "iqr_fences")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "percentile" not in plan.lower(), plan[:1500]
+
+
+def test_mean_ci_single_aggregate(spark):
+    plan = plan_of(spark, "mean_confidence_intervals")
+    assert _nodes(plan, "Scan parquet") == 1, plan[:1200]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_cohort_ltv_windows_at_cohort_grain(spark):
+    """LTV cumulative windows run at (cohort, age) grain after the
+    fact rollup; cohort assignment broadcasts."""
+    plan = plan_of(spark, "cohort_ltv_curve")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+def test_dup_cluster_two_narrow_aggregates(spark):
+    plan = plan_of(spark, "dup_cluster_histogram")
+    assert "Join" not in plan, plan[:800]
+    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
