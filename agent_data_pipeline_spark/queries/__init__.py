@@ -32,6 +32,7 @@ from . import (
     extras24,
     extras25,
     extras26,
+    extras27,
     llmdata_q,
     relational,
     scalars,
@@ -175,9 +176,11 @@ _NEVER_VERIFIED_FRONT = [
     "mean_confidence_intervals",
     "cohort_ltv_curve",
     "dup_cluster_histogram",
+    # added during round 4, part 22 (extras27)
+    "anova_oneway",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -237,6 +237,8 @@ R4D_OPS = [
     "mean_confidence_intervals",
     "cohort_ltv_curve",
     "dup_cluster_histogram",
+    # part 22: single partial-agg moment pass.
+    "anova_oneway",
 ]
 
 
