@@ -57,37 +57,46 @@ def pca_explained_variance(
 ) -> DataFrame:
     """Top-k PCA explained-variance ratios over an embedding column.
 
-    One distributed pass: mapInPandas emits per-batch partials
-    (n, Σx, flattened XᵀX); the partials explode to (idx, value) rows
-    and reduce by index — two tiny shuffles bounded by d², independent
-    of corpus size. The covariance C = (G − n·μμᵀ)/(n−1) is then
-    eigensolved with numpy on the driver. Returns a DataFrame
-    (component, eigenvalue, explained_ratio, cum_ratio) with component
-    1-based in descending-eigenvalue order, floats rounded so partial
-    accumulation order cannot leak into the result.
+    One distributed pass AND one action: mapInPandas emits per-batch
+    partials (n, Σx, flattened XᵀX); the three moments are concatenated
+    into a single long-form (idx, value) frame — idx 0 is n, 1..d is Σx,
+    d+1.. is the Gram — and reduced by index in ONE groupBy collected
+    with ONE collect(), so the moment kernel scans the corpus exactly
+    once (the shuffle is 1+d+d² scalars per batch, independent of corpus
+    size; n rides as an exact double, counts ≪ 2^53). The covariance
+    C = (G − n·μμᵀ)/(n−1) is then eigensolved with numpy on the driver.
+    Returns a DataFrame (component, eigenvalue, explained_ratio,
+    cum_ratio) with component 1-based in descending-eigenvalue order,
+    floats rounded so partial accumulation order cannot leak into the
+    result.
     """
 
     parts = moment_partials(df, vec_col)
-    s_sum = (
-        parts.select(F.posexplode("s").alias("i", "v"))
+    flat = (
+        parts.select(
+            F.posexplode(
+                F.concat(
+                    F.array(F.col("n").cast("double")), F.col("s"), F.col("g")
+                )
+            ).alias("i", "v")
+        )
         .groupBy("i")
         .agg(F.sum("v").alias("v"))
-        .orderBy("i")
     )
-    g_sum = (
-        parts.select(F.posexplode("g").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("v"))
-        .orderBy("i")
-    )
-    n_total = parts.agg(F.sum("n")).collect()[0][0]
-    if not n_total or n_total < 2:
+    vals = {r.i: r.v for r in flat.collect()}  # the single action
+    if not vals:
         return spark.createDataFrame(
             [], "component long, eigenvalue double, explained_ratio double, cum_ratio double"
         )
-    s = np.array([r.v for r in s_sum.collect()])
-    d = s.shape[0]
-    g = np.array([r.v for r in g_sum.collect()]).reshape(d, d)
+    d = round((-1 + (1 + 4 * (len(vals) - 1)) ** 0.5) / 2)
+    assert 1 + d + d * d == len(vals), (d, len(vals))
+    n_total = int(vals[0])
+    if n_total < 2:
+        return spark.createDataFrame(
+            [], "component long, eigenvalue double, explained_ratio double, cum_ratio double"
+        )
+    s = np.array([vals[1 + i] for i in range(d)])
+    g = np.array([vals[1 + d + i] for i in range(d * d)]).reshape(d, d)
     mu = s / n_total
     cov = (g - n_total * np.outer(mu, mu)) / (n_total - 1)
     evals = np.linalg.eigh(cov)[0][::-1]  # descending

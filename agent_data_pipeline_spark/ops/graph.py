@@ -12,9 +12,11 @@ key this is a co-located join), one groupBy(dst) sum. Rank rows are
 (node, double) — the edge list, not the payload, dominates and is never
 widened. Lineage is truncated with localCheckpoint every few rounds
 (same trick as connected components) so the plan doesn't grow
-superlinearly with iterations. The dangling-mass correction is a
-scalar-only aggregate per iteration (collects ONE double to the driver,
-never rows).
+superlinearly with iterations. The dangling-mass correction is a lazy
+ONE-ROW aggregate broadcast-cross-joined into the rank update — it
+rides the same plan as the inflow groupBy, so an iteration costs zero
+extra driver-side actions (round 4 collected the scalar per iteration:
+8 extra job submissions per call; folded per the round-4 verdict).
 
 Determinism: fixed iteration count, fixed damping; float sums are
 shuffle-order dependent at the last ulp, so consumers round before
@@ -62,12 +64,15 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes
     for i in range(iters):
-        # dangling nodes (no out-edges) leak their whole rank: collect
-        # that one scalar and redistribute it uniformly
+        # dangling nodes (no out-edges) leak their whole rank: aggregate
+        # that mass lazily to a ONE-ROW frame and broadcast-cross-join it
+        # into the update, so the whole iteration stays in one plan — no
+        # per-iteration driver collect / extra job submission (each
+        # localCheckpoint every `checkpoint_every` rounds is the only
+        # action; between checkpoints the iterations fuse into one job).
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
         inflow = (
             flow_edges.join(ranks, flow_edges["src"] == ranks["node"])
@@ -77,12 +82,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.lit(float(n_nodes))
+                    )
                 ).alias("rank"),
             )
         )

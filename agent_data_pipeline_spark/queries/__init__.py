@@ -33,6 +33,7 @@ from . import (
     extras25,
     extras26,
     extras27,
+    extras28,
     llmdata_q,
     relational,
     scalars,
@@ -45,142 +46,76 @@ REGISTRY: dict[str, QuerySpec] = {}
 # that have never had a hard driver check lead; once verified, modules
 # keep a stable relative order. History: round 1 verified all 50 of
 # `relational`; round 2 verified temporal+llmdata_q+extras2 (50/50);
-# round 3 verified the remaining never-checked modules (scalars/extras/
-# extras3-5 + temporal head), completing hard rows for every query that
-# existed at round-3 start. Round 4 therefore leads with the 10 queries
-# ADDED during round 3 (codec round trips, passage/semantic dedup,
-# html/url kits, unigram LM scores, SCD2, streaming ingest), followed by
-# any round-4 additions; verified modules keep their stable order after.
+# round 3 verified scalars/extras/extras3-5 + temporal head; round 4
+# verified the round-3 additions plus the first 33 round-4 additions
+# (through `concurrency_peaks`, 50 rows). Round 5 is a consolidation
+# round: registry growth is frozen except the two approx-edge scale
+# siblings the round-4 verdict asked for, and the front is exactly the
+# 54 round-4 additions that have never had a driver row (oldest first,
+# `union_by_name_kit` → `anova_oneway`), then the two new siblings.
+# A 50-row sample hard-checks the first 50, leaving 6 for round 6.
 _NEVER_VERIFIED_FRONT = [
-    "bmp_decode_roundtrip",
-    "wav_decode_roundtrip",
-    "bmp_resize_roundtrip",
-    "passage_dedup_stats",
-    "semantic_dedup_summary",
-    "html_strip_kit",
-    "url_parse_kit",
-    "unigram_logprob_scores",
-    "scd2_customers",
-    "stream_docs_quality_dedup",
-    # added during round 4 (extras6) — in the sample front immediately
-    "neardup_decontam",
-    "semantic_decontam",
-    "bigram_top_terms",
-    "xml_roundtrip",
-    "ewma_daily_value",
-    "ccnet_quality_buckets",
-    "pagerank_entities",
-    # added during round 4, part 2 (extras7)
-    "expectations_audit",
-    "snapshot_diff_summary",
-    "scd2_pointintime_join",
-    "source_cap_sample",
-    "pmi_top_bigrams",
-    "incremental_rollup",
-    # added during round 4, part 3 (extras8)
-    "funnel_conversion",
-    "retention_cohorts",
-    "time_weighted_avg",
-    "counter_deltas",
-    "mad_outliers",
-    "skew_report",
-    "vocab_encode_stats",
-    # added during round 4, part 4 (extras9)
-    "triangle_census",
-    "chisq_lang_source",
-    "approx_quantile_kit",
-    "dup_span_stats",
-    "join_hints_kit",
-    "temperature_mix_summary",
-    "table_profile",
-    "winsorized_stats",
-    "wav_signal_features",
-    # added during round 4, part 5 (extras10)
-    "copurchase_pairs",
-    "token_entropy_kit",
-    "encoding_quality_kit",
-    "compression_ratio_stats",
-    "stream_static_join",
-    "asof_nearest_clicks",
-    # added during round 4, part 6 (extras11)
-    "streak_islands",
-    "interval_overlap_join",
-    "event_transitions",
-    "quantile_bins",
-    "concurrency_peaks",
     "union_by_name_kit",
     "haversine_kit",
     "rolling_7d_users",
-    # added during round 4, part 7 (extras12)
     "golden_record",
     "pareto_revenue",
     "benford_digits",
     "path_3grams",
-    # added during round 4, part 8 (extras13)
     "rank_ties_topk",
     "late_dim_fallback",
     "rolling_zscore",
     "checksum_partition_audit",
     "dow_seasonality",
-    # added during round 4, part 9 (extras14)
     "rfm_segments",
     "gini_lorenz",
     "proration_penny_split",
     "survival_curve",
     "ab_test_ztest",
     "trend_forecast",
-    # added during round 4, part 10 (extras15)
     "sequence_gaps",
     "orphan_audit",
     "fuzzy_part_match",
     "weighted_percentile_kit",
     "corr_matrix",
     "date_spine_fill",
-    # added during round 4, part 11 (extras16)
     "readability_kit",
     "zipf_fit",
     "embedding_norm_audit",
     "containment_pairs",
     "pca_variance",
-    # added during round 4, part 12 (extras17)
     "cdc_apply_summary",
     "hwm_incremental_extract",
     "session_attribution",
-    # added during round 4, part 13 (extras18)
     "map_transform_kit",
     "regr_builtin_kit",
-    # added during round 4, part 14 (extras19)
     "skyline_parts",
-    # added during round 4, part 15 (extras20)
     "url_canonical_dedup",
-    # added during round 4, part 16 (extras21)
     "boilerplate_line_removal",
     "normalized_exact_dedup",
     "share_of_parent",
     "knn_label_vote",
-    # added during round 4, part 17 (extras22)
     "incremental_corpus_refresh",
-    # added during round 4, part 18 (extras23)
     "seasonal_decomposition",
     "cusum_changepoint",
     "order_consistency_audit",
-    # added during round 4, part 19 (extras24)
     "mom_yoy_growth",
     "ship_latency_percentiles",
-    # added during round 4, part 20 (extras25)
     "degree_distribution",
     "rrf_rank_fusion",
-    # added during round 4, part 21 (extras26)
     "mode_imputation",
     "iqr_fences",
     "mean_confidence_intervals",
     "cohort_ltv_curve",
     "dup_cluster_histogram",
-    # added during round 4, part 22 (extras27)
     "anova_oneway",
+    # round-5 additions (extras28 approx-edge scale siblings; the only
+    # growth this round — verdict ask #3)
+    "rfm_segments_approx",
+    "gini_lorenz_approx",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

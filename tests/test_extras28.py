@@ -1,0 +1,111 @@
+"""Tolerance tests for the round-5 approx-edge scale siblings
+(extras28): same semantics as the exact customer-dim window variants,
+verified within the error the approximation can introduce.
+
+What CAN differ, by construction (and what therefore gets a tolerance
+rather than equality):
+
+* ntile() force-splits tied values across buckets to equalize bucket
+  sizes; edge-scoring keeps all ties together. Frequency is a small
+  integer with heavy ties, so its marginal gets the loose bound; the
+  near-continuous recency/monetary marginals get a tight one.
+* The binned Gini is the trapezoidal Lorenz integral — it
+  under-measures within-decile concentration by at most the width of
+  one decile's share, so |approx − exact| is bounded well inside 0.02
+  at any realistic skew over 10 bins.
+
+What must be EXACT: customer totals (every customer is scored exactly
+once — the approximation moves customers between buckets, never drops
+or duplicates them) and monetary grand totals.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from agent_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def rfm_pair(spark):
+    exact = REGISTRY["rfm_segments"].spark(spark, SF).toPandas()
+    approx = REGISTRY["rfm_segments_approx"].spark(spark, SF).toPandas()
+    return exact, approx
+
+
+@pytest.fixture(scope="module")
+def gini_pair(spark):
+    exact = REGISTRY["gini_lorenz"].spark(spark, SF).toPandas()
+    approx = REGISTRY["gini_lorenz_approx"].spark(spark, SF).toPandas()
+    return exact, approx
+
+
+def test_rfm_approx_totals_exact(rfm_pair):
+    exact, approx = rfm_pair
+    assert approx.n_customers.sum() == exact.n_customers.sum()
+    assert approx.sum_mon_cents.sum() == exact.sum_mon_cents.sum()
+
+
+def test_rfm_approx_schema_matches_exact(rfm_pair):
+    exact, approx = rfm_pair
+    assert list(approx.columns) == list(exact.columns)
+    assert set(approx.segment) <= {
+        "champion", "loyal", "at_risk", "hibernating", "regular"
+    }
+
+
+def test_rfm_approx_marginal_shares(rfm_pair):
+    """Each score dimension should still split the population into
+    near-quintiles: tight for the near-continuous recency/monetary
+    metrics, loose for tie-heavy frequency."""
+    exact, approx = rfm_pair
+    n = approx.n_customers.sum()
+    for dim, tol in (("r", 0.05), ("m", 0.05), ("f", 0.15)):
+        shares = approx.groupby(dim).n_customers.sum() / n
+        assert set(shares.index) == {1, 2, 3, 4, 5}, (dim, shares)
+        for score, share in shares.items():
+            assert abs(share - 0.2) <= tol, (dim, score, share)
+
+
+def test_rfm_approx_segment_census_close(rfm_pair):
+    """Named-segment shares track the exact segmentation within the
+    tie-split slack (frequency ties move boundary customers between
+    adjacent segments, never across the map)."""
+    exact, approx = rfm_pair
+    n = exact.n_customers.sum()
+    se = exact.groupby("segment").n_customers.sum() / n
+    sa = approx.groupby("segment").n_customers.sum() / n
+    for seg in se.index.union(sa.index):
+        assert abs(se.get(seg, 0.0) - sa.get(seg, 0.0)) <= 0.08, (
+            seg, se.get(seg, 0.0), sa.get(seg, 0.0)
+        )
+
+
+def test_gini_approx_totals_exact(gini_pair):
+    exact, approx = gini_pair
+    assert approx.n_customers.sum() == exact.n_customers.sum()
+    assert approx.decile_cents.sum() == exact.decile_cents.sum()
+
+
+def test_gini_approx_gini_within_bin_error(gini_pair):
+    exact, approx = gini_pair
+    g_exact = exact.gini.iloc[0]
+    g_approx = approx.gini.iloc[0]
+    assert abs(g_approx - g_exact) <= 0.02, (g_exact, g_approx)
+    # the trapezoidal binned Gini lower-bounds the exact rank Gini
+    assert g_approx <= g_exact + 1e-9, (g_exact, g_approx)
+
+
+def test_gini_approx_lorenz_curve_close(gini_pair):
+    """Cumulative revenue shares per decile match within edge-placement
+    slack (with approx_percentile at accuracy 10000 on a small corpus
+    the edges are exact, so the only drift is tie placement)."""
+    exact, approx = gini_pair
+    ce = dict(zip(exact.decile, exact.cum_share))
+    ca = dict(zip(approx.decile, approx.cum_share))
+    assert set(ca) == set(ce)
+    for d in ce:
+        assert abs(ce[d] - ca[d]) <= 0.02, (d, ce[d], ca[d])
+    assert ca[max(ca)] == pytest.approx(1.0, abs=1e-6)

@@ -531,12 +531,14 @@ def test_trend_forecast_broadcasts_dims(spark):
 
 
 def test_sequence_gaps_key_only_scan_one_window_each(spark):
-    """Gap islands: the gaps branch and its totals branch each scan the
-    key column once through one lag() window — nothing wider, and the
-    totals attach as a broadcast scalar, not a shuffle join."""
+    """Gap islands: only the key column is ever read, the totals attach
+    as a broadcast scalar (not a shuffle join), and each branch is the
+    bucketed two-pass shape — an inner bucket-partitioned lag plus the
+    bucket-grain boundary lag (4 windows total across the gaps and
+    totals branches)."""
     plan = plan_of(spark, "sequence_gaps")
-    assert _nodes(plan, "Scan parquet") <= 2, plan[:1200]
-    assert _nodes(plan, "Window") <= 2, plan[:1500]
+    assert _nodes(plan, "Scan parquet") <= 4, plan[:1200]
+    assert _nodes(plan, "Window") <= 4, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1200]
     assert all(s == "o_orderkey:bigint" for s in read_schemas(plan)), read_schemas(plan)
 
@@ -861,3 +863,52 @@ def test_dup_cluster_two_narrow_aggregates(spark):
     plan = plan_of(spark, "dup_cluster_histogram")
     assert "Join" not in plan, plan[:800]
     assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+
+
+# --------------------------------------------------------------------------
+# round-5 consolidation fixes (round-4 verdict asks #2-#4)
+# --------------------------------------------------------------------------
+
+
+def test_sequence_gaps_key_windows_bucket_partitioned(spark):
+    """The round-4 weak mark: sequence_gaps must never run lag() in a
+    single-partition window over the fact-scale key scan. Every window
+    that orders by the raw order key must be partitioned by the fixed
+    key-range bucket; the only unpartitioned windows allowed are the
+    bucket-grain boundary pass (one row per non-empty bucket)."""
+    import re as _re
+
+    plan = plan_of(spark, "sequence_gaps")
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    key_specs = [s for s in specs if "o_orderkey#" in s]
+    assert key_specs, plan[:1200]  # the inner lag windows must exist
+    for s in key_specs:
+        assert s.startswith("bucket#"), s
+    # and the parallel key windows shuffle on the bucket, not to one task
+    assert "hashpartitioning(bucket" in plan, plan[:1500]
+
+
+def test_rfm_approx_no_window_at_all(spark):
+    """The approx-edge RFM sibling replaces all three global ntile
+    windows with one broadcast edge row — the plan must contain ZERO
+    window operators and no single-partition exchange feeding a sort."""
+    plan = plan_of(spark, "rfm_segments_approx")
+    assert "Window" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_gini_approx_windows_decile_grain_only(spark):
+    """The approx Lorenz/Gini sibling may window only over the ≤10-row
+    decile frame: every windowspec must reference the decile column,
+    never the raw per-customer cents rank."""
+    import re as _re
+
+    plan = plan_of(spark, "gini_lorenz_approx")
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:1200]
+    for s in specs:
+        assert "decile#" in s, s
+    assert "row_number" not in plan, plan[:1200]
+    # note: a bare "ntile" substring check would false-positive on
+    # "percentile_approx" — match the window function call form
+    assert not re.search(r"(?<!perce)ntile\(", plan), plan[:1200]
