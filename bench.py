@@ -98,7 +98,14 @@ def main() -> None:
     # machine-state noise from plan changes; min-of-N (hyperfine et al.) is
     # standard for isolating steady-state cost. Per-pass order is rotated
     # so no query always runs first.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Each sample is split into (plan, exec): `plan` is driver-side
+    # DataFrame construction (py4j column building, any eager probes the
+    # query performs), `exec` is the noop-sink materialization. The
+    # round-4 adjudication of training_data_prep showed ~35-40% of its
+    # timed cost was plan construction — reporting both makes executor
+    # regressions attributable in one read. `queries` stays the
+    # plan+exec total (back-compat with earlier BENCH_r*.json).
+    samples: dict[str, list[tuple[float, float]]] = {name: [] for name in HEADLINE}
     n_passes = 3
     for p in range(n_passes):
         shift = (p * len(HEADLINE)) // n_passes
@@ -106,9 +113,20 @@ def main() -> None:
         for name in order:
             spec = REGISTRY[name]
             start = time.perf_counter()
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - start)
-    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+            df = spec.spark(spark, sf_dir)
+            mid = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append((mid - start, time.perf_counter() - mid))
+    timings = {
+        name: round(min(pl + ex for pl, ex in ts), 3)
+        for name, ts in samples.items()
+    }
+    plan_timings = {
+        name: round(min(pl for pl, _ in ts), 3) for name, ts in samples.items()
+    }
+    exec_timings = {
+        name: round(min(ex for _, ex in ts), 3) for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -118,6 +136,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plan_queries": plan_timings,
+                "exec_queries": exec_timings,
                 "sf": sf,
                 "runs_per_query": n_passes,
                 "policy": "min_interleaved",
