@@ -120,6 +120,135 @@ def main() -> None:
             if ev:
                 max_rel_err = max(max_rel_err, abs(av - ev) / abs(ev))
 
+    # ---- round-5 additions (round-4 verdict ask #7): planted-truth ------
+    # metrics for the statistical / record-linkage families.
+
+    # fuzzy_part_match — planted-pair recall of the blocked candidate
+    # generation. Mutated copies of real part names are planted two ways:
+    # an edit in a LATER token keeps the first-token blocking key (the
+    # operator must recall ~all of these), an edit in the FIRST token
+    # breaks the block (the documented recall trade-off of blocking —
+    # measured here rather than hidden; widening the key is the tuning
+    # knob the query docstring names).
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base_names = [
+        r["p_name"]
+        for r in part.select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(50)
+        .collect()
+    ]
+    planted_names = []  # (original, mutated, block_preserving)
+    for i, nm in enumerate(base_names):
+        toks = nm.split(" ")
+        if i % 2 == 0 and len(toks) > 1:
+            toks[-1] = toks[-1] + "x"  # later-token edit: same block
+            planted_names.append((nm, " ".join(toks), True))
+        else:
+            toks[0] = toks[0] + "x"  # first-token edit: block broken
+            planted_names.append((nm, " ".join(toks), False))
+    aug_names = part.select("p_name").unionByName(
+        spark.createDataFrame(
+            [(m,) for _, m, _ in planted_names], "p_name string"
+        )
+    )
+    blk = aug_names.select(
+        "p_name", F.split(F.col("p_name"), " ")[0].alias("blk")
+    ).distinct()
+    a2, b2 = blk.alias("a"), blk.alias("b")
+    got_pairs = {
+        (r["x"], r["y"])
+        for r in (
+            a2.join(b2, F.col("a.blk") == F.col("b.blk"))
+            .filter(F.col("a.p_name") < F.col("b.p_name"))
+            .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 10)
+            .select(F.col("a.p_name").alias("x"), F.col("b.p_name").alias("y"))
+            .collect()
+        )
+    }
+
+    def _ordered(x, y):
+        return (x, y) if x < y else (y, x)
+
+    keep_pairs = [_ordered(o, m) for o, m, p in planted_names if p]
+    break_pairs = [_ordered(o, m) for o, m, p in planted_names if not p]
+    fuzzy_keep_recall = sum(pr in got_pairs for pr in keep_pairs) / len(keep_pairs)
+    fuzzy_break_recall = sum(pr in got_pairs for pr in break_pairs) / len(
+        break_pairs
+    )
+
+    # cusum_changepoint — detection delay on planted level shifts:
+    # deterministic synthetic daily series (LCG noise, ±10) with a known
+    # shift day per series; run the query's exact CUSUM-argmax shape and
+    # measure |detected − last pre-shift day| in days.
+    shifts = {"A": (80, 40), "B": (30, 25), "C": (60, -30)}
+    syn_rows = []
+    for st, (s_day, delta) in shifts.items():
+        for i in range(120):
+            noise = ((i * 1103515245 + ord(st) * 12345) % 21) - 10
+            level = 200 + (delta if i >= s_day else 0) + noise
+            syn_rows.append((st, i, level))
+    syn = spark.createDataFrame(syn_rows, "event_type string, day long, n long")
+    stats_syn = syn.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    from pyspark.sql import Window as _W
+
+    wc = (
+        _W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cus = (
+        syn.join(F.broadcast(stats_syn), "event_type")
+        .withColumn("dev", F.col("n") - F.col("tot") / F.col("n_days"))
+        .withColumn("abs_cusum", F.abs(F.sum("dev").over(wc)))
+    )
+    wr = _W.partitionBy("event_type").orderBy(
+        F.col("abs_cusum").desc(), F.col("day")
+    )
+    detected = {
+        r["event_type"]: r["day"]
+        for r in cus.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .collect()
+    }
+    cusum_delays = {
+        st: abs(detected[st] - (s_day - 1)) for st, (s_day, _) in shifts.items()
+    }
+
+    # knn_label_vote — (a) accuracy on the real fixture from the
+    # registry query's confusion census; (b) planted accuracy: each
+    # query is an exact copy of a corpus vector planted with two extra
+    # copies, so ≥3 of its 5 neighbors carry the true label and the
+    # majority vote MUST recover it (accuracy must be 1.0).
+    from agent_data_pipeline_spark.queries import REGISTRY as _REG
+
+    conf = _REG["knn_label_vote"].spark(spark, sf_dir).collect()
+    knn_total = sum(r["n"] for r in conf)
+    knn_correct = sum(
+        r["n"] for r in conf if r["true_label"] == r["pred_label"]
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+        q_planted = src.withColumn("vec_id", F.col("vec_id") - 20)
+        copies1 = src.withColumn("vec_id", F.col("vec_id") + 100_000)
+        copies2 = src.withColumn("vec_id", F.col("vec_id") + 200_000)
+        emb.filter(F.col("vec_id") >= 20).unionByName(q_planted).unionByName(
+            copies1
+        ).unionByName(copies2).write.mode("overwrite").parquet(
+            f"{tmp}/embeddings.parquet"
+        )
+        conf_p = _REG["knn_label_vote"].spark(spark, tmp).collect()
+        knn_planted_total = sum(r["n"] for r in conf_p)
+        knn_planted_correct = sum(
+            r["n"] for r in conf_p if r["true_label"] == r["pred_label"]
+        )
+
     out = {
         "sf_dir": sf_dir,
         "approx_quantile_max_rel_err": round(max_rel_err, 6),
@@ -143,6 +272,22 @@ def main() -> None:
         "semantic_planted_recall": round(sem_planted_flagged / 50, 4),
         "semantic_planted_precision": round(sem_planted_flagged / sem_delta, 4)
         if sem_delta
+        else None,
+        "fuzzy_block_preserving_recall": round(fuzzy_keep_recall, 4),
+        "fuzzy_block_breaking_recall": round(fuzzy_break_recall, 4),
+        "fuzzy_planted_pairs": len(keep_pairs) + len(break_pairs),
+        "cusum_detection_delay_days": cusum_delays,
+        "cusum_max_delay_days": max(cusum_delays.values()),
+        # fixture accuracy is a DATA property (10 near-uniform labels →
+        # chance 0.1; the synthetic embeddings carry only weak label
+        # signal) — the operator-correctness metric is planted accuracy.
+        "knn_accuracy": round(knn_correct / knn_total, 4) if knn_total else None,
+        "knn_chance_accuracy": 0.1,
+        "knn_n_queries": knn_total,
+        "knn_planted_accuracy": round(
+            knn_planted_correct / knn_planted_total, 4
+        )
+        if knn_planted_total
         else None,
     }
     print(json.dumps(out))
