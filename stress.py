@@ -241,6 +241,34 @@ R4D_OPS = [
     "anova_oneway",
 ]
 
+# Round-5 operators: the approx-edge scale siblings of RFM/Gini. Unlike
+# their exact counterparts (R4D above, which push 10x the customer dim
+# through one global ntile window), these score against broadcast
+# approx_percentile edges — expected ratio ≤ the data ratio, and the
+# sweep shows the two families side by side.
+R5_OPS = [
+    "rfm_segments_approx",
+    "gini_lorenz_approx",
+]
+
+
+def pagerank_job_probe(spark, sf_dir: str) -> dict:
+    """Count the Spark jobs one pagerank_entities call submits (round-4
+    verdict ask #4: the per-iteration dangling-mass collect cost 8 extra
+    job submissions; folding it into the iteration plan should leave
+    only the node-count, the localCheckpoint materializations, and the
+    final sink)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("pagerank_probe", "pagerank job count probe")
+    t0 = time.perf_counter()
+    REGISTRY["pagerank_entities"].spark(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    sec = round(time.perf_counter() - t0, 3)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("pagerank_probe"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    return {"jobs": jobs, "sec": sec}
+
 
 def _sweep(spark, names: list[str], sf_dir: str, n_passes: int = 2) -> dict[str, float]:
     """Interleaved rotated min-of-N timing over `names` at `sf_dir` —
@@ -296,6 +324,11 @@ def main() -> None:
     r4 = base_vs_10x(R4_OPS)
     r4c = base_vs_10x(R4C_OPS)
     r4d = base_vs_10x(R4D_OPS)
+    r5 = base_vs_10x(R5_OPS)
+    pg_jobs = {
+        "base": pagerank_job_probe(spark, src),
+        "x10": pagerank_job_probe(spark, dst),
+    }
 
     # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
     # the measured semantic superlinearity of direct pair mining on a
@@ -320,6 +353,8 @@ def main() -> None:
                 "round4_ops_base_vs_10x": r4,
                 "round4_part67_ops_base_vs_10x": r4c,
                 "round4_part910_ops_base_vs_10x": r4d,
+                "round5_ops_base_vs_10x": r5,
+                "pagerank_job_probe": pg_jobs,
                 "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,
