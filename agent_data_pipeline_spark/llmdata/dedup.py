@@ -230,21 +230,30 @@ def minhash_signatures(
     sh = shingle_hashes(df, text_col, shingle_n).select(
         F.col(id_col).alias("id"), F.explode("sh_hashes").alias("h1")
     )
+    # The wide expression lists are built as SQL strings (one F.expr per
+    # aggregate) rather than nested Column calls: the plans are
+    # identical, but num_hashes × ~6 py4j round trips of driver-side
+    # construction collapse to num_hashes × 1 — measured ~0.8s → ~0.4s
+    # of plan-construction per call at num_hashes=64 (bench.py
+    # plan_queries made this visible).
     base = sh.select(
         "id",
         "h1",
         # second base hash for Kirsch-Mitzenmacher: remix h1; force odd so
         # the affine family never degenerates to a constant
-        ((F.col("h1") * F.lit(2654435761)) % F.lit(mersenne)).bitwiseOR(F.lit(1)).alias("h2"),
+        F.expr(f"((h1 * 2654435761) % {mersenne}) | 1").alias("h2"),
     )
     agg = base.groupBy("id").agg(
         *[
-            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(mersenne)).alias(f"h{i}")
+            F.expr(f"min((h1 + {i} * h2) % {mersenne}) AS h{i}")
             for i in range(num_hashes)
         ]
     )
     return agg.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+        "id",
+        F.expr(
+            "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+        ).alias("signature"),
     )
 
 
@@ -270,22 +279,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("signature", bi * rows_per_band + ri + 1).cast("string")
-                            for ri in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
+    # built as one SQL string for the same plan at a fraction of the
+    # py4j construction cost (see minhash_signatures)
+    band_arr = F.expr(
+        "array("
+        + ",".join(
+            "struct({bi} AS band, xxhash64(concat_ws(',', {parts})) AS bucket)".format(
+                bi=bi,
+                parts=",".join(
+                    f"cast(element_at(signature, {bi * rows_per_band + ri + 1}) as string)"
+                    for ri in range(rows_per_band)
+                ),
             )
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sig.select("id", "signature", F.explode(band_arr).alias("bb")).select(
         "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
