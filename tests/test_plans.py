@@ -330,10 +330,20 @@ def test_semantic_decontam_is_join_free(spark):
 
 def test_pagerank_iterations_join_on_node_key(spark):
     """Each PageRank iteration is an equi-join rank->edges plus a
-    groupBy(dst): no cartesian anywhere in the final plan."""
+    groupBy(dst): no cartesian anywhere in the final plan. The ONLY
+    nested-loop joins allowed are broadcast Cross attachments of the
+    one-row dangling-mass aggregate (round 5 folded the per-iteration
+    scalar collect into the plan this way — a 1-row build side, not a
+    pair explosion)."""
+    import re as _re
+
     plan = plan_of(spark, "pagerank_entities")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for m in _re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", m.group(0)
+    # the scalar attachment must build the broadcast side from the
+    # dangling aggregate, never a fact-scale frame
+    assert "dangling_mass" in plan, plan[:1200]
 
 
 def test_pit_join_is_equi_join_not_nested_loop(spark):
