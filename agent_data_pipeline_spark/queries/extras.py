@@ -251,25 +251,37 @@ def _higher_order_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- mode / median / any_value ---------------------------------------------
 
 _MODE_MEDIAN_SQL = """
-SELECT l_returnflag,
-       mode(l_quantity)                                        AS qty_mode,
+WITH vc AS (
+  SELECT l_returnflag, l_quantity, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), md AS (
+  SELECT v.l_returnflag, min(v.l_quantity) AS qty_mode
+  FROM vc v
+  WHERE v.c = (SELECT max(c) FROM vc w WHERE w.l_returnflag = v.l_returnflag)
+  GROUP BY 1
+)
+SELECT li.l_returnflag,
+       md.qty_mode                                             AS qty_mode,
        median(l_quantity)                                      AS qty_median,
        floor(median(l_extendedprice) * 100 + 0.5) / 100        AS price_median,
-       any_value(upper(l_returnflag))                          AS flag_upper
-FROM lineitem
-GROUP BY l_returnflag
+       any_value(upper(li.l_returnflag))                       AS flag_upper
+FROM lineitem li JOIN md ON li.l_returnflag = md.l_returnflag
+GROUP BY li.l_returnflag, md.qty_mode
 """
 
 
 def _mode_median_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact mode / interpolated median / any_value aggregates. mode is
-    deterministic on this fixture (verified: the max frequency is unique
-    within every group at the correctness SF); any_value is applied to a
-    group-constant expression so its arbitrary-row semantics cannot leak
-    nondeterminism into the hash."""
+    """Exact mode / interpolated median / any_value aggregates. mode
+    uses Spark 4's deterministic=True variant (lowest value among the
+    tied-max frequencies) and the oracle computes the same min-of-argmax
+    explicitly — a frequency TIE is engine-arbitrary otherwise, which
+    the sf0.001 cross-scale differential caught (43 vs 47 in the 'N'
+    group; sf0.01's max frequencies happen to be unique). any_value is
+    applied to a group-constant expression so its arbitrary-row
+    semantics cannot leak nondeterminism into the hash."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.mode("l_quantity").alias("qty_mode"),
+        F.mode("l_quantity", deterministic=True).alias("qty_mode"),
         F.median("l_quantity").alias("qty_median"),
         rnd(F.median("l_extendedprice"), 2).alias("price_median"),
         F.any_value(F.upper("l_returnflag")).alias("flag_upper"),
