@@ -285,10 +285,13 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the brute-force oracle measured in tests)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # 64 tables x 8 bits: recall@5 ~0.8 on the (adversarially random)
-    # synthetic embeddings; n_bits is the occupancy/scale knob (~n/2^8
-    # candidates per table-bucket), n_tables the recall knob.
-    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=64, n_bits=8)
+    # 128 tables x 8 bits: recall@5 0.96 on the (adversarially random)
+    # synthetic embeddings (was 64x8 at 0.82; the round-5 sweep measured
+    # 0.82/0.88/0.96 at 64/96/128 tables with flat wall cost at sf0.1).
+    # n_bits stays the occupancy/scale knob (~n/2^8 candidates per
+    # table-bucket — scan fraction, the thing that matters at 100 TB);
+    # n_tables is the recall knob and costs one linear bucket-row term.
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=128, n_bits=8)
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,7 +42,7 @@ def main() -> None:
     # the numbers describe what the driver actually runs.
     exact = _pairs(similarity.cosine_topk_bruteforce(emb, queries, k=5).collect())
     lsh = _pairs(
-        similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=64, n_bits=8).collect()
+        similarity.lsh_topk(emb, queries, dim=64, k=5, n_tables=128, n_bits=8).collect()
     )
     ivf = _pairs(similarity.ivf_topk(emb, queries, k=5, n_cells=32, n_probe=12).collect())
 

@@ -41,13 +41,14 @@ def test_lsh_recall_at_5(emb):
     exact = _pairs(similarity.cosine_topk_bruteforce(emb, queries, k=5).collect())
     ann = _pairs(
         similarity.lsh_topk(
-            emb, queries, dim=64, k=5, n_tables=64, n_bits=8
+            emb, queries, dim=64, k=5, n_tables=128, n_bits=8
         ).collect()
     )
     recall = len(ann & exact) / len(exact)
     # random synthetic embeddings are the worst case for SRP-LSH (weak
-    # neighbor structure); 0.6 is a conservative floor for these params
-    assert recall >= 0.6, f"recall@5 {recall:.3f} below floor"
+    # neighbor structure); measured 0.96 at the registry's 128x8
+    # operating point (round 5) — 0.85 is the regression floor
+    assert recall >= 0.85, f"recall@5 {recall:.3f} below floor"
 
 
 def test_ivf_recall_at_5(emb):
