@@ -300,7 +300,13 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py). 32 cells / 12 probes scans ~37% of the
     corpus at recall 0.88 on the adversarially-random fixture (measured
     vs the brute-force oracle; was 0.66 at 16/6 — more, finer cells at
-    the same scan fraction shrink per-cell variance)."""
+    the same scan fraction shrink per-cell variance). Round-5 knob
+    sweep, same fixture: 64/20 holds 0.88 at 31% scan; 128/40 reaches
+    0.98 at 31% scan — finer cells keep paying, at the cost of a bigger
+    (bounded-sample, one-time) k-means fit that dominates wall locally
+    but amortizes at corpus scale. 32/12 stays the registry operating
+    point for bench comparability; at 100 TB pick the finest cell count
+    the fit budget allows."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, n_cells=32, n_probe=12)
