@@ -89,7 +89,11 @@ def pca_explained_variance(
             [], "component long, eigenvalue double, explained_ratio double, cum_ratio double"
         )
     d = round((-1 + (1 + 4 * (len(vals) - 1)) ** 0.5) / 2)
-    assert 1 + d + d * d == len(vals), (d, len(vals))
+    if 1 + d + d * d != len(vals):  # not assert: must survive python -O
+        raise ValueError(
+            f"malformed moment set: {len(vals)} partials do not form "
+            f"1 + d + d^2 for any integer d (nearest d={d})"
+        )
     n_total = int(vals[0])
     if n_total < 2:
         return spark.createDataFrame(

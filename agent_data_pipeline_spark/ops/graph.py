@@ -44,7 +44,22 @@ def pagerank(
     dangling/N). Parallel edges count once (the edge list is
     deduplicated); nodes are everything appearing as src or dst.
     Returns (node, rank).
+
+    ``checkpoint_every`` bounds PLAN growth, not just lineage: because
+    the dangling-mass aggregate is folded into the plan lazily, each
+    iteration references the previous ``ranks`` subtree TWICE (dangling
+    branch + inflow branch), so the un-checkpointed plan doubles per
+    iteration — ~2^checkpoint_every between checkpoints, not linear as
+    in a collect-per-iteration formulation. The default (3) measured
+    fastest; values above 5 are rejected rather than silently risking
+    exponential analysis/recompute cost.
     """
+    if checkpoint_every > 5:
+        raise ValueError(
+            "checkpoint_every > 5 would grow the per-iteration plan "
+            "~2^checkpoint_every (the folded dangling-mass branch "
+            "references the previous ranks subtree twice); keep it <= 5"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -48,69 +48,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 # `relational`; round 2 verified temporal+llmdata_q+extras2 (50/50);
 # round 3 verified scalars/extras/extras3-5 + temporal head; round 4
 # verified the round-3 additions plus the first 33 round-4 additions
-# (through `concurrency_peaks`, 50 rows). Round 5 is a consolidation
-# round: registry growth is frozen except the two approx-edge scale
-# siblings the round-4 verdict asked for, and the front is exactly the
-# 54 round-4 additions that have never had a driver row (oldest first,
-# `union_by_name_kit` → `anova_oneway`), then the two new siblings.
-# A 50-row sample hard-checks the first 50, leaving 6 for round 6.
+# (through `concurrency_peaks`, 50 rows). Round 5 hard-checked the next
+# 50 round-4 additions (`union_by_name_kit` → `iqr_fences`, all green).
+# Round 6 front: the 6 never-driver-checked leftovers (4 round-4 tail
+# queries + the 2 round-5 approx siblings) first, then the round-6
+# additions (bloom-prune kit, stratified split with floors, document
+# chunking) — after these, every registry query has had a driver row.
 _NEVER_VERIFIED_FRONT = [
-    "union_by_name_kit",
-    "haversine_kit",
-    "rolling_7d_users",
-    "golden_record",
-    "pareto_revenue",
-    "benford_digits",
-    "path_3grams",
-    "rank_ties_topk",
-    "late_dim_fallback",
-    "rolling_zscore",
-    "checksum_partition_audit",
-    "dow_seasonality",
-    "rfm_segments",
-    "gini_lorenz",
-    "proration_penny_split",
-    "survival_curve",
-    "ab_test_ztest",
-    "trend_forecast",
-    "sequence_gaps",
-    "orphan_audit",
-    "fuzzy_part_match",
-    "weighted_percentile_kit",
-    "corr_matrix",
-    "date_spine_fill",
-    "readability_kit",
-    "zipf_fit",
-    "embedding_norm_audit",
-    "containment_pairs",
-    "pca_variance",
-    "cdc_apply_summary",
-    "hwm_incremental_extract",
-    "session_attribution",
-    "map_transform_kit",
-    "regr_builtin_kit",
-    "skyline_parts",
-    "url_canonical_dedup",
-    "boilerplate_line_removal",
-    "normalized_exact_dedup",
-    "share_of_parent",
-    "knn_label_vote",
-    "incremental_corpus_refresh",
-    "seasonal_decomposition",
-    "cusum_changepoint",
-    "order_consistency_audit",
-    "mom_yoy_growth",
-    "ship_latency_percentiles",
-    "degree_distribution",
-    "rrf_rank_fusion",
-    "mode_imputation",
-    "iqr_fences",
     "mean_confidence_intervals",
     "cohort_ltv_curve",
     "dup_cluster_histogram",
     "anova_oneway",
-    # round-5 additions (extras28 approx-edge scale siblings; the only
-    # growth this round — verdict ask #3)
     "rfm_segments_approx",
     "gini_lorenz_approx",
 ]

@@ -224,13 +224,53 @@ ORDER BY edge
 # --------------------------------------------------------------------------
 
 
+def blocked_name_candidates(names: DataFrame) -> DataFrame:
+    """Candidate pairs of DISTINCT names under dual-key blocking.
+
+    `names` must carry (p_name, m) — distinct name + multiplicity.
+    Two blocking keys are unioned: the FIRST name token and the LAST
+    name token; a pair is a candidate if it shares either key, and
+    candidates matched by both keys are deduplicated. A single-key
+    (first-token) block can never pair records whose edit changed the
+    first token (QUALITY_r05 measured that recall at literally 0.0);
+    the last-token key recovers those at the cost of one more
+    block-bounded self-join — candidates stay Σ(block²) per key, never
+    corpus², so the composition holds at 100 TB. Returns columns
+    (name_a, name_b, m_a, m_b) with name_a < name_b."""
+    keyed = names.select(
+        "p_name",
+        "m",
+        F.split(F.col("p_name"), " ")[0].alias("blk1"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("blk2"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+
+    def _join_on(key: str) -> DataFrame:
+        return (
+            a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"))
+            .filter(F.col("a.p_name") < F.col("b.p_name"))
+            .select(
+                F.col("a.p_name").alias("name_a"),
+                F.col("b.p_name").alias("name_b"),
+                F.col("a.m").alias("m_a"),
+                F.col("b.m").alias("m_b"),
+            )
+        )
+
+    return _join_on("blk1").unionAll(_join_on("blk2")).dropDuplicates(
+        ["name_a", "name_b"]
+    )
+
+
 def _fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching over part names: candidate pairs share a
-    blocking key (first name token), then exact Levenshtein filters to
+    blocking key (first OR last name token — see
+    `blocked_name_candidates`), then exact Levenshtein filters to
     distance ≤ 10; emits the distance histogram. Blocking keeps the
-    self-join candidate set Σ(block²) instead of corpus² — at larger
-    corpora the block key widens (first two tokens / token+size), the
-    same knob every record-linkage deployment tunes.
+    self-join candidate set Σ(block²) per key instead of corpus² — at
+    larger corpora the keys widen (token bigrams / token+size), the
+    same knob every record-linkage deployment tunes; the dual-key
+    union is the standard fix for edits that break one key.
 
     Dedup-first candidate generation: the block join runs over DISTINCT
     names with multiplicities, and row-pair counts come back by
@@ -238,22 +278,18 @@ def _fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     at distance 0). On a duplicate-heavy corpus the expensive
     Levenshtein join is bounded by distinct-name block sizes — the same
     exact-dedup-first composition the MinHash path uses — while the
-    oracle stays the raw quadratic pair join, proving the rewrite
-    counts the identical pair set. Row-pair identity is (key_a <
-    key_b); distances are exact integers."""
-    p = t(spark, sf_dir, "part").select(
-        "p_name", F.split(F.col("p_name"), " ")[0].alias("blk")
-    )
-    names = p.groupBy("blk", "p_name").agg(F.count(F.lit(1)).alias("m"))
-    a, b = names.alias("a"), names.alias("b")
+    oracle stays the raw pair join, proving the rewrite counts the
+    identical pair set. Row-pair identity is (key_a < key_b);
+    distances are exact integers."""
+    p = t(spark, sf_dir, "part").select("p_name")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("m"))
     cross_pairs = (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .filter(F.col("a.p_name") < F.col("b.p_name"))
+        blocked_name_candidates(names)
         .select(
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            F.levenshtein(F.col("name_a"), F.col("name_b"))
             .cast("long")
             .alias("dist"),
-            (F.col("a.m") * F.col("b.m")).alias("n"),
+            (F.col("m_a") * F.col("m_b")).alias("n"),
         )
         .filter(F.col("dist") <= 10)
     )
@@ -271,10 +307,18 @@ def _fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_SQL = """
 WITH p AS (
-  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+  SELECT p_partkey, p_name,
+         split_part(p_name, ' ', 1) AS blk1,
+         string_split(p_name, ' ')[-1] AS blk2
+  FROM part
+), cand AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb, a.p_name AS na, b.p_name AS nb
+  FROM p a JOIN p b ON a.blk1 = b.blk1 AND a.p_partkey < b.p_partkey
+  UNION
+  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+  FROM p a JOIN p b ON a.blk2 = b.blk2 AND a.p_partkey < b.p_partkey
 ), pairs AS (
-  SELECT CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  SELECT CAST(levenshtein(na, nb) AS BIGINT) AS dist FROM cand
 )
 SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
 FROM pairs WHERE dist <= 10

@@ -129,21 +129,71 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    plan_total = round(sum(plan_timings.values()), 3)
+    exec_total = round(sum(exec_timings.values()), 3)
+
+    # The driver captures only the last ~2,000 chars of stdout; round 5's
+    # 5 KB line (per-query plan/exec splits inline) overflowed it and left
+    # BENCH_r05.json with parsed:null. The full per-query plan/exec split
+    # now goes to a committed detail file, and the FINAL printed line is a
+    # compact JSON (per-query totals at 2 decimals) guaranteed < 1,800
+    # bytes so the driver's tail capture always parses it.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "plan_total": plan_total,
+                    "exec_total": exec_total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "plan_queries": plan_timings,
+                    "exec_queries": exec_timings,
+                    "sf": sf,
+                    "runs_per_query": n_passes,
+                    "policy": "min_interleaved",
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "plan_total": plan_total,
+            "exec_total": exec_total,
+            "sf": sf,
+            "runs_per_query": n_passes,
+            "policy": "min_interleaved",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:  # hard guard: never overflow the driver tail again
+        line = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "plan_queries": plan_timings,
-                "exec_queries": exec_timings,
+                "plan_total": plan_total,
+                "exec_total": exec_total,
                 "sf": sf,
                 "runs_per_query": n_passes,
                 "policy": "min_interleaved",
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

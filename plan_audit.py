@@ -55,13 +55,27 @@ def audit_plan(plan: str) -> list[str]:
         flags.append("single_part_sort")
     if "CartesianProduct" in plan:
         flags.append("cartesian")
-    for m in re.finditer(r"BroadcastNestedLoopJoin BuildLeft (\w+)|BroadcastNestedLoopJoin (\w+)", plan):
-        kind = m.group(1) or m.group(2)
-        if kind not in ("Cross", "BuildRight", "BuildLeft"):
-            if "bnlj_non_cross" not in flags:
-                flags.append("bnlj_non_cross")
-    for m in re.finditer(r"BroadcastNestedLoopJoin (?:BuildLeft|BuildRight)?,? ?(\w+)", plan):
-        if m.group(1) not in ("Cross", "BuildRight", "BuildLeft") and "bnlj_non_cross" not in flags:
+    # BNLJ join-type detection, token-based (not order-sensitive): Spark
+    # 4's formatted tree line prints "BroadcastNestedLoopJoin <JoinType>
+    # <BuildSide> (id)" while the detail section repeats the bare node
+    # name with no join-type Arguments (verified empirically — the AQE
+    # initial plan's Arguments line is just isFinalPlan). Strategy: on
+    # every BNLJ line, drop BuildLeft/BuildRight tokens; the first
+    # remaining token is the join type. Bare detail-header lines yield
+    # no token and are skipped — but if BNLJ appears in the plan and NO
+    # line ever yields a join type (a future format hiding it), flag
+    # conservatively rather than silently passing the regression gate.
+    if "BroadcastNestedLoopJoin" in plan:
+        kinds: list[str] = []
+        for m in re.finditer(r"BroadcastNestedLoopJoin\b([^\n(]*)", plan):
+            toks = [
+                t.strip(",")
+                for t in m.group(1).split()
+                if t.strip(",") not in ("BuildLeft", "BuildRight")
+            ]
+            if toks:
+                kinds.append(toks[0])
+        if not kinds or any(k != "Cross" for k in kinds):
             flags.append("bnlj_non_cross")
     if "BatchEvalPython" in plan:
         flags.append("row_python_udf")

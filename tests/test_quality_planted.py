@@ -4,10 +4,15 @@ dedup got in round 4: `quality.py` EMITS the measured values per round;
 these tests ASSERT the floors so a regression fails the suite, not just
 drifts a JSON number.
 
-* fuzzy_part_match blocking: a planted later-token edit shares the
-  first-token block and must ALWAYS be recalled; a first-token edit
-  breaks the block and must be missed (if blocking suddenly recalled it,
-  the candidate set is no longer block-bounded — a scale regression).
+* fuzzy_part_match blocking (dual-key since round 6: first token ∪
+  last token — see extras15.blocked_name_candidates): a later-token
+  edit shares the first-token block, a first-token edit shares the
+  last-token block — BOTH plant classes must now be recalled (round 5
+  measured first-token-only blocking at 0.0 breaking recall; the
+  second key is the standard record-linkage fix and stays
+  block-bounded). An edit to BOTH end tokens still correctly escapes —
+  asserted so the candidate set provably remains blocked, not
+  quadratic.
 * cusum_changepoint: on a planted level shift with bounded noise, the
   CUSUM argmax must land within 2 days of the last pre-shift day.
 * knn_label_vote: planting each query as an exact copy of a corpus
@@ -27,42 +32,51 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_fuzzy_blocking_planted_recall(spark):
+    from agent_data_pipeline_spark.queries.extras15 import (
+        blocked_name_candidates,
+    )
+
     part = spark.read.parquet(f"{SF}/part.parquet")
     base = [
         r["p_name"]
-        for r in part.select("p_name").distinct().orderBy("p_name").limit(20).collect()
+        for r in part.select("p_name").distinct().orderBy("p_name").limit(21).collect()
     ]
-    planted = []  # (orig, mutated, block_preserving)
+    # Three plant classes: later-token edit (first-token key holds),
+    # first-token edit (last-token key holds), both-end-token edit
+    # (neither key holds — must escape, proving blocking is real).
+    planted = []  # (orig, mutated, kind)
     for i, nm in enumerate(base):
         toks = nm.split(" ")
-        if i % 2 == 0 and len(toks) > 1:
+        if i % 3 == 0 and len(toks) > 1:
             toks[-1] += "x"
-            planted.append((nm, " ".join(toks), True))
-        else:
+            planted.append((nm, " ".join(toks), "keep_first"))
+        elif i % 3 == 1 and len(toks) > 1:
             toks[0] += "x"
-            planted.append((nm, " ".join(toks), False))
+            planted.append((nm, " ".join(toks), "keep_last"))
+        elif len(toks) > 1:
+            toks[0] += "x"
+            toks[-1] += "x"
+            planted.append((nm, " ".join(toks), "escape"))
     aug = part.select("p_name").unionByName(
         spark.createDataFrame([(m,) for _, m, _ in planted], "p_name string")
     )
-    blk = aug.select("p_name", F.split("p_name", " ")[0].alias("blk")).distinct()
-    a, b = blk.alias("a"), blk.alias("b")
+    names_m = aug.groupBy("p_name").agg(F.count(F.lit(1)).alias("m"))
     got = {
-        (r["x"], r["y"])
-        for r in a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .filter(F.col("a.p_name") < F.col("b.p_name"))
-        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 10)
-        .select(F.col("a.p_name").alias("x"), F.col("b.p_name").alias("y"))
+        (r["name_a"], r["name_b"])
+        for r in blocked_name_candidates(names_m)
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 10)
+        .select("name_a", "name_b")
         .collect()
     }
 
     def key(o, m):
         return (o, m) if o < m else (m, o)
 
-    for o, m, preserving in planted:
-        if preserving:
-            assert key(o, m) in got, (o, m)
-        else:
+    for o, m, kind in planted:
+        if kind == "escape":
             assert key(o, m) not in got, (o, m)
+        else:
+            assert key(o, m) in got, (o, m, kind)
 
 
 def test_cusum_planted_shift_detection_delay(spark):

@@ -64,6 +64,19 @@ def test_ivf_recall_at_5(emb):
     assert recall >= 0.8, f"IVF recall@5 {recall:.3f} below floor"
 
 
+def test_ivf_hi_recall_at_5(emb):
+    """Same params as the ann_ivf_topk_hi registry query (128 cells,
+    40 probes = 31% expected scan); measured recall on this fixture is
+    0.98 — 0.95 is the floor the sibling advertises."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(similarity.cosine_topk_bruteforce(emb, queries, k=5).collect())
+    ivf = _pairs(
+        similarity.ivf_topk(emb, queries, k=5, n_cells=128, n_probe=40).collect()
+    )
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.95, f"IVF-hi recall@5 {recall:.3f} below floor"
+
+
 def test_lsh_topk_is_deterministic(emb):
     queries = emb.filter(F.col("vec_id") < 3)
     a = sorted(map(tuple, similarity.lsh_topk(emb, queries, dim=64, k=5).collect()))
