@@ -119,6 +119,83 @@ def stratified_sample(
     return df.filter(b < thr.otherwise(F.lit(0)))
 
 
+def stratified_split_floors(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    val_pm: int = 100,
+    test_pm: int = 100,
+    floor: int = 10,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Train/val/test split with PER-STRATUM FLOORS: every stratum
+    contributes at least ``floor`` rows to val and to test (stratum
+    size permitting), so rare languages/sources never evaluate on 2
+    documents just because they are 0.1% of the corpus. Fractions are
+    exact per-mille integers (``val_pm``/``test_pm`` out of 1000) so
+    every threshold is integer arithmetic — no float boundary ever
+    decides membership differently across engines.
+
+    Two deterministic paths, chosen per stratum from its row count:
+
+    * FRACTION path (large strata, the 100 TB common case): the
+      estimated take ``ceil(n·pm/1000)`` already meets the floor for
+      both val and test, so rows split by the portable id-hash bucket
+      (map-side expression, no shuffle beyond the tiny count agg) —
+      identical semantics to :func:`hash_split`.
+    * FLOOR path (small strata): exact rank by the bijective 32-bit
+      Knuth hash (odd multiplier ⇒ a permutation of Z_2^32, so ranks
+      are tie-free for distinct ids < 2^32; ``id_col`` breaks the
+      hypothetical tie anyway) — first ``floor`` ranks to val, next
+      ``floor`` to test, rest to train. A stratum smaller than
+      2·floor yields an empty train split by design (floors take
+      priority: eval sets are the scarce resource).
+
+    Scale shape: the window runs ONLY over floor-path strata, each
+    provably smaller than ``floor·1000/min(val_pm,test_pm)`` rows —
+    bounded by construction, never the fact table. The large-stratum
+    branch stays a pure map-side filter. Adds ``split`` and
+    ``floor_path`` columns."""
+    if floor < 1:
+        raise ValueError("floor must be >= 1")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_strat_n"))
+    joined = df.join(F.broadcast(counts), strata_col)
+    est_val = F.expr(f"(_strat_n * {val_pm} + 999) div 1000")
+    est_test = F.expr(f"(_strat_n * {test_pm} + 999) div 1000")
+    on_fraction = (est_val >= floor) & (est_test >= floor)
+
+    b = hash_bucket(id_col, buckets)
+    val_thr = F.lit(int(round(val_pm / 1000 * buckets)))
+    test_thr = val_thr + F.lit(int(round(test_pm / 1000 * buckets)))
+    big = joined.filter(on_fraction).select(
+        *df.columns,
+        F.when(b < val_thr, "val")
+        .when(b < test_thr, "test")
+        .otherwise("train")
+        .alias("split"),
+        F.lit(False).alias("floor_path"),
+    )
+
+    h32 = F.pmod(
+        (F.col(id_col) if isinstance(id_col, str) else id_col) * F.lit(_KNUTH),
+        F.lit(2**32),
+    )
+    w = W.partitionBy(strata_col).orderBy(h32.asc(), F.col(id_col).asc())
+    small = (
+        joined.filter(~on_fraction)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            *df.columns,
+            F.when(F.col("_rk") <= floor, "val")
+            .when(F.col("_rk") <= 2 * floor, "test")
+            .otherwise("train")
+            .alias("split"),
+            F.lit(True).alias("floor_path"),
+        )
+    )
+    return big.unionByName(small)
+
+
 def weighted_mix(
     sources: dict[str, tuple[DataFrame, float]],
     id_col: str,

@@ -34,6 +34,7 @@ from . import (
     extras26,
     extras27,
     extras28,
+    extras29,
     llmdata_q,
     relational,
     scalars,
@@ -61,9 +62,13 @@ _NEVER_VERIFIED_FRONT = [
     "anova_oneway",
     "rfm_segments_approx",
     "gini_lorenz_approx",
+    # round-6 additions (extras29 + the IVF high-recall sibling)
+    "stratified_split_floors",
+    "bloom_prune_kit",
+    "ann_ivf_topk_hi",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -922,3 +922,33 @@ def test_gini_approx_windows_decile_grain_only(spark):
     # note: a bare "ntile" substring check would false-positive on
     # "percentile_approx" — match the window function call form
     assert not re.search(r"(?<!perce)ntile\(", plan), plan[:1200]
+
+
+def test_bloom_prune_kit_semi_joins_broadcast_single_fact_scan(spark):
+    """The Bloom sketch must reach the fact as broadcast LEFT SEMI
+    joins on an integer position — the fact scans ONCE and never
+    shuffles before the final (broadcast) join; a SortMergeJoin or a
+    second fact scan means the pruning regressed into the thing it was
+    supposed to avoid."""
+    plan = plan_of(spark, "bloom_prune_kit")
+    li_scans = [s for s in read_schemas(plan) if "l_suppkey" in s]
+    assert len(li_scans) == 1, li_scans
+    assert _nodes(plan, "BroadcastHashJoin") >= 3, plan[:1500]
+    assert plan.count("LeftSemi") >= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan, plan[:1200]
+    # sketch positions aggregate partially before the exchange
+    assert _nodes(plan, "HashAggregate") >= 4, plan[:1500]
+
+
+def test_stratified_split_floors_window_only_on_small_strata(spark):
+    """The exact-rank window must sit UNDER the floor-path filter (it
+    only ever sees strata bounded by floor*1000/pm rows); the large-
+    stratum branch is a pure map-side split. One Window node, stratum
+    counts broadcast back, no sort-merge join anywhere."""
+    plan = plan_of(spark, "stratified_split_floors")
+    assert _nodes(plan, "Window") == 1, plan[:1500]
+    assert _nodes(plan, "BroadcastHashJoin") >= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    # the window spec is partitioned (lang), never the global-window path
+    assert "windowspecdefinition(lang" in plan, plan[:1500]

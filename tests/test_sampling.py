@@ -207,3 +207,100 @@ def test_temperature_mix_rates_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         temperature_mix(df, "g", "id", alpha=0.3)
+
+
+def test_stratified_split_floors_guarantees(spark):
+    """Per-stratum floors: every stratum contributes min(floor, n) rows
+    to val AND test (a stratum under 2*floor empties train first);
+    large strata take the fraction path."""
+    from agent_data_pipeline_spark.llmdata.sampling import (
+        stratified_split_floors,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    s = stratified_split_floors(d, "lang", "doc_id", floor=10)
+    rows = s.groupBy("lang", "split", "floor_path").count().collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["lang"], {})[r["split"]] = (r["count"], r["floor_path"])
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        splits = by[lang]
+        got_val = splits.get("val", (0, None))[0]
+        got_test = splits.get("test", (0, None))[0]
+        assert got_val >= min(10, n), (lang, splits)
+        assert got_test >= min(10, max(0, n - 10)), (lang, splits)
+        assert sum(c for c, _ in splits.values()) == n
+        # path choice matches the documented integer condition
+        expect_floor = (n * 100 + 999) // 1000 < 10
+        assert all(fp == expect_floor for _, fp in splits.values()), (lang, splits)
+
+
+def test_stratified_split_floors_stable_under_repartition(spark):
+    from agent_data_pipeline_spark.llmdata.sampling import (
+        stratified_split_floors,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    a = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split_floors(d, "lang", "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split_floors(
+            d.repartition(13), "lang", "doc_id"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bloom_prune_superset_of_matches_and_join_neutral(spark):
+    """Bloom pruning may keep false positives but NEVER drops a true
+    match; composing it before the real join is value-neutral."""
+    from agent_data_pipeline_spark.ops.bloomjoin import bloom_prune
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    sup = spark.read.parquet(f"{sf}/supplier.parquet").filter(
+        F.col("s_nationkey") == 3
+    )
+    keys = {r["s_suppkey"] for r in sup.select("s_suppkey").collect()}
+    pruned = bloom_prune(li, "l_suppkey", sup.select("s_suppkey"), "s_suppkey")
+    kept = {
+        (r["l_orderkey"], r["l_linenumber"], r["l_suppkey"])
+        for r in pruned.collect()
+    }
+    truth = {
+        (r["l_orderkey"], r["l_linenumber"], r["l_suppkey"])
+        for r in li.collect()
+        if r["l_suppkey"] in keys
+    }
+    assert truth <= kept  # no false negatives, ever
+    # after the real join the answer is exactly the plain-join answer
+    joined = {
+        (r["l_orderkey"], r["l_linenumber"], r["l_suppkey"])
+        for r in pruned.join(
+            F.broadcast(sup.select("s_suppkey")),
+            pruned["l_suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        ).collect()
+    }
+    assert joined == truth
+
+
+def test_bloom_positions_bounded(spark):
+    """The sketch side is bounded by m*k rows regardless of build-side
+    size — the property that keeps it broadcastable at 100 TB."""
+    from agent_data_pipeline_spark.ops.bloomjoin import bloom_positions
+
+    big = spark.range(0, 200_000).toDF("k")
+    pos = bloom_positions(big, "k", m=512, seeds=(0, 1, 2))
+    assert pos.count() <= 512 * 3
