@@ -251,6 +251,18 @@ R5_OPS = [
     "gini_lorenz_approx",
 ]
 
+# Round-6 operators: stratified floors (map-side big branch + bounded
+# small-strata window — expected ~data ratio; at 10x every lang leaves
+# the floor path, so the window input actually SHRINKS), bloom pruning
+# (two broadcast semi probes + broadcast join — ~data ratio), and the
+# IVF high-recall sibling (bounded-sample fit is scale-independent;
+# the cell-probe scan grows with data).
+R6_OPS = [
+    "stratified_split_floors",
+    "bloom_prune_kit",
+    "ann_ivf_topk_hi",
+]
+
 
 def pagerank_job_probe(spark, sf_dir: str) -> dict:
     """Count the Spark jobs one pagerank_entities call submits (round-4
@@ -325,6 +337,7 @@ def main() -> None:
     r4c = base_vs_10x(R4C_OPS)
     r4d = base_vs_10x(R4D_OPS)
     r5 = base_vs_10x(R5_OPS)
+    r6 = base_vs_10x(R6_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -354,6 +367,7 @@ def main() -> None:
                 "round4_part67_ops_base_vs_10x": r4c,
                 "round4_part910_ops_base_vs_10x": r4d,
                 "round5_ops_base_vs_10x": r5,
+                "round6_ops_base_vs_10x": r6,
                 "pagerank_job_probe": pg_jobs,
                 "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
