@@ -65,6 +65,7 @@ _NEVER_VERIFIED_FRONT = [
     # round-6 additions (extras29 + the IVF high-recall sibling)
     "stratified_split_floors",
     "bloom_prune_kit",
+    "bm25_topk",
     "ann_ivf_topk_hi",
 ]
 _merged: dict[str, QuerySpec] = {}

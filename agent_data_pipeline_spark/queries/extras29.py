@@ -140,6 +140,89 @@ ORDER BY s.s_name
 """
 
 
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over documents for a fixed 3-term query
+    (Robertson/Sparck-Jones with the Lucene idf form; k1=1.2, b=0.75):
+    score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+               · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    The standard lexical-retrieval baseline the registry's rank-fusion
+    row (rrf_rank_fusion) presumes upstream — now a first-class op.
+
+    Plan shape: tokenize map-side, filter the exploded stream to the
+    query terms BEFORE any shuffle (the posting list is term-bounded),
+    then one tiny groupBy per (doc, term); df and the global (N, avgdl)
+    are broadcast scalars. Nothing fact-scale ever sorts — the top-20
+    is a TakeOrdered. Scores are floor-rounded to 6 dp on both engines
+    and ordered (score desc, doc_id) so the cut is deterministic."""
+    k1, b = 1.2, 0.75
+    terms = ["hash", "join", "vector"]
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .withColumn("dl", F.size("toks").cast("long"))
+    )
+    g = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    w = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    from .core import rnd
+
+    return (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(F.sum(w).alias("_score"))
+        .select("doc_id", rnd(F.col("_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_BM25_SQL = r"""
+WITH dd AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS dl
+  FROM documents
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dd
+), tf AS (
+  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dd)
+  WHERE tok IN ('hash', 'join', 'vector')
+  GROUP BY doc_id, dl, tok
+), dft AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY tok
+), sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (g.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / g.avgdl))) AS score
+  FROM tf JOIN dft USING (tok) CROSS JOIN g
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS bm25
+FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stratified_split_floors": QuerySpec(
         _stratified_split_floors,
@@ -150,5 +233,10 @@ QUERIES: dict[str, QuerySpec] = {
         _bloom_prune_kit,
         _BLOOM_PRUNE_SQL,
         "Bloom-filter semi-join pruning before an equi-join (value-neutral)",
+    ),
+    "bm25_topk": QuerySpec(
+        _bm25_topk,
+        _BM25_SQL,
+        "BM25 ranked retrieval top-20 for a fixed query term set",
     ),
 }

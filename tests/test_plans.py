@@ -952,3 +952,22 @@ def test_stratified_split_floors_window_only_on_small_strata(spark):
     assert "SortMergeJoin" not in plan, plan[:1200]
     # the window spec is partitioned (lang), never the global-window path
     assert "windowspecdefinition(lang" in plan, plan[:1500]
+
+
+def test_bm25_filters_terms_before_shuffle_and_takes_ordered(spark):
+    """The exploded token stream must be filtered to the query terms
+    map-side (posting list bounded by the term set before any
+    Exchange), the global stats attach as a 1-row broadcast Cross, and
+    the top-20 is a TakeOrdered — never a global sort of all docs."""
+    plan = plan_of(spark, "bm25_topk")
+    assert _nodes(plan, "TakeOrderedAndProject") == 1, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert _nodes(plan, "Window") == 0, plan[:1500]
+    # the isin(term) filter sits directly on the exploded stream,
+    # upstream of every shuffle: the Filter node whose condition is the
+    # term IN-list carries a smaller node number than any Exchange
+    m = re.search(r"\((\d+)\) Filter\nInput[^\n]*\nCondition : tok#\d+ IN", plan)
+    exchanges = [int(n) for n in re.findall(r"^\((\d+)\) Exchange", plan, flags=re.M)]
+    assert m and exchanges, plan[:1200]
+    assert int(m.group(1)) < min(exchanges), (m.group(1), exchanges)
