@@ -264,6 +264,58 @@ R6_OPS = [
 ]
 
 
+def bloom_ab_probe(spark, sf_dir: str) -> dict:
+    """A/B the Bloom semi-join pruning against the plain join with
+    broadcast DISABLED — the shape a 100 TB cluster sees when the dim
+    side outgrows the broadcast threshold and the join becomes a
+    shuffle. Measures (a) wall for plain shuffle join vs bloom-pruned
+    shuffle join on the same nation-3 supplier revenue census, and
+    (b) the probe-side row reduction the sketch achieves. At fixture
+    scale the absolute walls are small; the row-reduction factor is the
+    scale-transferable number (pruned rows never enter the shuffle)."""
+    from pyspark.sql import functions as F2
+
+    from agent_data_pipeline_spark.ops.bloomjoin import bloom_prune
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_quantity"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F2.col("s_nationkey") == 3
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    out: dict = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t0 = time.perf_counter()
+        plain = (
+            li.join(sup.select("s_suppkey").hint("merge"),
+                    li["l_suppkey"] == F2.col("s_suppkey"))
+            .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("l_quantity").alias("q"))
+            .collect()[0]
+        )
+        out["plain_smj_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        pruned = bloom_prune(li, "l_suppkey", sup.select("s_suppkey"), "s_suppkey")
+        blm = (
+            pruned.join(sup.select("s_suppkey").hint("merge"),
+                        pruned["l_suppkey"] == F2.col("s_suppkey"))
+            .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("l_quantity").alias("q"))
+            .collect()[0]
+        )
+        out["bloom_smj_sec"] = round(time.perf_counter() - t0, 3)
+        assert (plain["n"], plain["q"]) == (blm["n"], blm["q"]), "value drift!"
+        n_fact = li.count()
+        n_surv = pruned.count()
+        out["fact_rows"] = n_fact
+        out["rows_entering_shuffle"] = n_surv
+        out["prune_factor"] = round(n_fact / max(n_surv, 1), 1)
+        out["join_rows"] = plain["n"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
 def pagerank_job_probe(spark, sf_dir: str) -> dict:
     """Count the Spark jobs one pagerank_entities call submits (round-4
     verdict ask #4: the per-iteration dangling-mass collect cost 8 extra
@@ -342,6 +394,10 @@ def main() -> None:
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
     }
+    bloom_ab = {
+        "base": bloom_ab_probe(spark, src),
+        "x10": bloom_ab_probe(spark, dst),
+    }
 
     # composed exact-dedup -> minhash at 1x and 10x: the mitigation for
     # the measured semantic superlinearity of direct pair mining on a
@@ -369,6 +425,7 @@ def main() -> None:
                 "round5_ops_base_vs_10x": r5,
                 "round6_ops_base_vs_10x": r6,
                 "pagerank_job_probe": pg_jobs,
+                "bloom_ab_probe": bloom_ab,
                 "composed_exact_then_minhash": composed,
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,
