@@ -32,9 +32,18 @@ _KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, Knuth vol. 3 §6.4
 
 
 def hash_bucket(id_col: str | Column, buckets: int = 1000) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer id."""
+    """Deterministic bucket in [0, buckets) from an integer id.
+
+    The id is reduced mod 2^31 BEFORE the Knuth multiply: a raw
+    ``id * 2654435761`` overflows int64 for ids above ~3.47e9 (ANSI
+    arithmetic raises — caught by the round-6 10× stress corpus, whose
+    key remapping pushes ids to ~9e9), while ``(id mod 2^31) * K`` is
+    bounded by ~5.7e18 for ANY id. Bucket values are identical to the
+    raw formula for every id < 2^31 (all fixtures and oracles), and the
+    same reduction is portable SQL (``(id % 2147483648) * 2654435761``)
+    so the DuckDB oracles stay in lockstep at any scale."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(c * F.lit(_KNUTH), F.lit(buckets))
+    return F.pmod(F.pmod(c, F.lit(2**31)) * F.lit(_KNUTH), F.lit(buckets))
 
 
 def hash_split(
@@ -143,10 +152,10 @@ def stratified_split_floors(
       both val and test, so rows split by the portable id-hash bucket
       (map-side expression, no shuffle beyond the tiny count agg) —
       identical semantics to :func:`hash_split`.
-    * FLOOR path (small strata): exact rank by the bijective 32-bit
-      Knuth hash (odd multiplier ⇒ a permutation of Z_2^32, so ranks
-      are tie-free for distinct ids < 2^32; ``id_col`` breaks the
-      hypothetical tie anyway) — first ``floor`` ranks to val, next
+    * FLOOR path (small strata): exact rank by the injective Knuth
+      hash (odd multiplier ⇒ (id mod 2^31)·K mod 2^32 is tie-free for
+      ids below 2^31 — all fixture ids; ``id_col`` breaks the
+      congruent-id tie beyond) — first ``floor`` ranks to val, next
       ``floor`` to test, rest to train. A stratum smaller than
       2·floor yields an empty train split by design (floors take
       priority: eval sets are the scarce resource).
@@ -176,8 +185,14 @@ def stratified_split_floors(
         F.lit(False).alias("floor_path"),
     )
 
+    # injective on [0, 2^31): x*K ≡ y*K (mod 2^32) with K odd forces
+    # x ≡ y (mod 2^32), and |x−y| < 2^31 — so ranks are tie-free for
+    # ids below 2^31 (the id tie-break covers congruent ids beyond);
+    # the mod-2^31 reduction keeps the multiply inside int64 (see
+    # hash_bucket).
     h32 = F.pmod(
-        (F.col(id_col) if isinstance(id_col, str) else id_col) * F.lit(_KNUTH),
+        F.pmod(F.col(id_col) if isinstance(id_col, str) else id_col, F.lit(2**31))
+        * F.lit(_KNUTH),
         F.lit(2**32),
     )
     w = W.partitionBy(strata_col).orderBy(h32.asc(), F.col(id_col).asc())

@@ -65,8 +65,8 @@ WITH c AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
 ), d AS (
   SELECT dd.doc_id, dd.lang, c.n,
-         (dd.doc_id * 2654435761) % 1000 AS b,
-         (dd.doc_id * 2654435761) % 4294967296 AS h,
+         ((dd.doc_id % 2147483648) * 2654435761) % 1000 AS b,
+         ((dd.doc_id % 2147483648) * 2654435761) % 4294967296 AS h,
          ((c.n * 100 + 999) // 1000 >= 10) AS on_fraction
   FROM documents dd JOIN c ON dd.lang = c.lang
 ), r AS (

@@ -326,7 +326,7 @@ SELECT r.lang,
        r.n AS n_total,
        r.mix_rate,
        CAST(count(*) FILTER (
-         ((d.doc_id * 2654435761) % 1000 + 1000) % 1000
+         (((d.doc_id % 2147483648) * 2654435761) % 1000 + 1000) % 1000
            < floor(r.mix_rate * 1000 + 0.5)
        ) AS BIGINT) AS n_kept
 FROM documents d JOIN rates r ON d.lang = r.lang

@@ -657,7 +657,7 @@ def _hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HASH_SPLIT_SQL = """
 WITH b AS (
-  SELECT *, (doc_id * 2654435761) % 1000 AS bucket FROM documents
+  SELECT *, ((doc_id % 2147483648) * 2654435761) % 1000 AS bucket FROM documents
 )
 SELECT CASE WHEN bucket < 800 THEN 'train'
             WHEN bucket < 900 THEN 'val'
@@ -720,7 +720,7 @@ def _stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STRATIFIED_SAMPLE_SQL = """
 WITH b AS (
-  SELECT *, (doc_id * 2654435761) % 1000 AS bucket FROM documents
+  SELECT *, ((doc_id % 2147483648) * 2654435761) % 1000 AS bucket FROM documents
 ), kept AS (
   SELECT * FROM b
   WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000
@@ -770,7 +770,7 @@ WITH src AS (
 )
 SELECT s.mix_source, count(*) AS n_docs, CAST(sum(s.n_chars) AS BIGINT) AS sum_chars
 FROM src s JOIN thr ON s.mix_source = thr.mix_source
-WHERE (s.doc_id * 2654435761) % 1000 < thr.thr
+WHERE ((s.doc_id % 2147483648) * 2654435761) % 1000 < thr.thr
 GROUP BY s.mix_source
 """
 
