@@ -62,6 +62,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = _ROUND,
+    exclude_match_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -74,10 +75,20 @@ def cosine_topk_bruteforce(
     Determinism: neighbors rank by (rounded sim desc, id) — a total order,
     and the partial top-k uses the identical key, so batch boundaries
     cannot change the selected set. Excludes self-matches.
+
+    ``exclude_match_col``: additionally exclude corpus rows whose value
+    in this column EQUALS the query's value — the contrastive-learning
+    hard-negative shape (nearest neighbors of a DIFFERENT label). The
+    mask applies inside the same matmul batch, so the candidate flow and
+    partial-top-k economics are unchanged.
     Returns (query_id, neighbor_id, cosine_sim, sim_rank).
     """
-    qrows = queries.select(id_col, vec_col).collect()
+    qcols = [id_col, vec_col] + ([exclude_match_col] if exclude_match_col else [])
+    qrows = queries.select(*qcols).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qvals = (
+        np.array([r[2] for r in qrows]) if exclude_match_col else None
+    )
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0.0] = 1.0
@@ -93,6 +104,9 @@ def cosine_topk_bruteforce(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cvals = (
+                pdf[exclude_match_col].to_numpy() if exclude_match_col else None
+            )
             cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cnorm = np.linalg.norm(cmat, axis=1)
             cnorm[cnorm == 0.0] = 1.0
@@ -100,6 +114,8 @@ def cosine_topk_bruteforce(
             parts = []
             for j in range(len(qids)):
                 mask = ids != qids[j]
+                if cvals is not None:
+                    mask = mask & (cvals != qvals[j])
                 cand_ids, cand_sims = ids[mask], sims[mask, j]
                 take = min(k, len(cand_ids))
                 if take == 0:
@@ -117,7 +133,8 @@ def cosine_topk_bruteforce(
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    survivors = corpus.select(id_col, vec_col).mapInPandas(topk_batches, out_schema)
+    ccols = [id_col, vec_col] + ([exclude_match_col] if exclude_match_col else [])
+    survivors = corpus.select(*ccols).mapInPandas(topk_batches, out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         survivors.withColumn("sim_rank", F.row_number().over(w).cast("long"))

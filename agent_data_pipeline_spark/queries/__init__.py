@@ -66,6 +66,8 @@ _NEVER_VERIFIED_FRONT = [
     "stratified_split_floors",
     "bloom_prune_kit",
     "bm25_topk",
+    "hard_negative_mining",
+    "psi_quality_drift",
     "ann_ivf_topk_hi",
 ]
 _merged: dict[str, QuerySpec] = {}

@@ -223,6 +223,150 @@ FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the 5
+    most-cosine-similar corpus vectors with a DIFFERENT label — the
+    standard pair-mining step for training embedding models (the
+    near-but-wrong examples carry the gradient signal). Exact
+    brute-force (one corpus scan, batched matmul, label mask inside the
+    batch, partial top-k — `similarity.cosine_topk_bruteforce` with
+    `exclude_match_col`), so the DuckDB oracle hash-matches; at corpus
+    scale the same mask drops into the LSH/IVF candidate paths."""
+    from ..llmdata import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(
+        emb, queries, k=5, exclude_match_col="label"
+    )
+
+
+_HARD_NEG_SQL = """
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])))
+               * 1000000 + 0.5) / 1000000 AS cosine_sim
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id)
+                 AS BIGINT) AS sim_rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, sim_rank
+FROM ranked WHERE sim_rank <= 5
+"""
+
+
+def _psi_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the quality-score distribution
+    between two corpus cohorts (doc_id parity stands in for
+    before/after snapshots): quality scores bin into 10 fixed-width
+    bins, each cohort's bin shares are Laplace-smoothed
+    ((n+0.5)/(N+5) — exactly 0.5 per bin over 10 bins, so empty bins
+    stay defined), and PSI = Σ (p−q)·ln(p/q). The standard drift
+    monitor a corpus-refresh pipeline runs per source/domain before
+    accepting a new crawl. Binning uses the ROUNDED (6 dp) score both
+    engines already share, so bin assignment is engine-exact; the full
+    0–9 bin spine is generated so missing bins contribute their smoothed
+    term on both sides.
+
+    Plan shape: one stats scan → one 10-row groupBy → broadcast totals →
+    spine left-join. Nothing wider than 10 rows past the first
+    aggregate."""
+    from ..llmdata import textstats
+
+    q = textstats.with_text_stats(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("doc_id") % 2 == 0).alias("before"),
+    )
+    counts = q.groupBy("bin").agg(
+        F.sum(F.when(F.col("before"), 1).otherwise(0)).alias("n_before"),
+        F.sum(F.when(~F.col("before"), 1).otherwise(0)).alias("n_after"),
+    )
+    totals = counts.agg(
+        F.sum("n_before").alias("tot_b"), F.sum("n_after").alias("tot_a")
+    )
+    spine = spark.range(10).select(F.col("id").alias("bin"))
+    p = (F.coalesce(F.col("n_before"), F.lit(0)) + 0.5) / (F.col("tot_b") + 5)
+    qq = (F.coalesce(F.col("n_after"), F.lit(0)) + 0.5) / (F.col("tot_a") + 5)
+    from .core import rnd
+
+    return (
+        spine.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.coalesce(F.col("n_before"), F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+            rnd((p - qq) * F.log(p / qq), 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+_PSI_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(text), '\s+') AS ltoks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars_calc,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(ltoks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stop
+  FROM s
+), q AS (
+  SELECT doc_id,
+         floor((0.4 * least(n_chars_calc / 200.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tokens > 0
+                                THEN n_stop / CAST(n_tokens AS DOUBLE)
+                                ELSE 0.0 END * 4, 1.0)
+             + 0.3 * CASE WHEN n_tokens > 0
+                          THEN n_distinct_tokens / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+           AS quality_score
+  FROM c
+), binned AS (
+  SELECT least(CAST(floor(quality_score * 10) AS BIGINT), 9) AS bin,
+         doc_id % 2 = 0 AS before
+  FROM q
+), counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN before THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN before THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+  FROM binned GROUP BY bin
+), totals AS (
+  SELECT CAST(sum(n_before) AS BIGINT) AS tot_b,
+         CAST(sum(n_after) AS BIGINT) AS tot_a
+  FROM counts
+), spine AS (
+  SELECT unnest(generate_series(0, 9)) AS bin
+)
+SELECT s.bin,
+       COALESCE(c.n_before, 0) AS n_before,
+       COALESCE(c.n_after, 0) AS n_after,
+       floor((((COALESCE(c.n_before, 0) + 0.5) / (t.tot_b + 5)
+             - (COALESCE(c.n_after, 0) + 0.5) / (t.tot_a + 5))
+           * ln(((COALESCE(c.n_before, 0) + 0.5) / (t.tot_b + 5))
+              / ((COALESCE(c.n_after, 0) + 0.5) / (t.tot_a + 5))))
+           * 1000000 + 0.5) / 1000000 AS psi_contrib
+FROM spine s
+LEFT JOIN counts c ON s.bin = c.bin
+CROSS JOIN totals t
+ORDER BY s.bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stratified_split_floors": QuerySpec(
         _stratified_split_floors,
@@ -238,5 +382,15 @@ QUERIES: dict[str, QuerySpec] = {
         _bm25_topk,
         _BM25_SQL,
         "BM25 ranked retrieval top-20 for a fixed query term set",
+    ),
+    "hard_negative_mining": QuerySpec(
+        _hard_negative_mining,
+        _HARD_NEG_SQL,
+        "contrastive hard negatives: top-5 different-label neighbors",
+    ),
+    "psi_quality_drift": QuerySpec(
+        _psi_quality_drift,
+        _PSI_SQL,
+        "PSI drift of the quality-score distribution between cohorts",
     ),
 }
