@@ -68,6 +68,7 @@ _NEVER_VERIFIED_FRONT = [
     "bm25_topk",
     "hard_negative_mining",
     "psi_quality_drift",
+    "bpe_merges",
     "ann_ivf_topk_hi",
 ]
 _merged: dict[str, QuerySpec] = {}

@@ -223,6 +223,22 @@ FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction over documents: the first 24 learned
+    merges (step, left, right, pair_count). The corpus contributes ONE
+    scan + one vocabulary-bounded shuffle (word-type frequency table,
+    `llmdata/bpe.py word_type_counts`); the merge loop runs driver-side
+    over the bounded type table — the same bounded-state economics as
+    the IVF k-means fit. Rows-only: the merge loop is iterative (not
+    SQL-expressible); correctness is reference-equality against an
+    independent pure-Python BPE in tests/test_bpe.py."""
+    from ..llmdata import bpe
+
+    return bpe.bpe_merges_df(
+        t(spark, sf_dir, "documents"), "text", num_merges=24
+    )
+
+
 def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: for each query vector, the 5
     most-cosine-similar corpus vectors with a DIFFERENT label — the
@@ -382,6 +398,13 @@ QUERIES: dict[str, QuerySpec] = {
         _bm25_topk,
         _BM25_SQL,
         "BM25 ranked retrieval top-20 for a fixed query term set",
+    ),
+    "bpe_merges": QuerySpec(
+        _bpe_merges,
+        None,
+        "BPE tokenizer-training merges over the corpus (rows-only: "
+        "iterative merge loop over the bounded word-type table; pytest "
+        "checks against an independent reference implementation)",
     ),
     "hard_negative_mining": QuerySpec(
         _hard_negative_mining,
