@@ -261,6 +261,15 @@ R6_OPS = [
     "stratified_split_floors",
     "bloom_prune_kit",
     "ann_ivf_topk_hi",
+    # second-wave round-6 additions: BM25 (term-bounded posting list —
+    # ~data ratio), hard negatives (same batched-matmul economics as
+    # embedding_topk), PSI (one stats scan + 10-row aggregate), BPE
+    # (one scan to the word-type table; the 10x corpus duplicates text,
+    # so the TYPE table — and the merge loop — does not grow at all).
+    "bm25_topk",
+    "hard_negative_mining",
+    "psi_quality_drift",
+    "bpe_merges",
 ]
 
 
