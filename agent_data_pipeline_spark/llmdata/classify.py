@@ -1,0 +1,136 @@
+"""Model-based quality/source classification (CCNet-style).
+
+CCNet and FineWeb gate web documents with a lightweight linear text
+classifier trained to separate a curated source from the raw crawl
+(fastText in the originals). The SQL-expressible member of that family
+is multinomial Naive Bayes with Laplace smoothing: the per-token
+log-odds weights derive from grouped token counts, scoring is one
+sum per document, and the whole train+score computation is a single
+declarative plan — which means the DuckDB oracle can replay it
+hash-exactly, unlike a hashed-feature SGD model.
+
+Scale notes (100 TB): the weight table is vocabulary-bounded, and
+``min_count`` prunes the hapax tail exactly the way fastText's
+``minCount`` does, keeping it broadcastable (a 1M-token vocab of
+(tok, w) rows is ~30 MB). Training is one token-grouped aggregation
+over the labeled sample (normally a tiny fraction of the corpus);
+scoring is a map-side explode + broadcast join + per-doc re-aggregate
+on the natural doc key — no fact-scale sort or window anywhere.
+
+Reference parity: the reference has no classifier (SURVEY.md §2.A);
+this belongs to the declared LLM-data north-star surface (§2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    return df.select(
+        *keep,
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
+        ).alias("tok"),
+    )
+
+
+def nb_train_score(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    train_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train a binary multinomial NB on ``train_col`` rows, score the rest.
+
+    ``label_col`` and ``train_col`` are boolean columns. Returns the
+    held-out rows as ``(id_col, label, n_tokens, margin)`` where
+    ``margin`` is the (unrounded) posterior log-odds
+    ``ln P(pos|doc) - ln P(neg|doc)``; the caller thresholds at 0.
+
+    Smoothing: add-one over the train vocabulary V for in-vocabulary
+    tokens; a held-out token outside V contributes the uniform unseen
+    mass ``ln(1/(tot_pos+V)) - ln(1/(tot_neg+V))``, and the class prior
+    is add-one smoothed so an empty class stays finite. ``min_count``
+    drops train tokens with total frequency below it from V (they score
+    as unseen) — the vocabulary cap that keeps the weight table
+    broadcastable at corpus scale.
+    """
+    lbl, trn = F.col(label_col), F.col(train_col)
+    toks = _tokens(df, text_col, [id_col, label_col, train_col])
+
+    counts = (
+        toks.filter(trn)
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(lbl, 0).otherwise(1)).cast("long").alias("n_neg"),
+        )
+        .filter(F.col("n_pos") + F.col("n_neg") >= min_count)
+    )
+    consts = counts.agg(
+        F.coalesce(F.sum("n_pos"), F.lit(0)).cast("long").alias("tot_pos"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).cast("long").alias("tot_neg"),
+        F.count(F.lit(1)).cast("long").alias("vsize"),
+    )
+    priors = (
+        df.filter(trn)
+        .agg(
+            F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("d_pos"),
+            F.sum(F.when(lbl, 0).otherwise(1)).cast("long").alias("d_neg"),
+        )
+        .crossJoin(consts)
+        .select(
+            "tot_pos",
+            "tot_neg",
+            "vsize",
+            F.log((F.col("d_pos") + 1) / (F.col("d_neg") + 1)).alias("prior"),
+            # empty vocabulary (everything pruned) -> prior-only model:
+            # the unseen-token likelihood ratio degenerates to 1 (w=0)
+            F.when(
+                F.col("vsize") > 0,
+                F.log(F.lit(1.0) / (F.col("tot_pos") + F.col("vsize")))
+                - F.log(F.lit(1.0) / (F.col("tot_neg") + F.col("vsize"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("w_oov"),
+        )
+    )
+
+    def _w(n: Column, tot: Column) -> Column:
+        return F.log((n + 1) / (tot + F.col("vsize")))
+
+    weights = (
+        counts.crossJoin(F.broadcast(consts))
+        .select(
+            "tok",
+            (
+                _w(F.col("n_pos"), F.col("tot_pos"))
+                - _w(F.col("n_neg"), F.col("tot_neg"))
+            ).alias("w"),
+        )
+    )
+
+    scored = (
+        toks.filter(~trn)
+        .join(F.broadcast(weights), "tok", "left")
+        .crossJoin(F.broadcast(priors.select("prior", "w_oov")))
+        .groupBy(id_col, label_col, "prior")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("w"), F.col("w_oov"))).alias("w_sum"),
+        )
+        .select(
+            id_col,
+            F.col(label_col).alias("label"),
+            "n_tokens",
+            (F.col("prior") + F.col("w_sum")).alias("margin"),
+        )
+    )
+    return scored
