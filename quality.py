@@ -253,6 +253,34 @@ def main() -> None:
             r["n"] for r in conf_p if r["true_label"] == r["pred_label"]
         )
 
+    # nb_source_classifier — planted separable corpus: held-out accuracy
+    # MUST be 1.0 (operator-correctness floor, same idea as the knn
+    # planted vote). The fixture confusion accuracy is reported alongside
+    # as a data property (sources share one vocabulary, so near-chance is
+    # expected — analogous to knn_fixture_accuracy).
+    from agent_data_pipeline_spark.llmdata.classify import nb_train_score
+
+    nb_rows = []
+    for i in range(20):
+        nb_rows.append((2 * i, f"clean prose paragraph coherent sentence extra{i % 3}", True))
+        nb_rows.append((2 * i + 1, f"zzqj garble xkcd noise spamspam extra{i % 3}", False))
+    nb_df = spark.createDataFrame(
+        nb_rows, "doc_id long, text string, lab boolean"
+    ).withColumn("trn", F.col("doc_id") < 20)
+    nb_scored = nb_train_score(
+        nb_df, id_col="doc_id", text_col="text", label_col="lab", train_col="trn"
+    ).collect()
+    nb_planted_acc = sum(
+        (r["margin"] > 0) == r["label"] for r in nb_scored
+    ) / len(nb_scored)
+    conf_nb = _REG["nb_source_classifier"].spark(spark, sf_dir).collect()
+    nb_fix_total = sum(r["n_docs"] for r in conf_nb)
+    nb_fix_correct = sum(
+        r["n_docs"]
+        for r in conf_nb
+        if r["actual_curated"] == r["predicted_curated"]
+    )
+
     out = {
         "sf_dir": sf_dir,
         "approx_quantile_max_rel_err": round(max_rel_err, 6),
@@ -298,6 +326,12 @@ def main() -> None:
         )
         if knn_planted_total
         else None,
+        "nb_planted_accuracy": round(nb_planted_acc, 4),
+        "nb_fixture_accuracy": round(nb_fix_correct / nb_fix_total, 4)
+        if nb_fix_total
+        else None,
+        "nb_fixture_n_docs": nb_fix_total,
+        "nb_chance_accuracy": 0.5,
     }
     print(json.dumps(out))
 

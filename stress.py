@@ -270,6 +270,15 @@ R6_OPS = [
     "hard_negative_mining",
     "psi_quality_drift",
     "bpe_merges",
+    # third-wave round-6 additions: NB classifier (one token-grouped
+    # train agg + broadcast-weight score pass — ~data ratio), mixture
+    # plan (one inventory agg — ~data ratio), n-gram novelty (keyed
+    # window over the gram stream — ~data ratio; the 10x corpus
+    # duplicates text, so novelty collapses toward 0 but the gram
+    # volume grows exactly 10x).
+    "nb_source_classifier",
+    "mixture_budget_plan",
+    "ngram_novelty_scores",
 ]
 
 
