@@ -23,6 +23,7 @@ belongs to the declared LLM-data north-star surface.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,6 +103,101 @@ def bpe_train_merges(
         vocab = new_vocab
         merges.append((step, best[0], best[1], pair_counts[best]))
     return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a trained merge list: merges apply in
+    training order, each greedily left-to-right — the exact rule the
+    trainer itself uses per step (subword-nmt semantics), so encoding a
+    training word reproduces its final training segmentation."""
+    sym: list[str] = list(word) + [_END]
+    for left, right in merges:
+        if len(sym) < 2:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode_stats_df(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_merges: int = 32,
+    max_types: int | None = 100_000,
+) -> DataFrame:
+    """Per-group token accounting under the trained tokenizer:
+    ``(group, n_words, n_types, n_tokens, chars_per_token)``.
+
+    The budget-sheet step after tokenizer training — "how many tokens is
+    each source under MY tokenizer" — which is what a mixture planner
+    actually allocates. Scale shape: train touches the corpus once
+    (``word_type_counts``); the encoder runs distributed over the
+    DISTINCT word-type table only (Arrow-batched pandas UDF, pure
+    function of the word), never over corpus positions; per-group word
+    counts are one groupBy bounded by |groups|·|vocab|; the encoded type
+    table joins back broadcast (``max_types``-capped by construction).
+    """
+    merges = [
+        (left, right)
+        for _, left, right, _ in bpe_train_merges(
+            df, text_col, num_merges=num_merges, max_types=max_types
+        )
+    ]
+
+    gw = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    @F.pandas_udf("long")
+    def _n_tokens(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: len(bpe_encode_word(w, merges)))
+
+    types_enc = (
+        gw.select("word")
+        .distinct()
+        .withColumn("toks_per_word", _n_tokens("word"))
+    )
+    joined = gw.join(F.broadcast(types_enc), "word")
+    from ..fns import rnd
+
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("n") * F.col("toks_per_word"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.col("n") * F.length("word")).cast("long").alias("_chars"),
+        )
+        .select(
+            "grp",
+            "n_words",
+            "n_types",
+            "n_tokens",
+            rnd(F.col("_chars") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("grp")
+    )
 
 
 def bpe_merges_df(

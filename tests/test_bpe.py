@@ -99,3 +99,63 @@ def test_bpe_max_types_cutoff_deterministic(spark):
     capped = bpe_train_merges(docs, num_merges=6, max_types=10_000)
     # fixture vocabulary is far below the cap: identical sequences
     assert full == capped
+
+
+# --- encoder (bpe_encode_word / bpe_encode_stats_df) -----------------------
+
+
+def _reference_encode(word: str, merges):
+    """Independent encoder: same merge-in-training-order rule, written
+    over space-joined symbol strings like _reference_bpe."""
+    s = " ".join(list(word) + ["</w>"])
+    for la, rb in merges:
+        syms = s.split(" ")
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == la and syms[i + 1] == rb:
+                out.append(la + rb)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        s = " ".join(out)
+    return s.split(" ")
+
+
+def test_encoder_matches_training_segmentation(spark):
+    from agent_data_pipeline_spark.llmdata.bpe import bpe_encode_word
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = [(la, rb) for _, la, rb, _ in bpe_train_merges(docs, num_merges=32)]
+    for word in ["low", "lower", "newest", "table", "query", "zzz", "a"]:
+        assert bpe_encode_word(word, merges) == _reference_encode(word, merges)
+    # no merges -> characters + end marker
+    assert bpe_encode_word("spark", []) == ["s", "p", "a", "r", "k", "</w>"]
+
+
+def test_encode_stats_conservation(spark):
+    from agent_data_pipeline_spark.llmdata.bpe import (
+        bpe_encode_stats_df,
+        bpe_encode_word,
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = bpe_encode_stats_df(docs, group_col="source", num_merges=32)
+    rows = stats.collect()
+    assert stats.columns == [
+        "grp", "n_words", "n_types", "n_tokens", "chars_per_token",
+    ]
+    # conservation: group word totals sum to the corpus word count
+    wc = {r["word"]: r["n"] for r in word_type_counts(docs).collect()}
+    assert sum(r["n_words"] for r in rows) == sum(wc.values())
+    # token totals match a driver-side re-encode of the type table
+    merges = [(la, rb) for _, la, rb, _ in bpe_train_merges(docs, num_merges=32)]
+    expect_tokens = sum(
+        n * len(bpe_encode_word(w, merges)) for w, n in wc.items()
+    )
+    assert sum(r["n_tokens"] for r in rows) == expect_tokens
+    # more merges never lengthen the encoding
+    stats0 = bpe_encode_stats_df(docs, group_col="source", num_merges=0)
+    tok0 = sum(r["n_tokens"] for r in stats0.collect())
+    assert sum(r["n_tokens"] for r in rows) <= tok0
