@@ -279,6 +279,12 @@ R6_OPS = [
     "nb_source_classifier",
     "mixture_budget_plan",
     "ngram_novelty_scores",
+    # fourth-wave round-6 additions: BPE encode (the 10x corpus
+    # duplicates text so the TYPE table — and the encode work — does
+    # not grow; only the (source, word) groupBy sees 10x input), and
+    # the filter funnel (one codegen'd scan + a <=5-row aggregate).
+    "bpe_encode_stats",
+    "quality_filter_funnel",
 ]
 
 
