@@ -285,6 +285,11 @@ R6_OPS = [
     # the filter funnel (one codegen'd scan + a <=5-row aggregate).
     "bpe_encode_stats",
     "quality_filter_funnel",
+    # fifth-wave round-6 additions: overlap matrix (distinct grams per
+    # source bound the self-join; the 10x corpus adds NO new grams, so
+    # past the first distinct the work is flat), DP counts (one agg).
+    "source_overlap_matrix",
+    "dp_lang_counts",
 ]
 
 
