@@ -290,6 +290,13 @@ R6_OPS = [
     # past the first distinct the work is flat), DP counts (one agg).
     "source_overlap_matrix",
     "dp_lang_counts",
+    # sixth-wave round-6 additions: label propagation (the doc_id<500
+    # slice caps the candidate join at any SF — same bound as
+    # dup_components), reservoir (one scan + TakeOrdered), group k-fold
+    # (one inventory agg + a |sources|-row re-agg).
+    "component_label_propagation",
+    "weighted_reservoir_sample",
+    "group_kfold_assign",
 ]
 
 
