@@ -39,6 +39,7 @@ from . import (
     extras31,
     extras32,
     extras33,
+    extras34,
     llmdata_q,
     relational,
     scalars,
@@ -88,9 +89,11 @@ _NEVER_VERIFIED_FRONT = [
     "component_label_propagation",
     "weighted_reservoir_sample",
     "group_kfold_assign",
+    # round-6 seventh wave (extras34)
+    "entity_resolution_pipeline",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
