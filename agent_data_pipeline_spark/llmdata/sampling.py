@@ -39,9 +39,14 @@ def hash_bucket(id_col: str | Column, buckets: int = 1000) -> Column:
     arithmetic raises — caught by the round-6 10× stress corpus, whose
     key remapping pushes ids to ~9e9), while ``(id mod 2^31) * K`` is
     bounded by ~5.7e18 for ANY id. Bucket values are identical to the
-    raw formula for every id < 2^31 (all fixtures and oracles), and the
-    same reduction is portable SQL (``(id % 2147483648) * 2654435761``)
-    so the DuckDB oracles stay in lockstep at any scale."""
+    raw formula for every ``0 <= id < 2^31`` (all fixtures and
+    oracles); NEGATIVE ids are remapped by the pmod reduction, so their
+    buckets differ from the historical raw formula — a persisted split
+    keyed on negative ids would change membership, which is why the
+    equivalence claim is stated for the non-negative range only. The
+    same reduction is portable SQL
+    (``(id % 2147483648) * 2654435761``) so the DuckDB oracles stay in
+    lockstep at any scale."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.pmod(F.pmod(c, F.lit(2**31)) * F.lit(_KNUTH), F.lit(buckets))
 
@@ -145,37 +150,50 @@ def stratified_split_floors(
     every threshold is integer arithmetic — no float boundary ever
     decides membership differently across engines.
 
-    Two deterministic paths, chosen per stratum from its row count:
+    Two deterministic paths, chosen per stratum from its REALIZED
+    hash-bucket draw (not an expected-value estimate — a stratum just
+    over the threshold whose actual draw lands under the floor is
+    routed to the floor path, so the guarantee holds by construction):
 
     * FRACTION path (large strata, the 100 TB common case): the
-      estimated take ``ceil(n·pm/1000)`` already meets the floor for
-      both val and test, so rows split by the portable id-hash bucket
-      (map-side expression, no shuffle beyond the tiny count agg) —
-      identical semantics to :func:`hash_split`.
-    * FLOOR path (small strata): exact rank by the injective Knuth
-      hash (odd multiplier ⇒ (id mod 2^31)·K mod 2^32 is tie-free for
-      ids below 2^31 — all fixture ids; ``id_col`` breaks the
-      congruent-id tie beyond) — first ``floor`` ranks to val, next
-      ``floor`` to test, rest to train. A stratum smaller than
-      2·floor yields an empty train split by design (floors take
-      priority: eval sets are the scarce resource).
+      stratum's actual count of rows in the val buckets AND in the
+      test buckets each already meets the floor, so rows split by the
+      portable id-hash bucket (map-side expression, no shuffle beyond
+      the tiny per-stratum agg) — identical semantics to
+      :func:`hash_split`.
+    * FLOOR path (strata whose realized draw misses a floor): exact
+      rank by the injective Knuth hash (odd multiplier ⇒
+      (id mod 2^31)·K mod 2^32 is tie-free for ids below 2^31 — all
+      fixture ids; ``id_col`` breaks the congruent-id tie beyond) —
+      first ``floor`` ranks to val, next ``floor`` to test, rest to
+      train. A stratum smaller than 2·floor yields an empty train
+      split by design (floors take priority: eval sets are the scarce
+      resource).
 
-    Scale shape: the window runs ONLY over floor-path strata, each
-    provably smaller than ``floor·1000/min(val_pm,test_pm)`` rows —
-    bounded by construction, never the fact table. The large-stratum
-    branch stays a pure map-side filter. Adds ``split`` and
-    ``floor_path`` columns."""
+    Scale shape: the window runs ONLY over floor-path strata. Their
+    size is ~``floor·1000/min(val_pm,test_pm)`` rows in expectation: a
+    larger stratum takes the floor path only when its hash draw
+    undershoots the floor, which is exponentially unlikely beyond ~2×
+    that size (Chernoff) — only a hash-adversarial id set could push a
+    big stratum through the window. The fact-table bulk stays on the
+    pure map-side branch. Adds ``split`` and ``floor_path`` columns."""
     if floor < 1:
         raise ValueError("floor must be >= 1")
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_strat_n"))
-    joined = df.join(F.broadcast(counts), strata_col)
-    est_val = F.expr(f"(_strat_n * {val_pm} + 999) div 1000")
-    est_test = F.expr(f"(_strat_n * {test_pm} + 999) div 1000")
-    on_fraction = (est_val >= floor) & (est_test >= floor)
-
     b = hash_bucket(id_col, buckets)
     val_thr = F.lit(int(round(val_pm / 1000 * buckets)))
     test_thr = val_thr + F.lit(int(round(test_pm / 1000 * buckets)))
+    # Path selection uses the REALIZED bucket draw, not ceil(n·pm/1000):
+    # the estimate meets the floor in expectation only — a stratum with
+    # n just over floor·1000/pm usually draws fewer than `floor` val
+    # rows, silently violating the documented guarantee. Counting the
+    # actual val/test bucket membership in the same per-stratum agg
+    # costs nothing extra and makes the floor a hard invariant.
+    counts = df.groupBy(strata_col).agg(
+        F.sum((b < val_thr).cast("long")).alias("_real_val"),
+        F.sum(((b >= val_thr) & (b < test_thr)).cast("long")).alias("_real_test"),
+    )
+    joined = df.join(F.broadcast(counts), strata_col)
+    on_fraction = (F.col("_real_val") >= floor) & (F.col("_real_test") >= floor)
     big = joined.filter(on_fraction).select(
         *df.columns,
         F.when(b < val_thr, "val")

@@ -80,9 +80,18 @@ def cosine_topk_bruteforce(
     in this column EQUALS the query's value — the contrastive-learning
     hard-negative shape (nearest neighbors of a DIFFERENT label). The
     mask applies inside the same matmul batch, so the candidate flow and
-    partial-top-k economics are unchanged.
+    partial-top-k economics are unchanged. NULL semantics are defined
+    explicitly (round-6 advice): rows with a NULL value in this column
+    are dropped from BOTH sides before matching — numpy's ``!=`` would
+    keep a NULL-labeled candidate while SQL's ``<>`` drops it, so
+    leaving nulls in would silently diverge from any SQL oracle. A
+    query row without a label cannot ask for "a different label"; a
+    candidate without a label cannot prove it has one.
     Returns (query_id, neighbor_id, cosine_sim, sim_rank).
     """
+    if exclude_match_col:
+        queries = queries.filter(F.col(exclude_match_col).isNotNull())
+        corpus = corpus.filter(F.col(exclude_match_col).isNotNull())
     qcols = [id_col, vec_col] + ([exclude_match_col] if exclude_match_col else [])
     qrows = queries.select(*qcols).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)

@@ -74,10 +74,17 @@ def bloom_prune(
     pos = bloom_positions(keys, key_col, m=m, seeds=seeds)
     out = fact
     for i in seeds:
+        # Alias the sketch column and bind the join condition through
+        # the right-side DataFrame object: a bare F.col("pos") would be
+        # ambiguous (or silently resolve to the fact side) whenever the
+        # caller's fact already carries a `pos` column.
+        pos_i = pos.filter(F.col("seed") == i).select(
+            F.col("pos").alias("__bloom_pos")
+        )
         out = out.join(
-            F.broadcast(pos.filter(F.col("seed") == i).select("pos")),
-            F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(m))
-            == F.col("pos"),
+            F.broadcast(pos_i),
+            F.pmod(F.xxhash64(out[fact_key], F.lit(i)), F.lit(m))
+            == pos_i["__bloom_pos"],
             "left_semi",
         )
     return out

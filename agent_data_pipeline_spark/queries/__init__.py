@@ -58,8 +58,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 50 round-4 additions (`union_by_name_kit` → `iqr_fences`, all green).
 # Round 6 front: the 6 never-driver-checked leftovers (4 round-4 tail
 # queries + the 2 round-5 approx siblings) first, then the round-6
-# additions (bloom-prune kit, stratified split with floors, document
-# chunking) — after these, every registry query has had a driver row.
+# additions (bloom-prune kit, stratified split with floors, BM25,
+# hard-negative mining, BPE, …; document chunking itself shipped in
+# round 2 — CORRECTNESS_r02.json). CORRECTNESS_r06.json verified ALL
+# 24 front entries green, so as of round 7 every registry query has a
+# driver row; the round-7 front below leads with the new additions.
 _NEVER_VERIFIED_FRONT = [
     "mean_confidence_intervals",
     "cohort_ltv_curve",

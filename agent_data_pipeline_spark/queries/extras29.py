@@ -8,10 +8,12 @@ most user-hit absent surfaces.
   training-data freezes handle the tail. Library op:
   llmdata/sampling.stratified_split_floors — large strata split by the
   portable id-hash bucket (map-side), small strata by exact bijective-
-  hash rank over a provably bounded window (< floor·1000/pm rows per
-  stratum). Fully deterministic integer arithmetic ⇒ DuckDB oracle
-  hash-matches both paths; the sf0.01 fixture exercises BOTH (en=218
-  rows → fraction path; fr/de/es/zh=64–75 → floor path).
+  hash rank over a bounded window (~floor·1000/pm rows per stratum in
+  expectation; round-7 fix: the path is chosen from each stratum's
+  REALIZED val/test bucket draw, so the floor is a hard guarantee, not
+  an in-expectation one). Fully deterministic integer arithmetic ⇒
+  DuckDB oracle hash-matches both paths; the sf0.01 fixture exercises
+  BOTH (en=218 rows → fraction path; fr/de/es/zh=64–75 → floor path).
 
 * ``bloom_prune_kit`` — explicit Bloom-filter semi-join pruning
   (ops/bloomjoin.py): the build side collapses to ≤ m·k hash-position
@@ -62,12 +64,18 @@ def _stratified_split_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STRATIFIED_FLOORS_SQL = """
 WITH c AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+  SELECT lang,
+         sum(CASE WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 100
+                  THEN 1 ELSE 0 END) AS real_val,
+         sum(CASE WHEN ((doc_id % 2147483648) * 2654435761) % 1000 >= 100
+                   AND ((doc_id % 2147483648) * 2654435761) % 1000 < 200
+                  THEN 1 ELSE 0 END) AS real_test
+  FROM documents GROUP BY lang
 ), d AS (
-  SELECT dd.doc_id, dd.lang, c.n,
+  SELECT dd.doc_id, dd.lang,
          ((dd.doc_id % 2147483648) * 2654435761) % 1000 AS b,
          ((dd.doc_id % 2147483648) * 2654435761) % 4294967296 AS h,
-         ((c.n * 100 + 999) // 1000 >= 10) AS on_fraction
+         (c.real_val >= 10 AND c.real_test >= 10) AS on_fraction
   FROM documents dd JOIN c ON dd.lang = c.lang
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
@@ -266,6 +274,7 @@ WITH sims AS (
   FROM embeddings q JOIN embeddings c
     ON c.vec_id <> q.vec_id AND c.label <> q.label
   WHERE q.vec_id < 10
+    AND q.label IS NOT NULL AND c.label IS NOT NULL
 ), ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                     ORDER BY cosine_sim DESC, neighbor_id)

@@ -234,9 +234,48 @@ def test_stratified_split_floors_guarantees(spark):
         assert got_val >= min(10, n), (lang, splits)
         assert got_test >= min(10, max(0, n - 10)), (lang, splits)
         assert sum(c for c, _ in splits.values()) == n
-        # path choice matches the documented integer condition
-        expect_floor = (n * 100 + 999) // 1000 < 10
+        # path choice matches the documented realized-draw condition:
+        # fraction path iff the stratum's actual val AND test bucket
+        # draws each already meet the floor
+        real_val = d.filter(
+            (F.col("lang") == lang)
+            & (F.pmod(F.pmod("doc_id", F.lit(2**31)) * F.lit(2654435761), F.lit(1000)) < 100)
+        ).count()
+        real_test = d.filter(
+            (F.col("lang") == lang)
+            & (F.pmod(F.pmod("doc_id", F.lit(2**31)) * F.lit(2654435761), F.lit(1000)) >= 100)
+            & (F.pmod(F.pmod("doc_id", F.lit(2**31)) * F.lit(2654435761), F.lit(1000)) < 200)
+        ).count()
+        expect_floor = not (real_val >= 10 and real_test >= 10)
         assert all(fp == expect_floor for _, fp in splits.values()), (lang, splits)
+
+
+def test_stratified_split_floors_boundary_stratum(spark):
+    """The round-6 advice defect: a stratum whose ceil-estimated take
+    meets the floor but whose REALIZED hash draw does not must still
+    deliver the floor (it is routed to the exact-rank path). n=91 with
+    val_pm=100, floor=10 has est=ceil(9.1)=10 >= floor but an expected
+    realized draw of ~9.1 — under the old estimate-based selection it
+    usually violated the documented guarantee."""
+    from agent_data_pipeline_spark.llmdata.sampling import (
+        stratified_split_floors,
+    )
+
+    rows = [(i, "edge") for i in range(1, 92)] + [
+        (i, "big") for i in range(1000, 2000)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    s = stratified_split_floors(d, "lang", "doc_id", val_pm=100, test_pm=100, floor=10)
+    per = {
+        (r["lang"], r["split"]): r["count"]
+        for r in s.groupBy("lang", "split").count().collect()
+    }
+    assert per.get(("edge", "val"), 0) >= 10, per
+    assert per.get(("edge", "test"), 0) >= 10, per
+    assert per.get(("big", "val"), 0) >= 10, per
+    assert per.get(("big", "test"), 0) >= 10, per
+    total_edge = sum(v for (lg, _), v in per.items() if lg == "edge")
+    assert total_edge == 91
 
 
 def test_stratified_split_floors_stable_under_repartition(spark):
@@ -304,3 +343,21 @@ def test_bloom_positions_bounded(spark):
     big = spark.range(0, 200_000).toDF("k")
     pos = bloom_positions(big, "k", m=512, seeds=(0, 1, 2))
     assert pos.count() <= 512 * 3
+
+
+def test_bloom_prune_fact_with_pos_column(spark):
+    """Round-6 advice defect: a fact that already carries a `pos`
+    column must not make the semi-join condition ambiguous (or worse,
+    silently bind to the fact side). The sketch column is aliased to
+    __bloom_pos and bound through the sketch DataFrame object."""
+    from agent_data_pipeline_spark.ops.bloomjoin import bloom_prune
+
+    fact = spark.createDataFrame(
+        [(1, 99), (2, 99), (7, 99)], "k long, pos long"
+    )
+    keys = spark.createDataFrame([(1,), (2,)], "k2 long")
+    kept = sorted(
+        r["k"] for r in bloom_prune(fact, "k", keys, "k2", m=64).collect()
+    )
+    assert set(kept) >= {1, 2}  # true matches always survive
+    assert 99 in {r["pos"] for r in bloom_prune(fact, "k", keys, "k2", m=64).collect()}

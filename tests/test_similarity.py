@@ -205,3 +205,30 @@ def test_pca_variance_matches_numpy(spark):
     np.testing.assert_allclose(
         got["cum_ratio"].to_numpy(), np.cumsum(ratios)[:8], atol=2e-5
     )
+
+
+def test_bruteforce_exclude_match_null_semantics(spark):
+    """Round-6 advice defect: numpy `!=` keeps a NULL-labeled candidate
+    while SQL `<>` drops it. Defined semantics: null-labeled rows are
+    dropped from BOTH sides when exclude_match_col is set."""
+    from agent_data_pipeline_spark.llmdata.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], None),   # null candidate: must never appear
+        (3, [0.8, 0.2], "b"),
+        (4, [0.0, 1.0], None),   # null query: must be dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = cosine_topk_bruteforce(
+        df, df, k=3, exclude_match_col="label"
+    ).collect()
+    qids = {r["query_id"] for r in out}
+    nids = {r["neighbor_id"] for r in out}
+    assert 4 not in qids and 2 not in qids
+    assert 2 not in nids and 4 not in nids
+    assert (1 in qids) and (3 in qids)
