@@ -40,6 +40,7 @@ from . import (
     extras32,
     extras33,
     extras34,
+    extras35,
     llmdata_q,
     relational,
     scalars,
@@ -64,6 +65,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 24 front entries green, so as of round 7 every registry query has a
 # driver row; the round-7 front below leads with the new additions.
 _NEVER_VERIFIED_FRONT = [
+    # round-7 first wave (extras35) — never driver-checked yet, lead
+    "cms_heavy_hitters",
+    "ks_drift_test",
+    "ndcg_eval",
+    "adamic_adar_links",
+    "acf_lags",
+    "cohens_kappa",
+    "theil_sen_trend",
+    # everything below was driver-verified in CORRECTNESS_r06.json
     "mean_confidence_intervals",
     "cohort_ltv_curve",
     "dup_cluster_histogram",
@@ -96,7 +106,7 @@ _NEVER_VERIFIED_FRONT = [
     "entity_resolution_pipeline",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

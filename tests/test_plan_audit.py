@@ -32,6 +32,7 @@ ALLOWED: dict[str, set[str]] = {
     "gini_lorenz": {"global_window", "single_part_sort"},
     "gini_lorenz_approx": {"global_window", "single_part_sort"},
     "kmeans_clusters": {"global_window", "single_part_sort"},
+    "ks_drift_test": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
     "orphan_audit": {"single_part_sort"},
     "pareto_revenue": {"global_window", "single_part_sort"},
