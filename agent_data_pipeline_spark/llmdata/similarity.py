@@ -542,3 +542,100 @@ def ivf_topk(
         sims.withColumn("sim_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sim_rank") <= k)
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    greedy top-k that trades relevance against redundancy —
+    ``argmax λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s)``.
+
+    The data-curation use: picking k examples per query/topic where a
+    plain cosine top-k returns k near-copies of the same document.
+
+    Spark shape: stage 1 builds a ``pool``-sized candidate set per
+    query with the proven brute-force partial-top-k scan (one corpus
+    pass, candidates shuffle — never full vectors of the corpus);
+    stage 2 runs the greedy selection per query inside
+    ``applyInPandas`` over groups of exactly ``pool`` rows — the
+    quadratic (pool²) pairwise-similarity work is bounded by a
+    constant, per group, regardless of corpus size.
+
+    Determinism: candidate pool uses the (rounded sim desc, id) total
+    order; inside the greedy loop scores round to 6 dp and ties break
+    by lowest neighbor_id. Iterative greedy selection is not
+    SQL-expressible ⇒ rows-only driver check; planted-diversity
+    quality floor in tests + QUALITY snapshot.
+
+    Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank).
+    """
+    cands = cosine_topk_bruteforce(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine_sim").alias("relevance"))
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pooled = cands.join(cvecs, "neighbor_id")
+
+    out_schema = (
+        "query_id long, neighbor_id long, relevance double, "
+        "mmr_score double, mmr_rank long"
+    )
+    scale = 1e6
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        rel = pdf["relevance"].to_numpy(dtype=np.float64)
+        vmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
+        norms = np.linalg.norm(vmat, axis=1)
+        norms[norms == 0.0] = 1.0
+        vn = vmat / norms[:, None]
+        pair = np.floor((vn @ vn.T) * scale + 0.5) / scale
+        n = len(ids)
+        take = min(k, n)
+        selected: list[int] = []
+        # -inf sentinel = "nothing selected yet" (penalty 0 on the first
+        # pick only). Genuinely negative similarities must pass through
+        # raw: anti-correlated candidates EARN a diversity bonus in
+        # standard MMR — clamping them to 0 collapses the diversifier
+        # whenever clusters are anti-correlated.
+        max_sim = np.full(n, -np.inf)
+        picked = np.zeros(n, dtype=bool)
+        rows = []
+        for rank in range(1, take + 1):
+            score = lam * rel - (1.0 - lam) * np.where(
+                np.isinf(max_sim), 0.0, max_sim
+            )
+            score = np.floor(score * scale + 0.5) / scale
+            score[picked] = -np.inf
+            # argmax with lowest-id tie-break: ids are pre-sorted asc,
+            # so the FIRST max index is the lowest id
+            j = int(np.argmax(score))
+            rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    int(ids[j]),
+                    float(rel[j]),
+                    float(score[j]),
+                    rank,
+                )
+            )
+            picked[j] = True
+            max_sim = np.maximum(max_sim, pair[:, j])
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "neighbor_id", "relevance", "mmr_score", "mmr_rank"],
+        )
+
+    return (
+        pooled.groupBy("query_id")
+        .applyInPandas(greedy, schema=out_schema)
+    )

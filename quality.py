@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from agent_data_pipeline_spark.llmdata import dedup, similarity
+from agent_data_pipeline_spark.llmdata import dedup, phash, pq, similarity
 from agent_data_pipeline_spark.session import get_spark
 
 
@@ -48,6 +48,44 @@ def main() -> None:
     ivf_hi = _pairs(
         similarity.ivf_topk(emb, queries, k=5, n_cells=128, n_probe=40).collect()
     )
+    pq_pairs = _pairs(
+        pq.pq_topk(emb, queries, k=5, n_sub=16, n_codes=16, refine=100).collect()
+    )
+
+    # MMR diversified selection: planted 5-cluster redundancy fixture —
+    # coverage (distinct clusters in the top-10) is the diversification
+    # contract, reported next to plain top-k's coverage on the same data.
+    import numpy as np
+
+    _rng = np.random.default_rng(11)
+    _centers = _rng.standard_normal((5, 16))
+    _centers /= np.linalg.norm(_centers, axis=1, keepdims=True)
+    _rows = [(0, [float(x) for x in 0.6 * _centers[0] + 0.4 * _centers.mean(axis=0)])]
+    for _c in range(5):
+        for _j in range(10):
+            _v = _centers[_c] + 0.01 * _rng.standard_normal(16)
+            _rows.append((100 + 10 * _c + _j, [float(x) for x in _v]))
+    _mdf = spark.createDataFrame(_rows, "vec_id long, embedding array<float>")
+    _mcorpus = _mdf.filter(F.col("vec_id") >= 100)
+    _mq = _mdf.filter(F.col("vec_id") == 0)
+    _plain10 = _pairs(similarity.cosine_topk_bruteforce(_mcorpus, _mq, k=10).collect())
+    _mmr10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.mmr_topk(_mcorpus, _mq, k=10, pool=50, lam=0.5).collect()
+    }
+    _cov = lambda prs: len({(nid - 100) // 10 for _, nid in prs})
+
+    # dHash perceptual near-dup: planted-pair P/R over the textured-BMP
+    # fixture (80 planted near-dup renders among 240 images).
+    _imgbase = spark.range(0, 240).selectExpr("id as doc_id")
+    _media = phash.synthesize_textured_images(_imgbase, "doc_id", near_dup_every=3)
+    _got_img = {
+        (r["id_a"], r["id_b"])
+        for r in phash.hamming_pairs(
+            phash.with_dhash(_media), max_hamming=6, blocks=8
+        ).collect()
+    }
+    _truth_img = {(i - 1, i) for i in range(2, 240, 3)}
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 100
@@ -287,6 +325,16 @@ def main() -> None:
         "ann_lsh_recall_at_5": round(len(lsh & exact) / len(exact), 4),
         "ann_ivf_recall_at_5": round(len(ivf & exact) / len(exact), 4),
         "ann_ivf_hi_recall_at_5": round(len(ivf_hi & exact) / len(exact), 4),
+        "ann_pq_recall_at_5": round(len(pq_pairs & exact) / len(exact), 4),
+        "mmr_cluster_coverage_at_10": _cov(_mmr10),
+        "plain_topk_cluster_coverage_at_10": _cov(_plain10),
+        "mmr_n_clusters": 5,
+        "dhash_planted_recall": round(
+            len(_got_img & _truth_img) / len(_truth_img), 4
+        ),
+        "dhash_planted_precision": round(
+            len(_got_img & _truth_img) / len(_got_img), 4
+        ) if _got_img else None,
         "ann_n_queries": 10,
         "minhash_pair_recall": round(
             len(lsh_jac & exact_jac) / len(exact_jac), 4

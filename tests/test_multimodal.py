@@ -225,3 +225,48 @@ def test_audio_signal_features_corrupt_payload_total(spark):
     assert rows[1]["zero_crossings"] == 3 and rows[1]["rms"] == 5.0
     assert rows[2]["decode_status"] == "corrupt"
     assert rows[2]["n_samples"] == 0 and rows[2]["rms"] == 0.0
+
+
+def test_image_dhash_planted_pairs(spark):
+    """The dHash near-dup operator must recover EXACTLY the planted
+    near-duplicate renders: P = R = 1.0 on the textured-BMP fixture
+    (planted Hamming <= 3, cross-id >= 15 — measured margins documented
+    in llmdata/phash.py)."""
+    from agent_data_pipeline_spark.llmdata import phash
+
+    base = spark.range(0, 240).selectExpr("id as doc_id")
+    media = phash.synthesize_textured_images(base, "doc_id", near_dup_every=3)
+    hashed = phash.with_dhash(media)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash.hamming_pairs(hashed, max_hamming=6, blocks=8).collect()
+    }
+    truth = {(i - 1, i) for i in range(2, 240, 3)}
+    assert got == truth, (len(got), len(truth), got - truth, truth - got)
+
+
+def test_dhash_stable_under_resize(spark):
+    """dHash of a nearest-neighbor downscale of the same SMOOTH image
+    stays within the near-dup threshold — the property that makes it a
+    PERCEPTUAL hash rather than a byte hash. (Smooth = band-limited:
+    resize stability is a statement about content below the 9x8 sample
+    grid's Nyquist rate; the planted-pair fixture's wrap textures
+    deliberately alias and are covered by the exact-render test above.)"""
+    from agent_data_pipeline_spark.llmdata import codecs as c
+    from agent_data_pipeline_spark.llmdata.phash import dhash64
+
+    def smooth_pixels(i, w, h):
+        # non-wrapping diagonal ramp with a per-i bump: max value
+        # 4*31 + 3*31 + 30 < 256, so no mod aliasing anywhere
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = 4 * x + 3 * y + (i * (x + y)) // (w + h)
+                px += bytes((v, v, v))
+        return bytes(px)
+
+    for i in (1, 10, 25):
+        big = c.make_bmp(32, 32, smooth_pixels(i, 32, 32))
+        small = c.resize_bmp(big, 16, 16)
+        d = bin((dhash64(big) ^ dhash64(small)) & ((1 << 64) - 1)).count("1")
+        assert d <= 6, (i, d)
