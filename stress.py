@@ -299,6 +299,33 @@ R6_OPS = [
     "group_kfold_assign",
 ]
 
+# Round-7 operators. First wave (oracled): CMS (vocab-bounded sketch —
+# the 10x corpus duplicates text so the vocab/type table does not grow;
+# only the token-count agg sees 10x input), KS drift (one stats scan +
+# 1000-bin spine), nDCG (|Q|-bounded eval joins over the batched-matmul
+# scan), Adamic-Adar (support-pruned adjacency: 10x duplication
+# multiplies co-occurrence counts, not distinct pairs — the graph and
+# two-hop work stay near-flat), ACF (day-grain series fixed; only the
+# daily agg sees 10x), kappa (one scan + |sources|-row agg), Theil-Sen
+# (month-grain pairs fixed; only the monthly agg sees 10x). Second wave
+# (rows-only): PQ (bounded-sample fit is scale-independent; encode+ADC
+# scan grows with data), MMR (pool build = bruteforce economics; greedy
+# stays pool^2-bounded), dHash (payload-local kernel + chunk equi-join;
+# the fixture is id-sliced so the op itself is scale-fixed — the kernel
+# throughput is what the row shows).
+R7_OPS = [
+    "cms_heavy_hitters",
+    "ks_drift_test",
+    "ndcg_eval",
+    "adamic_adar_links",
+    "acf_lags",
+    "cohens_kappa",
+    "theil_sen_trend",
+    "pq_ann_topk",
+    "mmr_diverse_topk",
+    "image_dhash_neardup",
+]
+
 
 def bloom_ab_probe(spark, sf_dir: str) -> dict:
     """A/B the Bloom semi-join pruning against the plain join with
@@ -426,6 +453,7 @@ def main() -> None:
     r4d = base_vs_10x(R4D_OPS)
     r5 = base_vs_10x(R5_OPS)
     r6 = base_vs_10x(R6_OPS)
+    r7 = base_vs_10x(R7_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -460,6 +488,7 @@ def main() -> None:
                 "round4_part910_ops_base_vs_10x": r4d,
                 "round5_ops_base_vs_10x": r5,
                 "round6_ops_base_vs_10x": r6,
+                "round7_ops_base_vs_10x": r7,
                 "pagerank_job_probe": pg_jobs,
                 "bloom_ab_probe": bloom_ab,
                 "composed_exact_then_minhash": composed,
