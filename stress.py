@@ -324,6 +324,14 @@ R7_OPS = [
     "pq_ann_topk",
     "mmr_diverse_topk",
     "image_dhash_neardup",
+    # third wave (oracled): CUPED (one user-grain agg — ~data ratio),
+    # k-anonymity (one QI-grain agg), log-odds (vocab-bounded — the 10x
+    # corpus adds no new types past the token-count agg), BH-FDR
+    # (nation-grain, bounded 25-row window).
+    "cuped_adjusted_ab",
+    "k_anonymity_audit",
+    "weighted_log_odds_terms",
+    "fdr_bh_tests",
 ]
 
 
