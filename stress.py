@@ -332,6 +332,14 @@ R7_OPS = [
     "k_anonymity_audit",
     "weighted_log_odds_terms",
     "fdr_bh_tests",
+    # fourth wave: Poisson bootstrap (the x100 replicate explode is the
+    # one deliberately super-linear-INPUT op — the two-phase replicate
+    # agg keeps the shuffle at R rows/partition; expect ~data ratio
+    # wall since the explode is map-side), Neyman (one stratum agg),
+    # isotonic (one binned agg + bounded PAV group).
+    "poisson_bootstrap_ci",
+    "neyman_allocation",
+    "isotonic_calibration",
 ]
 
 

@@ -103,3 +103,102 @@ def test_mixture_plan_invariants(spark, name):
         assert r["oversampled"] == (r["target_tokens"] > r["avail_tokens"])
     # uniform targets: every source gets the same allocation
     assert len({r["target_tokens"] for r in rows}) == 1
+
+
+def _pav_reference(n, pos):
+    """Independent O(n^2) PAV: repeatedly merge ANY adjacent violating
+    pair until the sequence is monotone — the fixed point is unique
+    (the isotonic projection), so any merge order must agree with the
+    stack implementation."""
+    blocks = [[float(w), float(s), 1] for w, s in zip(n, pos)]
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(blocks) - 1:
+            w1, s1, c1 = blocks[i]
+            w2, s2, c2 = blocks[i + 1]
+            if s1 * w2 >= s2 * w1:  # rate_i >= rate_{i+1}
+                blocks[i] = [w1 + w2, s1 + s2, c1 + c2]
+                del blocks[i + 1]
+                changed = True
+            else:
+                i += 1
+    out = []
+    for w, s, c in blocks:
+        out.extend([s / w if w else 0.0] * c)
+    return out
+
+
+def test_pav_fit_matches_independent_reference():
+    import numpy as np
+
+    from agent_data_pipeline_spark.ops.calibrate import pav_fit
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        m = int(rng.integers(1, 40))
+        n = rng.integers(1, 50, size=m)
+        pos = np.array([rng.integers(0, k + 1) for k in n])
+        got = pav_fit(n, pos)
+        ref = _pav_reference(n, pos)
+        assert np.allclose(got, ref), (n.tolist(), pos.tolist())
+        assert all(got[i] <= got[i + 1] + 1e-12 for i in range(m - 1))
+        # pool-mean invariant: weighted mean preserved exactly
+        assert abs((got * n).sum() - pos.sum()) < 1e-6
+
+
+def test_isotonic_calibration_recovers_planted_monotone(spark):
+    """Noisy samples of a monotone probability curve: the binned PAV
+    fit must be monotone and track the true curve within the noise
+    floor (planted recovery)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.ops.calibrate import isotonic_calibrate_binned
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(20_000):
+        s = rng.uniform(0, 1)
+        p_true = s * s  # monotone ground truth
+        rows.append((float(s), int(rng.uniform() < p_true)))
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = isotonic_calibrate_binned(df, "score", F.col("label") == 1, bins=50)
+    got = {r["bin"]: r["calibrated"] for r in out.collect()}
+    cal = [got[b] for b in sorted(got)]
+    assert all(cal[i] <= cal[i + 1] + 1e-12 for i in range(len(cal) - 1))
+    # mid-curve bins must be near the planted s^2 (noise floor ~0.06
+    # at ~400 samples/bin plus pooling)
+    for b in (10, 25, 40):
+        s_mid = (b + 0.5) / 50
+        assert abs(got[b] - s_mid**2) < 0.08, (b, got[b], s_mid**2)
+
+
+def test_isotonic_calibration_layout_independent(spark):
+    from pyspark.sql import functions as F
+
+    from agent_data_pipeline_spark.llmdata import textstats
+    from agent_data_pipeline_spark.ops.calibrate import isotonic_calibrate_binned
+
+    d = textstats.with_text_stats(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    a = sorted(
+        map(
+            tuple,
+            isotonic_calibrate_binned(
+                d, F.col("quality_score"), F.col("n_chars") >= 800
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            isotonic_calibrate_binned(
+                d.repartition(13), F.col("quality_score"), F.col("n_chars") >= 800
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -36,6 +36,7 @@ ALLOWED: dict[str, set[str]] = {
     "ks_drift_test": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
     "orphan_audit": {"single_part_sort"},
+    "poisson_bootstrap_ci": {"global_window"},
     "pareto_revenue": {"global_window", "single_part_sort"},
     "quantile_bins": {"global_window", "single_part_sort"},
     "rfm_segments": {"global_window", "single_part_sort"},
