@@ -44,11 +44,20 @@ def _norm(col):
 
 
 def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize JVM-side: cosine becomes a plain dot product."""
+    """Pre-normalize JVM-side: cosine becomes a plain dot product.
+
+    The norm is materialized as its own column first — inlining the
+    aggregate into the transform lambda makes Catalyst re-evaluate the
+    d-element fold per ELEMENT (O(d²) per row; measured 6× end-to-end
+    on the d=64 diversity query, round 7). Same arithmetic, same
+    values — oracle parity unchanged."""
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nrm = _norm(F.col(vec_col))
-    unit = F.when(nrm > 0, F.transform(dbl, lambda x: x / nrm)).otherwise(dbl)
-    return df.withColumn("unit_vec", unit)
+    df = df.withColumn("_unit_nrm", _norm(F.col(vec_col)))
+    unit = F.when(
+        F.col("_unit_nrm") > 0,
+        F.transform(dbl, lambda x: x / F.col("_unit_nrm")),
+    ).otherwise(dbl)
+    return df.withColumn("unit_vec", unit).drop("_unit_nrm")
 
 
 def _dot(a, b):

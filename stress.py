@@ -340,6 +340,11 @@ R7_OPS = [
     "poisson_bootstrap_ci",
     "neyman_allocation",
     "isotonic_calibration",
+    # fifth wave: one-pass embedding diagnostics (explode to
+    # (label, dim) — 64x row inflation but a two-phase agg; the
+    # norm-materialization fix keeps the per-row cost O(d)).
+    "embedding_diversity_by_label",
+    "embedding_centroid_shift",
 ]
 
 
