@@ -474,13 +474,13 @@ FROM j GROUP BY lag ORDER BY lag
 
 
 def _cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Annotator 1: length gate (n_chars >= 800). Annotator 2: token
-    gate (ws tokens >= 120). Correlated-but-different weak labelers —
+    """Annotator 1: length gate (n_chars >= 300, ~51% positive on the
+    fixture). Annotator 2: token gate (ws tokens >= 55, ~51%). Correlated-but-different weak labelers —
     exactly the agreement question kappa answers."""
     d = t(spark, sf_dir, "documents").select(
         "source",
-        (F.col("n_chars") >= 800).cast("int").alias("a1"),
-        (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 120).cast("int").alias("a2"),
+        (F.col("n_chars") >= 300).cast("int").alias("a1"),
+        (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 55).cast("int").alias("a2"),
     )
     g = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -505,8 +505,8 @@ def _cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KAPPA_SQL = r"""
 WITH d AS (
   SELECT source,
-         CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END AS a1,
-         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 120
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a1,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 55
               THEN 1 ELSE 0 END AS a2
   FROM documents
 ), g AS (

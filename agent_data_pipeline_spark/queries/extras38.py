@@ -16,7 +16,7 @@
   ∝ N_h·S_h, the allocation minimizing the stratified-mean variance.
   One stratum-grain aggregate + one broadcast total. Oracled.
 * ``isotonic_calibration`` — PAV isotonic calibration of the quality
-  score against a binary label on a 1000-bin grid
+  score against a binary label (n_chars >= 300, ~51% positive) on a 1000-bin grid
   (ops/calibrate.py): the monotone-projection optimum of the binned
   empirical rates. Iterative pooling ⇒ rows-only; monotonicity,
   pool-mean and planted-recovery invariants in tests/test_classify.py.
@@ -172,7 +172,7 @@ def _isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = textstats.with_text_stats(t(spark, sf_dir, "documents"))
     return calibrate.isotonic_calibrate_binned(
-        d, F.col("quality_score"), F.col("n_chars") >= 800, bins=1000
+        d, F.col("quality_score"), F.col("n_chars") >= 300, bins=1000
     ).orderBy("bin")
 
 

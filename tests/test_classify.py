@@ -189,7 +189,7 @@ def test_isotonic_calibration_layout_independent(spark):
         map(
             tuple,
             isotonic_calibrate_binned(
-                d, F.col("quality_score"), F.col("n_chars") >= 800
+                d, F.col("quality_score"), F.col("n_chars") >= 300
             ).collect(),
         )
     )
@@ -197,7 +197,7 @@ def test_isotonic_calibration_layout_independent(spark):
         map(
             tuple,
             isotonic_calibrate_binned(
-                d.repartition(13), F.col("quality_score"), F.col("n_chars") >= 800
+                d.repartition(13), F.col("quality_score"), F.col("n_chars") >= 300
             ).collect(),
         )
     )

@@ -34,6 +34,8 @@ ALLOWED: dict[str, set[str]] = {
     "gini_lorenz_approx": {"global_window", "single_part_sort"},
     "kmeans_clusters": {"global_window", "single_part_sort"},
     "ks_drift_test": {"global_window", "single_part_sort"},
+    "mann_whitney_u": {"global_window", "single_part_sort"},
+    "conformal_intervals": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
     "orphan_audit": {"single_part_sort"},
     "poisson_bootstrap_ci": {"global_window"},
