@@ -35,6 +35,7 @@ ALLOWED: dict[str, set[str]] = {
     "kmeans_clusters": {"global_window", "single_part_sort"},
     "ks_drift_test": {"global_window", "single_part_sort"},
     "mann_whitney_u": {"global_window", "single_part_sort"},
+    "quantile_normalize_scores": {"global_window", "single_part_sort"},
     "conformal_intervals": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
     "orphan_audit": {"single_part_sort"},
