@@ -361,3 +361,45 @@ def test_bloom_prune_fact_with_pos_column(spark):
     )
     assert set(kept) >= {1, 2}  # true matches always survive
     assert 99 in {r["pos"] for r in bloom_prune(fact, "k", keys, "k2", m=64).collect()}
+
+
+def test_raking_ipf_margins_converge(spark):
+    """IPF invariant: after 30 sweeps the weighted sample margins match
+    the full-corpus targets on BOTH axes (the final sweep ends on the
+    column axis, so columns are exact and rows are converged-close)."""
+    from agent_data_pipeline_spark.queries.extras42 import _raking_ipf
+
+    out = _raking_ipf(spark, SF).collect()
+    d = _docs(spark)
+    corpus_lang = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    corpus_src = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_corpus = sum(corpus_lang.values())
+    n_sample = sum(r["n_sample"] for r in out)
+    lang_w: dict[str, float] = {}
+    src_w: dict[str, float] = {}
+    for r in out:
+        lang_w[r["lang"]] = lang_w.get(r["lang"], 0.0) + r["weight"] * r["n_sample"]
+        src_w[r["source"]] = src_w.get(r["source"], 0.0) + r["weight"] * r["n_sample"]
+    for lg, tot in lang_w.items():
+        target = n_sample * corpus_lang[lg] / n_corpus
+        assert abs(tot - target) < 1e-3 * max(target, 1.0)
+    for src, tot in src_w.items():
+        target = n_sample * corpus_src[src] / n_corpus
+        assert abs(tot - target) < 1e-3 * max(target, 1.0)
+
+
+def test_raking_ipf_weights_positive_and_stable(spark):
+    """Weights are strictly positive and a pure function of the data —
+    identical across two runs."""
+    from agent_data_pipeline_spark.queries.extras42 import _raking_ipf
+
+    a = [tuple(r) for r in _raking_ipf(spark, SF).collect()]
+    b = [tuple(r) for r in _raking_ipf(spark, SF).collect()]
+    assert a == b
+    assert all(r[3] > 0 for r in a)
