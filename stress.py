@@ -347,6 +347,30 @@ R7_OPS = [
     "embedding_centroid_shift",
 ]
 
+R7B_OPS = [
+    # sixth wave: MWU (value-grain <=50-row window — expect ~data
+    # ratio from the fact-side agg), assoc rules (distinct + bounded
+    # self-join on orderkey), PR sweep (19x broadcast grid, one scan),
+    # conformal (three split scans + value-grain calib window).
+    "mann_whitney_u",
+    "assoc_rules_lift",
+    "threshold_sweep_pr",
+    "conformal_intervals",
+    # seventh wave: CEM (cell-grain aggs), rolling OLS (calendar-bounded
+    # day grain — 10x adds rows per day, not days), MI (100-cell joint),
+    # quantile normalization (value-grain ECDF + 1000-point grid join).
+    "cem_att",
+    "rolling_ols_slope",
+    "mutual_information_lang_source",
+    "quantile_normalize_scores",
+    # eighth wave: bigram LM (vocab-bounded count tables; 10x corpus
+    # repeats the same text so vocab stays flat — join side constant),
+    # HHI (customer-grain agg), IPF raking (bounded driver-side fit).
+    "bigram_backoff_scores",
+    "hhi_concentration",
+    "raking_ipf",
+]
+
 
 def bloom_ab_probe(spark, sf_dir: str) -> dict:
     """A/B the Bloom semi-join pruning against the plain join with
@@ -475,6 +499,7 @@ def main() -> None:
     r5 = base_vs_10x(R5_OPS)
     r6 = base_vs_10x(R6_OPS)
     r7 = base_vs_10x(R7_OPS)
+    r7b = base_vs_10x(R7B_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -510,6 +535,7 @@ def main() -> None:
                 "round5_ops_base_vs_10x": r5,
                 "round6_ops_base_vs_10x": r6,
                 "round7_ops_base_vs_10x": r7,
+                "round7_late_ops_base_vs_10x": r7b,
                 "pagerank_job_probe": pg_jobs,
                 "bloom_ab_probe": bloom_ab,
                 "composed_exact_then_minhash": composed,
