@@ -132,13 +132,23 @@ FROM att a CROSS JOIN naive n
 
 
 def _rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Numerical-portability design (found by the sf0.1 cross-scale
+    # differential): the raw-moment slope (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)
+    # cancels catastrophically, and the daily revenue sum picks up
+    # engine-specific summation-association noise (Spark partial-agg
+    # tree vs DuckDB window segment tree) that crosses the 6dp output
+    # grain at sf0.1. Fix: quantize revenue to integer CENTS per order
+    # row, so every aggregate/window sum is an exactly-representable
+    # integer (< 2^53 through the 10x stress corpus) — exact under ANY
+    # summation order — and the slope is one deterministic division of
+    # exact integers. Bit-identical across engines at every scale.
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("prio"),
         F.to_date("o_orderdate").alias("day"),
-        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
     )
     daily = o.groupBy("prio", "day").agg(
-        F.sum("o_totalprice").alias("y")
+        F.sum("cents").cast("double").alias("y")
     ).withColumn("x", F.datediff(F.col("day"), F.lit("1995-01-01")).cast("double"))
     w = (
         W.partitionBy("prio")
@@ -167,7 +177,7 @@ def _rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prio",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("n").cast("long").alias("n_days"),
-            rnd(slope, 6).alias("slope"),
+            rnd(slope / 100.0, 6).alias("slope"),
         )
         .orderBy("prio", "day")
     )
@@ -176,7 +186,8 @@ def _rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_SQL = """
 WITH daily AS (
   SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
-         sum(o_totalprice) AS y,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           AS y,
          CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
               AS DOUBLE) AS x
   FROM orders GROUP BY 1, 2, 4
@@ -196,7 +207,7 @@ SELECT prio, strftime(day, '%Y-%m-%d') AS day,
        CAST(n AS BIGINT) AS n_days,
        floor((CASE WHEN n * sxx - sx * sx > 0
                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
-             * 1000000 + 0.5) / 1000000 AS slope
+             / 100.0 * 1000000 + 0.5) / 1000000 AS slope
 FROM stats
 WHERE rk <= 60
 ORDER BY prio, day
