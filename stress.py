@@ -369,6 +369,17 @@ R7B_OPS = [
     "bigram_backoff_scores",
     "hhi_concentration",
     "raking_ipf",
+    # ninth wave: Spearman (calendar-bounded day grain — 10x adds rows
+    # per day, not days), Welch (two hash aggs), Kruskal-Wallis
+    # (value-grain rank histogram — flat spine at 10x), Cramer's V +
+    # JSD (bounded marginal grids), JW linkage (probe stream x
+    # broadcast 64-name catalog — Arrow-batched scorer, linear).
+    "spearman_daily_corr",
+    "welch_ttest",
+    "kruskal_wallis_h",
+    "cramers_v_assoc",
+    "js_divergence_sources",
+    "jaro_winkler_linkage",
 ]
 
 
