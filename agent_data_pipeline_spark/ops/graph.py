@@ -171,3 +171,57 @@ def triangle_count(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
             ).alias("transitivity"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a: str = "src",
+    b: str = "dst",
+    max_iters: int = 50,
+) -> tuple[DataFrame, int]:
+    """Extract the k-core of an undirected graph: the (unique) maximal
+    subgraph in which every node has degree >= k, by synchronous
+    peeling (Matula & Beck 1983): each round drops EVERY node whose
+    current in-subgraph degree is < k, until a fixpoint. The fixpoint
+    is order-independent, so the result is deterministic regardless of
+    partitioning.
+
+    Distributed shape (the PageRank envelope): one degree aggregate +
+    two anti-joins per round, ``localCheckpoint`` per round to keep
+    the plan linear; the number of rounds is bounded by the graph's
+    degeneracy ordering depth (single digits on co-occurrence graphs),
+    never by node count. Returns (surviving undirected edge list,
+    rounds run).
+
+    Edge list is canonicalized (lo < hi, deduplicated) first; degree
+    counts each neighbor once.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("lo").alias("n"))
+            .unionAll(e.select(F.col("hi").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        bad = deg.filter(F.col("d") < k).select("n")
+        n_bad = bad.count()
+        if n_bad == 0:
+            break
+        e = (
+            e.join(bad, e.lo == bad.n, "left_anti")
+            .join(bad, e.hi == bad.n, "left_anti")
+            .localCheckpoint()
+        )
+        rounds += 1
+    return e, rounds

@@ -380,6 +380,18 @@ R7B_OPS = [
     "cramers_v_assoc",
     "js_divergence_sources",
     "jaro_winkler_linkage",
+    # tenth wave: RAKE (doc-partitioned islands + vocab-bounded word
+    # scores), MDE (segment aggs), l-diversity (cell-grain aggs +
+    # per-customer argmax window), spectral peak (payload-local FFT —
+    # pure map), k-core (rounds bounded by degeneracy; 10x graph is
+    # denser so FEWER peel rounds, not more), PACF (day-grain ACF +
+    # 12-float driver recursion).
+    "rake_keyphrases",
+    "ab_power_mde",
+    "l_diversity_audit",
+    "wav_spectral_peak",
+    "k_core_decomposition",
+    "pacf_lags",
 ]
 
 

@@ -88,3 +88,94 @@ def test_triangle_count_triangle_free(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
     r = triangle_count(edges).collect()[0]
     assert r["n_triangles"] == 0 and r["transitivity"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# k_core (ops/graph.py): exactness against an independent pure-Python
+# peel on hand graphs + the in-core degree invariant on the fixture
+# co-purchase graph — the checks the rows-only driver pass can't do.
+# --------------------------------------------------------------------------
+
+from agent_data_pipeline_spark.ops.graph import k_core
+
+
+def _reference_k_core(edges, k):
+    """Independent pure-Python synchronous peel."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    while True:
+        bad = [u for u, vs in adj.items() if len(vs) < k]
+        if not bad:
+            break
+        for u in bad:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+    return {
+        (min(u, v), max(u, v)) for u, vs in adj.items() for v in vs
+    }
+
+
+def _core_edges(spark, edges, k):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core, _rounds = k_core(df, k)
+    return {(r["lo"], r["hi"]) for r in core.collect()}
+
+
+def test_k_core_matches_reference_on_hand_graph(spark):
+    # a 4-clique (3-core) with a pendant path hanging off it
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    assert _core_edges(spark, edges, 3) == _reference_k_core(edges, 3)
+    assert _core_edges(spark, edges, 2) == _reference_k_core(edges, 2)
+
+
+def test_k_core_cascade_collapses_ring_of_trees(spark):
+    # stars have no 2-core; the peel must cascade through the arms
+    edges = [(0, i) for i in range(1, 6)] + [(1, 10), (10, 11)]
+    assert _core_edges(spark, edges, 2) == set()
+    assert _reference_k_core(edges, 2) == set()
+
+
+def test_k_core_self_loops_and_duplicates_ignored(spark):
+    edges = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (3, 1)]
+    assert _core_edges(spark, edges, 2) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_k_core_fixture_in_core_degree_invariant(spark):
+    """Every node surviving the p05 peel on the sf0.001 co-purchase
+    graph has >= k neighbors INSIDE the core, and the result equals
+    the pure-Python reference peel."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("p1"))
+    b = op.select("o", F.col("p").alias("p2"))
+    edges_df = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    edges = [(r["p1"], r["p2"]) for r in edges_df.collect()]
+    deg0: dict[int, int] = {}
+    for u, v in edges:
+        deg0[u] = deg0.get(u, 0) + 1
+        deg0[v] = deg0.get(v, 0) + 1
+    degs = sorted(deg0.values())
+    k = degs[int(0.05 * len(degs))] + 1
+    got = _core_edges(spark, edges, k)
+    assert got == _reference_k_core(edges, k)
+    # in-core degree invariant
+    deg_in: dict[int, int] = {}
+    for u, v in got:
+        deg_in[u] = deg_in.get(u, 0) + 1
+        deg_in[v] = deg_in.get(v, 0) + 1
+    assert all(d >= k for d in deg_in.values())

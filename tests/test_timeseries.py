@@ -301,3 +301,50 @@ def test_epoch_micros_tz_immune_across_dst(spark):
             assert got == sorted(want), (tz, got, want)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# --------------------------------------------------------------------------
+# pacf_lags (queries/extras44.py): the Durbin-Levinson recursion is
+# cross-checked against an independent numpy Toeplitz solve of the
+# Yule-Walker equations — pacf(k) is the last coefficient of the AR(k)
+# fit. Same ACF input, entirely different algorithm.
+# --------------------------------------------------------------------------
+
+
+def test_pacf_matches_yule_walker_toeplitz_solve(spark):
+    import numpy as np
+    import pytest
+    import pyspark.sql.functions as F
+
+    from agent_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["lag"]: r["pacf"]
+        for r in REGISTRY["pacf_lags"].spark(spark, sf).collect()
+    }
+    # rebuild the identical ACF input the query used
+    daily = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag"))
+    shifted = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
+    acf_rows = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(shifted, F.col("d2") == F.date_add(F.col("d"), F.col("lag")))
+        .groupBy("lag")
+        .agg(F.corr("rev", "rev2").alias("acf"))
+        .orderBy("lag")
+        .collect()
+    )
+    rho = np.array([float(r["acf"]) for r in acf_rows])
+    for k in range(1, 13):
+        # Yule-Walker: R phi = rho[0:k], R Toeplitz of [1, rho_1..]
+        col = np.concatenate(([1.0], rho[: k - 1]))
+        R = np.array(
+            [[col[abs(i - j)] for j in range(k)] for i in range(k)]
+        )
+        phi = np.linalg.solve(R, rho[:k])
+        assert got[k] == pytest.approx(phi[-1], abs=2e-6), f"lag {k}"
