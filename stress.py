@@ -392,6 +392,12 @@ R7B_OPS = [
     "wav_spectral_peak",
     "k_core_decomposition",
     "pacf_lags",
+    # eleventh wave: grid proximity (9x one-side fanout equi-join —
+    # pair count grows with density^2 but the candidate join stays
+    # cell-bounded), Markov attribution (per-user windows + bounded
+    # 8x8 collect).
+    "grid_proximity_join",
+    "markov_attribution",
 ]
 
 
