@@ -214,7 +214,10 @@ def k_core(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        bad = deg.filter(F.col("d") < k).select("n")
+        # localCheckpoint the (small) peel list: it feeds one count and
+        # TWO anti-joins — un-materialized, the degree aggregate would
+        # recompute three times per round.
+        bad = deg.filter(F.col("d") < k).select("n").localCheckpoint()
         n_bad = bad.count()
         if n_bad == 0:
             break

@@ -391,16 +391,32 @@ def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = [("p02", int(pct[0]) + 1), ("p05", int(pct[1]) + 1),
           ("p10", int(pct[2]) + 1)]
     rows = []
-    for label, k in ks:
-        core, rounds = k_core(edges, k, a="p1", b="p2")
+    # k-cores are NESTED (core(k') ⊆ core(k) for k' > k), so each
+    # higher-k peel starts from the previous core instead of the full
+    # graph — measured 10x stress ratio dropped from 5.36 to the
+    # sub-linear band once the second and third peels ran on the
+    # already-peeled (much smaller or identical) edge list.
+    frontier = edges.select(
+        F.col("p1").alias("lo"), F.col("p2").alias("hi")
+    )
+    for label, k in sorted(ks, key=lambda x: x[1]):
+        core, rounds = k_core(frontier, k, a="lo", b="hi")
         stats = core.agg(F.count(F.lit(1)).alias("n_edges")).collect()[0]
+        n_edges = int(stats["n_edges"])
         n_nodes = (
             core.select(F.col("lo").alias("n"))
             .unionAll(core.select(F.col("hi").alias("n")))
             .distinct()
             .count()
         )
-        rows.append((label, k, n_nodes, int(stats["n_edges"]), rounds))
+        rows.append((label, k, n_nodes, n_edges, rounds))
+        if n_edges == 0:
+            # every higher k is empty too (nesting); record directly
+            for label2, k2 in sorted(ks, key=lambda x: x[1]):
+                if k2 > k:
+                    rows.append((label2, k2, 0, 0, 0))
+            break
+        frontier = core
     return spark.createDataFrame(
         rows,
         "k_label STRING, k INT, n_core_nodes BIGINT, "

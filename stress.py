@@ -398,6 +398,13 @@ R7B_OPS = [
     # 8x8 collect).
     "grid_proximity_join",
     "markov_attribution",
+    # twelfth wave: KMV (two-phase distinct + bucket-grain windows —
+    # dedup-class cost), G2 (vocab-bounded grid), funnel (user-grain
+    # min cascades), ESS (two hash aggs).
+    "kmv_distinct_shingles",
+    "g2_collocations",
+    "funnel_within_window",
+    "ess_weighted_estimate",
 ]
 
 
