@@ -405,6 +405,12 @@ R7B_OPS = [
     "g2_collocations",
     "funnel_within_window",
     "ess_weighted_estimate",
+    # thirteenth wave: ITS (day-grain aggs), grid kNN (cell equi-join
+    # + min agg), Huber IRLS (5 fixed one-agg passes — expect ~data
+    # ratio).
+    "its_segmented_regression",
+    "spatial_knn_grid",
+    "huber_mean_irls",
 ]
 
 
