@@ -1,0 +1,354 @@
+"""Round-7 fourteenth wave: seasonal exponential smoothing,
+distribution-free median intervals, and Granger causality.
+
+* ``holt_winters_daily`` — additive Holt-Winters (Holt 1957, Winters
+  1960) over daily revenue with a weekly season (m = 7, α = 0.2,
+  β = 0.05, γ = 0.1): the fact stream collapses to the
+  calendar-bounded day grain distributed, then the smoothing
+  recursion runs driver-side over the collected ≤2,400-point series
+  (the PACF/IPF bounded-driver-fit envelope — the recursion is
+  inherently sequential, and the series is bounded by the calendar at
+  ANY fact scale). Emits the last 14 fitted days plus a 7-day-ahead
+  forecast. Sequential recursion ⇒ rows-only; a planted
+  trend+weekly-season series must be tracked with near-zero
+  forecast error in tests/test_timeseries.py.
+* ``median_ci_order_stats`` — distribution-free 95% confidence
+  interval for the median per market segment from binomial order
+  statistics (ranks n/2 ∓ z·√n/2): the three exact order statistics
+  are located WITHOUT sorting the fact table — the
+  bucket-histogram + refine pattern (value buckets of $100, a
+  bounded per-segment cumulative window locates each rank's bucket,
+  and only that bucket's rows are ranked). The same machinery as
+  ``kmv_distinct_shingles``'s k-th-hash, here for money quantiles.
+* ``granger_daily`` — Granger (1969) causality test, lag 1: does
+  yesterday's ORDER COUNT improve the prediction of today's REVENUE
+  beyond yesterday's revenue? Full vs restricted OLS solved in
+  closed form from centered moments of cents-exact day-grain sums
+  (Cramer 2×2 — every input moment is a deterministic function of
+  exact integer sums, so both engines produce bit-identical
+  coefficients), F = (RSS_r − RSS_f)/(RSS_f/(n−3)). The lag window
+  runs on the bounded calendar grain (adjudicated in PLAN_AUDIT.md).
+
+Reference parity: no forecasting/causality surface in the reference
+(SURVEY.md §2.A); declared north-star §2.B additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .core import QuerySpec, rnd, t
+
+_ALPHA, _BETA, _GAMMA, _M = 0.2, 0.05, 0.1, 7
+
+
+def _daily_series(spark: SparkSession, sf_dir: str):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("double")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+
+
+def holt_winters_additive(
+    ys: list[float], m: int = _M, alpha: float = _ALPHA,
+    beta: float = _BETA, gamma: float = _GAMMA, horizon: int = 7
+) -> tuple[list[float], list[float]]:
+    """Pure additive Holt-Winters recursion. Returns (fitted one-step
+    predictions aligned to ys, forecasts for the next ``horizon``).
+    Initialization: level = mean of season 1, trend = mean season-over-
+    season step between seasons 1 and 2, seasonals = season-1
+    deviations from its mean."""
+    if len(ys) < 2 * m:
+        raise ValueError("need at least two full seasons")
+    mean1 = sum(ys[:m]) / m
+    mean2 = sum(ys[m : 2 * m]) / m
+    level = mean1
+    trend = (mean2 - mean1) / m
+    season = [ys[i] - mean1 for i in range(m)]
+    fitted = []
+    for i, y in enumerate(ys):
+        s = season[i % m]
+        fitted.append(level + trend + s)
+        new_level = alpha * (y - s) + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        season[i % m] = gamma * (y - new_level) + (1 - gamma) * s
+        level = new_level
+    fc = [
+        level + (h + 1) * trend + season[(len(ys) + h) % m]
+        for h in range(horizon)
+    ]
+    return fitted, fc
+
+
+def _holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    rows = _daily_series(spark, sf_dir).orderBy("day").collect()
+    days = [r["day"] for r in rows]
+    ys = [float(r["cents"]) / 100.0 for r in rows]
+    fitted, fc = holt_winters_additive(ys)
+    out = []
+    for i in range(max(0, len(ys) - 14), len(ys)):
+        out.append(
+            (
+                days[i].isoformat(),
+                "fitted",
+                math.floor(ys[i] * 100 + 0.5) / 100,
+                math.floor(fitted[i] * 100 + 0.5) / 100,
+            )
+        )
+    last = days[-1]
+    from datetime import timedelta
+
+    for h, v in enumerate(fc):
+        out.append(
+            (
+                (last + timedelta(days=h + 1)).isoformat(),
+                "forecast",
+                None,
+                math.floor(v * 100 + 0.5) / 100,
+            )
+        )
+    return spark.createDataFrame(
+        out, "day STRING, kind STRING, actual DOUBLE, value DOUBLE"
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# median_ci_order_stats
+# --------------------------------------------------------------------------
+
+_Z95 = 1.959964
+
+
+def _median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    u = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("x"),
+        "o_orderkey",
+    )
+    stats = u.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    r_lo = F.greatest(
+        F.lit(1),
+        F.floor((F.col("n") - _Z95 * F.sqrt(F.col("n"))) / 2).cast("long"),
+    )
+    # floor() explicitly: Spark's cast-to-long TRUNCATES n+1/2 = x.5
+    # while DuckDB's CAST rounds half-to-even — classic half-grain trap
+    r_med = F.floor((F.col("n") + 1) / 2).cast("long")
+    r_hi = F.least(
+        F.col("n"),
+        (F.col("n") - F.floor(
+            (F.col("n") - _Z95 * F.sqrt(F.col("n"))) / 2
+        ) + 1).cast("long"),
+    )
+    targets = (
+        stats.select("seg", "n", r_lo.alias("r"), F.lit("ci_lo").alias("lbl"))
+        .unionAll(
+            stats.select(
+                "seg", "n", r_med.alias("r"), F.lit("median").alias("lbl")
+            )
+        )
+        .unionAll(
+            stats.select(
+                "seg", "n", r_hi.alias("r"), F.lit("ci_hi").alias("lbl")
+            )
+        )
+    )
+    bucketed = u.withColumn("b", F.floor(F.col("x") / 100).cast("long"))
+    bcnt = bucketed.groupBy("seg", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = W.partitionBy("seg").orderBy("b").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bcum = bcnt.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    located = targets.join(bcum, "seg").filter(
+        (F.col("cum_before") < F.col("r"))
+        & (F.col("r") <= F.col("cum_before") + F.col("cnt"))
+    )
+    refined = bucketed.join(
+        F.broadcast(
+            located.select("seg", "b", "lbl", "r", "cum_before", "n")
+        ),
+        ["seg", "b"],
+    )
+    ranked = refined.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("seg", "lbl").orderBy("x", "o_orderkey")
+        ),
+    ).filter(F.col("rk") == F.col("r") - F.col("cum_before"))
+    picked = ranked.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("lbl") == "ci_lo", F.col("x"))).alias("ci_lo"),
+        F.max(F.when(F.col("lbl") == "median", F.col("x"))).alias("median"),
+        F.max(F.when(F.col("lbl") == "ci_hi", F.col("x"))).alias("ci_hi"),
+    )
+    return picked.select(
+        F.col("seg").alias("segment"),
+        F.col("n").cast("long").alias("n"),
+        rnd("ci_lo", 2).alias("ci_lo"),
+        rnd("median", 2).alias("median"),
+        rnd("ci_hi", 2).alias("ci_hi"),
+    ).orderBy("segment")
+
+
+_MEDIAN_CI_SQL = f"""
+WITH u AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x, o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT seg, x,
+         row_number() OVER (PARTITION BY seg ORDER BY x, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM u
+), stats AS (
+  SELECT DISTINCT seg, n,
+         greatest(1, CAST(floor((n - {_Z95} * sqrt(n)) / 2) AS BIGINT))
+           AS r_lo,
+         CAST(floor((n + 1) / 2) AS BIGINT) AS r_med,
+         least(n, CAST(n - floor((n - {_Z95} * sqrt(n)) / 2) + 1 AS BIGINT))
+           AS r_hi
+  FROM ranked
+)
+SELECT s.seg AS segment, CAST(s.n AS BIGINT) AS n,
+       floor(max(CASE WHEN r.rk = s.r_lo THEN r.x END) * 100 + 0.5) / 100
+         AS ci_lo,
+       floor(max(CASE WHEN r.rk = s.r_med THEN r.x END) * 100 + 0.5) / 100
+         AS median,
+       floor(max(CASE WHEN r.rk = s.r_hi THEN r.x END) * 100 + 0.5) / 100
+         AS ci_hi
+FROM stats s JOIN ranked r ON s.seg = r.seg
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# granger_daily
+# --------------------------------------------------------------------------
+
+def _granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_series(spark, sf_dir)
+    wd = W.orderBy("day")
+    lagged = daily.select(
+        F.col("cents").alias("w"),
+        F.lag("cents").over(wd).alias("u"),
+        F.lag("n_orders").over(wd).alias("v"),
+    ).filter(F.col("u").isNotNull())
+    g = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("w")).alias("suw"),
+        F.sum(F.col("v") * F.col("w")).alias("svw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    cuu = F.col("suu") - F.col("su") * F.col("su") / F.col("n")
+    cvv = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
+    cuv = F.col("suv") - F.col("su") * F.col("sv") / F.col("n")
+    cuw = F.col("suw") - F.col("su") * F.col("sw") / F.col("n")
+    cvw = F.col("svw") - F.col("sv") * F.col("sw") / F.col("n")
+    cww = F.col("sww") - F.col("sw") * F.col("sw") / F.col("n")
+    det = cuu * cvv - cuv * cuv
+    b = (cvv * cuw - cuv * cvw) / det
+    c2 = (cuu * cvw - cuv * cuw) / det
+    rss_f = cww - b * cuw - c2 * cvw
+    rss_r = cww - cuw * cuw / cuu
+    fstat = (rss_r - rss_f) / (rss_f / (F.col("n") - 3))
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        rnd(b, 6).alias("beta_rev_lag"),
+        rnd(c2 / 100.0, 6).alias("beta_count_lag_dollars"),
+        rnd(fstat, 6).alias("f_stat"),
+        (F.col("n") - 3).cast("long").alias("df2"),
+    )
+
+
+_GRANGER_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           AS cents,
+         CAST(count(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT cents AS w,
+         lag(cents) OVER (ORDER BY day) AS u,
+         lag(n_orders) OVER (ORDER BY day) AS v
+  FROM daily
+), l2 AS (
+  SELECT * FROM lagged WHERE u IS NOT NULL
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(u) AS su, sum(v) AS sv, sum(w) AS sw,
+         sum(u * u) AS suu, sum(v * v) AS svv, sum(u * v) AS suv,
+         sum(u * w) AS suw, sum(v * w) AS svw, sum(w * w) AS sww
+  FROM l2
+), m AS (
+  SELECT n,
+         suu - su * su / n AS cuu,
+         svv - sv * sv / n AS cvv,
+         suv - su * sv / n AS cuv,
+         suw - su * sw / n AS cuw,
+         svw - sv * sw / n AS cvw,
+         sww - sw * sw / n AS cww
+  FROM g
+), k AS (
+  SELECT n, cuw, cvw, cww, cuu,
+         (cvv * cuw - cuv * cvw) / (cuu * cvv - cuv * cuv) AS b,
+         (cuu * cvw - cuv * cuw) / (cuu * cvv - cuv * cuv) AS c2
+  FROM m
+), r AS (
+  SELECT n, b, c2,
+         cww - b * cuw - c2 * cvw AS rss_f,
+         cww - cuw * cuw / cuu AS rss_r
+  FROM k
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       floor(b * 1000000 + 0.5) / 1000000 AS beta_rev_lag,
+       floor(c2 / 100.0 * 1000000 + 0.5) / 1000000
+         AS beta_count_lag_dollars,
+       floor((rss_r - rss_f) / (rss_f / (n - 3)) * 1000000 + 0.5) / 1000000
+         AS f_stat,
+       CAST(n - 3 AS BIGINT) AS df2
+FROM r
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "holt_winters_daily": QuerySpec(
+        _holt_winters_daily,
+        None,
+        "Additive Holt-Winters (weekly season) over daily revenue: "
+        "last-14 fitted + 7-day forecast; bounded driver-side recursion",
+    ),
+    "median_ci_order_stats": QuerySpec(
+        _median_ci_order_stats,
+        _MEDIAN_CI_SQL,
+        "Distribution-free 95% median CI per segment from binomial "
+        "order statistics, located by bucket-histogram + refine",
+    ),
+    "granger_daily": QuerySpec(
+        _granger_daily,
+        _GRANGER_SQL,
+        "Lag-1 Granger causality (order count -> revenue): closed-form "
+        "full-vs-restricted OLS F-test on cents-exact day-grain moments",
+    ),
+}

@@ -411,6 +411,12 @@ R7B_OPS = [
     "its_segmented_regression",
     "spatial_knn_grid",
     "huber_mean_irls",
+    # fourteenth wave: HW (day-grain collapse + bounded driver
+    # recursion), median CI (bucket-refine order stats), Granger
+    # (day-grain moments).
+    "holt_winters_daily",
+    "median_ci_order_stats",
+    "granger_daily",
 ]
 
 

@@ -348,3 +348,41 @@ def test_pacf_matches_yule_walker_toeplitz_solve(spark):
         )
         phi = np.linalg.solve(R, rho[:k])
         assert got[k] == pytest.approx(phi[-1], abs=2e-6), f"lag {k}"
+
+
+# --------------------------------------------------------------------------
+# holt_winters_additive (queries/extras48.py): a planted
+# trend + zero-mean weekly season series must be tracked with small
+# one-step error and forecast error after burn-in — the check the
+# rows-only driver pass can't do.
+# --------------------------------------------------------------------------
+
+
+def test_holt_winters_tracks_planted_seasonal_trend():
+    from agent_data_pipeline_spark.queries.extras48 import (
+        holt_winters_additive,
+    )
+
+    season = [30.0, -10.0, 25.0, -45.0, 15.0, -20.0, 5.0]  # sums to 0
+    ys = [1000.0 + 5.0 * t + season[t % 7] for t in range(280)]
+    fitted, fc = holt_winters_additive(ys)
+    # after burn-in the one-step predictions track closely
+    tail_err = max(
+        abs(fitted[i] - ys[i]) / ys[i] for i in range(len(ys) - 10, len(ys))
+    )
+    assert tail_err < 0.01
+    # and the 7-day-ahead forecast continues the planted process
+    want = [1000.0 + 5.0 * (280 + h) + season[(280 + h) % 7] for h in range(7)]
+    for got, exp in zip(fc, want):
+        assert abs(got - exp) / exp < 0.02
+
+
+def test_holt_winters_rejects_short_series():
+    import pytest
+
+    from agent_data_pipeline_spark.queries.extras48 import (
+        holt_winters_additive,
+    )
+
+    with pytest.raises(ValueError):
+        holt_winters_additive([1.0] * 13)
