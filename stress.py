@@ -417,6 +417,11 @@ R7B_OPS = [
     "holt_winters_daily",
     "median_ci_order_stats",
     "granger_daily",
+    # fifteenth wave: Procrustes (d^2-bounded partials + driver SVD),
+    # FD census (two-level hash aggs), contrasts (5-row self-join).
+    "embedding_procrustes_align",
+    "fd_discovery_audit",
+    "pairwise_mean_contrasts",
 ]
 
 

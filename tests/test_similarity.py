@@ -302,3 +302,21 @@ def test_mmr_is_layout_independent(emb):
         map(tuple, similarity.mmr_topk(emb.repartition(7), queries, k=10).collect())
     )
     assert a == b
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    """embedding_procrustes_align (extras49): with a noise-free planted
+    block-Givens rotation the alignment must drive the Frobenius
+    residual and the rotation-recovery error to ~0 while the unaligned
+    residual stays visibly positive."""
+    from agent_data_pipeline_spark.queries import REGISTRY
+
+    out = (
+        REGISTRY["embedding_procrustes_align"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert out["frob_before"] > 0.05
+    assert out["frob_after"] <= 1e-6
+    assert out["rotation_max_err"] <= 1e-6
+    assert out["orthogonality_err"] <= 1e-6
