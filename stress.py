@@ -422,6 +422,11 @@ R7B_OPS = [
     "embedding_procrustes_align",
     "fd_discovery_audit",
     "pairwise_mean_contrasts",
+    # sixteenth wave: LOSO (one agg pass), Platt (8 one-agg Newton
+    # iterations), RR (map-side noise + hash aggs).
+    "loso_source_influence",
+    "platt_scaling_irls",
+    "randomized_response_freq",
 ]
 
 

@@ -202,3 +202,60 @@ def test_isotonic_calibration_layout_independent(spark):
         )
     )
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# platt_scaling_irls (queries/extras50.py): planted-parameter recovery
+# and distributed-vs-pure-Python Newton equality — the checks the
+# rows-only driver pass can't do. (On the organic fixture lang is
+# nearly independent of n_chars, so the interesting behavior only
+# shows on a plant.)
+# --------------------------------------------------------------------------
+
+
+def test_platt_recovers_planted_coefficients(spark):
+    import hashlib
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from agent_data_pipeline_spark.queries.extras50 import _platt_fit
+
+    # z on a grid, labels drawn from sigmoid(1 + 2z) via deterministic
+    # md5 uniforms — the MLE must land near (1, 2) for n = 4000.
+    import math
+
+    rows = []
+    for i in range(4000):
+        z = -2.0 + 4.0 * (i / 3999.0)
+        u = int(hashlib.md5(f"platt|{i}".encode()).hexdigest()[:8], 16) / (
+            1 << 32
+        )
+        p = 1.0 / (1.0 + math.exp(-(1.0 + 2.0 * z)))
+        rows.append((1.0 if u < p else 0.0, z))
+    u_df = spark.createDataFrame(rows, "y double, z double")
+    a, b, n = _platt_fit(u_df)
+    assert n == 4000
+    assert a == pytest.approx(1.0, abs=0.15)
+    assert b == pytest.approx(2.0, abs=0.2)
+
+
+def test_platt_distributed_equals_python_newton(spark):
+    import pytest
+
+    from agent_data_pipeline_spark.queries.extras50 import (
+        _platt_fit,
+        platt_newton_step,
+    )
+
+    rows = [
+        (1.0, 0.5), (0.0, -1.2), (1.0, 1.7), (0.0, 0.1), (1.0, 0.9),
+        (0.0, -0.4), (1.0, 2.2), (0.0, -2.0), (1.0, 0.3), (0.0, 0.0),
+    ]
+    u_df = spark.createDataFrame([(y, z) for y, z in rows], "y double, z double")
+    a, b, _n = _platt_fit(u_df, iters=6)
+    pa, pb = 0.0, 0.0
+    for _ in range(6):
+        pa, pb = platt_newton_step(pa, pb, [(z, y) for y, z in rows])
+    assert a == pytest.approx(pa, abs=1e-9)
+    assert b == pytest.approx(pb, abs=1e-9)
