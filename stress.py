@@ -427,6 +427,12 @@ R7B_OPS = [
     "loso_source_influence",
     "platt_scaling_irls",
     "randomized_response_freq",
+    # seventeenth wave: binseg (bounded day-grain collect + driver
+    # search — flat), datasheet (hash aggs — flat), CMS F2 (3x
+    # map-side hash + 3072-cell agg).
+    "binseg_changepoints",
+    "corpus_datasheet",
+    "selfjoin_size_cms_estimate",
 ]
 
 

@@ -386,3 +386,30 @@ def test_holt_winters_rejects_short_series():
 
     with pytest.raises(ValueError):
         holt_winters_additive([1.0] * 13)
+
+
+def test_binseg_recovers_planted_piecewise_breaks():
+    """binseg (extras51): a noise-free piecewise-constant series must
+    yield exactly the planted break indices, highest-gain first, and a
+    stationary series must yield none."""
+    from agent_data_pipeline_spark.queries.extras51 import binseg
+
+    ys = [100.0] * 120 + [250.0] * 90 + [80.0] * 100
+    got = binseg(ys, min_seg=30, max_breaks=5, gain_frac=0.02)
+    assert [i for i, _g in got[:2]] in ([120, 210], [210, 120])
+    assert len(got) == 2  # no spurious third break on constant segs
+    flat = [42.0] * 300
+    assert binseg(flat, min_seg=30) == []
+
+
+def test_binseg_respects_min_segment():
+    from agent_data_pipeline_spark.queries.extras51 import binseg
+
+    # true step at index 10 < min_seg: binseg may report the closest
+    # ALLOWED split but never one inside the min_seg margin
+    ys = [0.0] * 10 + [100.0] * 290
+    got = binseg(ys, min_seg=30)
+    assert all(30 <= i <= len(ys) - 30 for i, _g in got)
+    # and the greedy first pick is the tightest allowed isolation of
+    # the contaminated prefix
+    assert got and got[0][0] == 30
