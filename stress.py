@@ -433,6 +433,11 @@ R7B_OPS = [
     "binseg_changepoints",
     "corpus_datasheet",
     "selfjoin_size_cms_estimate",
+    # eighteenth wave: W1 (bounded value-grain ECDF), DTW (week-grain
+    # collapse + bounded driver DP), GMM EM (10 one-agg iterations).
+    "wasserstein_sources",
+    "dtw_priority_series",
+    "gmm2_em_fit",
 ]
 
 

@@ -259,3 +259,26 @@ def test_platt_distributed_equals_python_newton(spark):
         pa, pb = platt_newton_step(pa, pb, [(z, y) for y, z in rows])
     assert a == pytest.approx(pa, abs=1e-9)
     assert b == pytest.approx(pb, abs=1e-9)
+
+
+def test_gmm2_em_recovers_planted_components(spark):
+    """gmm2_em_fit (extras52): a planted two-cluster sample (N(100,10)
+    and N(300,20), fixed numpy seed) must be recovered by the
+    distributed EM to a few units."""
+    import numpy as np
+    import pytest
+
+    from agent_data_pipeline_spark.queries.extras52 import _gmm2_fit
+
+    rng = np.random.default_rng(0)
+    xs = np.concatenate(
+        [rng.normal(100.0, 10.0, 600), rng.normal(300.0, 20.0, 400)]
+    )
+    u = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    w2, mu1, s1, mu2, s2, ll = _gmm2_fit(u, 120.0, 280.0, 80.0, iters=15)
+    lo, hi = sorted([(mu1, s1, 1 - w2), (mu2, s2, w2)])
+    assert lo[0] == pytest.approx(100.0, abs=3.0)
+    assert lo[1] == pytest.approx(10.0, abs=3.0)
+    assert lo[2] == pytest.approx(0.6, abs=0.05)
+    assert hi[0] == pytest.approx(300.0, abs=6.0)
+    assert hi[1] == pytest.approx(20.0, abs=6.0)

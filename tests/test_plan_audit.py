@@ -36,6 +36,7 @@ ALLOWED: dict[str, set[str]] = {
     "ks_drift_test": {"global_window", "single_part_sort"},
     "granger_daily": {"global_window", "single_part_sort"},
     "randomized_response_freq": {"global_window", "single_part_sort"},
+    "wasserstein_sources": {"global_window", "single_part_sort"},
     "kruskal_wallis_h": {"global_window", "single_part_sort"},
     "mann_whitney_u": {"global_window", "single_part_sort"},
     "quantile_normalize_scores": {"global_window", "single_part_sort"},

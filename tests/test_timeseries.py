@@ -413,3 +413,19 @@ def test_binseg_respects_min_segment():
     # and the greedy first pick is the tightest allowed isolation of
     # the contaminated prefix
     assert got and got[0][0] == 30
+
+
+def test_dtw_invariants_and_shift_tolerance():
+    """dtw_l1 (extras52): identity, symmetry, the diagonal upper bound
+    (DTW <= L1 for equal-length series), and the selling point — a
+    time-shifted copy has near-zero DTW while L1 stays large."""
+    from agent_data_pipeline_spark.queries.extras52 import dtw_l1
+
+    a = [float((i * 7) % 13) for i in range(60)]
+    b = [a[0]] * 3 + a[:-3]  # 3-step delayed copy
+    assert dtw_l1(a, a) == 0.0
+    assert dtw_l1(a, b) == dtw_l1(b, a)
+    l1 = sum(abs(x - y) for x, y in zip(a, b))
+    assert dtw_l1(a, b) <= l1
+    # alignment absorbs the shift almost entirely
+    assert dtw_l1(a, b) < 0.2 * l1
