@@ -438,6 +438,11 @@ R7B_OPS = [
     "wasserstein_sources",
     "dtw_priority_series",
     "gmm2_em_fit",
+    # nineteenth wave: brand trend (month x brand grain), Simpson scan
+    # (day-grain moment pass), overdispersion (type x day grain).
+    "brand_share_trend",
+    "simpsons_paradox_scan",
+    "overdispersion_check",
 ]
 
 

@@ -153,3 +153,57 @@ def test_huber_equals_python_reference_on_fixture(spark):
             + 0.5
         ) / 1e4
         assert abs(got[seg]["huber_mean"] - want) < 0.05, seg
+
+
+def test_simpsons_scan_detects_planted_paradox(spark):
+    """simpsons_paradox_scan machinery (extras53): on a textbook
+    Simpson construction — two strata each with a strong NEGATIVE
+    within-stratum slope but stratum means arranged so the pooled
+    correlation is strongly POSITIVE — the significance-gated flip
+    census must fire for both strata."""
+    import pyspark.sql.functions as F
+
+    from agent_data_pipeline_spark.queries.extras53 import (
+        _corr_from,
+        _stratum_moments,
+    )
+
+    rows = []
+    # stratum A around (x=10, y=100), negative slope; stratum B around
+    # (x=50, y=500): pooled cloud climbs, within-stratum clouds fall.
+    for i in range(200):
+        x = 5.0 + (i % 10)
+        rows.append(("A", x, 120.0 - 4.0 * x + (i % 3)))
+    for i in range(200):
+        x = 45.0 + (i % 10)
+        rows.append(("B", x, 700.0 - 4.0 * x + (i % 3)))
+    df = spark.createDataFrame(rows, "stratum string, x double, y double")
+    per = _stratum_moments(df, "stratum")
+    pooled = per.agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"), F.sum("syy").alias("syy"),
+    ).select(
+        F.col("n").alias("n_pooled"),
+        _corr_from(F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"),
+                   F.col("sxx"), F.col("syy")).alias("pc"),
+    ).collect()[0]
+    strata = per.select(
+        "stratum", "n",
+        _corr_from(F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"),
+                   F.col("sxx"), F.col("syy")).alias("c"),
+    ).collect()
+    assert pooled["pc"] > 0.9  # pooled: strongly positive
+    import math
+
+    flips = 0
+    for r in strata:
+        assert r["c"] < -0.9  # within: strongly negative
+        if (
+            (r["c"] > 0) != (pooled["pc"] > 0)
+            and abs(r["c"]) * math.sqrt(r["n"] - 3) > 1.959964
+            and abs(pooled["pc"]) * math.sqrt(pooled["n_pooled"] - 3)
+            > 1.959964
+        ):
+            flips += 1
+    assert flips == 2
