@@ -443,6 +443,10 @@ R7B_OPS = [
     "brand_share_trend",
     "simpsons_paradox_scan",
     "overdispersion_check",
+    # twentieth wave: assortativity (edge-grain moment pass + degree
+    # joins), BFS (diameter-bounded frontier rounds).
+    "degree_assortativity",
+    "bfs_hops_from_hub",
 ]
 
 

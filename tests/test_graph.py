@@ -179,3 +179,60 @@ def test_k_core_fixture_in_core_degree_invariant(spark):
         deg_in[u] = deg_in.get(u, 0) + 1
         deg_in[v] = deg_in.get(v, 0) + 1
     assert all(d >= k for d in deg_in.values())
+
+
+# --------------------------------------------------------------------------
+# bfs_hops (queries/extras54.py): exact equality with a pure-Python
+# BFS on hand graphs and the sf0.001 co-purchase fixture.
+# --------------------------------------------------------------------------
+
+
+def _reference_bfs(edges, seed):
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    hops = {seed: 0}
+    frontier = [seed]
+    h = 0
+    while frontier:
+        h += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in hops:
+                    hops[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return hops
+
+
+def test_bfs_hops_hand_graph(spark):
+    from agent_data_pipeline_spark.queries.extras54 import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "lo long, hi long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, 1).collect()}
+    assert got == _reference_bfs(edges, 1)
+    assert 6 not in got and 7 not in got  # other component unreachable
+
+
+def test_bfs_hops_fixture_matches_reference(spark):
+    import pyspark.sql.functions as F
+
+    from agent_data_pipeline_spark.queries.extras54 import (
+        _copurchase_edges,
+        bfs_hops,
+    )
+
+    e = _copurchase_edges(spark, "/root/testdata/sf0.001")
+    edges = [(r["lo"], r["hi"]) for r in e.collect()]
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    hub = min(
+        (n for n in deg), key=lambda n: (-deg[n], n)
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, hub).collect()}
+    assert got == _reference_bfs(edges, hub)
