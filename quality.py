@@ -381,6 +381,24 @@ def main() -> None:
         "nb_fixture_n_docs": nb_fix_total,
         "nb_chance_accuracy": 0.5,
     }
+
+    # round-7 late waves: self-certifying planted metrics pulled from
+    # the operators' own outputs (the pytest planted suites carry the
+    # deeper checks; these rows surface the headline numbers).
+    from agent_data_pipeline_spark.queries import REGISTRY as _REG
+
+    jw = _REG["jaro_winkler_linkage"].spark(spark, sf_dir).collect()
+    out["jw_linkage_accuracy_min_block"] = min(r["accuracy"] for r in jw)
+    out["jw_linkage_n_probes"] = int(sum(r["n_probes"] for r in jw))
+    pro = _REG["embedding_procrustes_align"].spark(spark, sf_dir).collect()[0]
+    out["procrustes_frob_before"] = pro["frob_before"]
+    out["procrustes_frob_after"] = pro["frob_after"]
+    out["procrustes_rotation_max_err"] = pro["rotation_max_err"]
+    mk = _REG["markov_attribution"].spark(spark, sf_dir).collect()
+    out["markov_share_sum"] = round(
+        sum(r["attribution_share"] for r in mk), 6
+    )
+    out["markov_p_conv"] = mk[0]["p_conv"] if mk else None
     print(json.dumps(out))
 
 
