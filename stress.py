@@ -447,6 +447,11 @@ R7B_OPS = [
     # joins), BFS (diameter-bounded frontier rounds).
     "degree_assortativity",
     "bfs_hops_from_hub",
+    # twenty-first wave: Hill (TakeOrdered + tiny agg), stump
+    # (value-grain histogram), scaling law (5x vocab-bounded LM grid).
+    "hill_tail_index",
+    "best_split_stump",
+    "unigram_scaling_law",
 ]
 
 

@@ -282,3 +282,22 @@ def test_gmm2_em_recovers_planted_components(spark):
     assert lo[2] == pytest.approx(0.6, abs=0.05)
     assert hi[0] == pytest.approx(300.0, abs=6.0)
     assert hi[1] == pytest.approx(20.0, abs=6.0)
+
+
+def test_unigram_scaling_law_nll_monotone(spark):
+    """unigram_scaling_law (extras55): held-out NLL must be
+    non-increasing in training-set size (nested subsets + add-1
+    smoothing guarantee more data never hurts on average here), and
+    the fitted exponent must be negative."""
+    from agent_data_pipeline_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["unigram_scaling_law"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    nlls = [r["eval_nll_per_token"] for r in sorted(rows, key=lambda r: r["fraction"])]
+    assert all(a >= b for a, b in zip(nlls, nlls[1:]))
+    assert rows[0]["scaling_exponent"] < 0
+    docs = [r["n_train_docs"] for r in sorted(rows, key=lambda r: r["fraction"])]
+    assert all(a < b for a, b in zip(docs, docs[1:]))  # nested growth

@@ -34,7 +34,9 @@ ALLOWED: dict[str, set[str]] = {
     "gini_lorenz_approx": {"global_window", "single_part_sort"},
     "kmeans_clusters": {"global_window", "single_part_sort"},
     "ks_drift_test": {"global_window", "single_part_sort"},
+    "best_split_stump": {"global_window", "single_part_sort"},
     "granger_daily": {"global_window", "single_part_sort"},
+    "hill_tail_index": {"global_window"},
     "randomized_response_freq": {"global_window", "single_part_sort"},
     "wasserstein_sources": {"global_window", "single_part_sort"},
     "kruskal_wallis_h": {"global_window", "single_part_sort"},
