@@ -452,6 +452,10 @@ R7B_OPS = [
     "hill_tail_index",
     "best_split_stump",
     "unigram_scaling_law",
+    # twenty-second wave: MASE (calendar-spine windows), MinHash
+    # calibration (shingle sets + signatures — dedup-class cost).
+    "forecast_skill_mase",
+    "minhash_jaccard_calibration",
 ]
 
 

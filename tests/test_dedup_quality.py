@@ -140,3 +140,33 @@ def test_duplicate_span_stats_within_doc_repeat_counts(spark):
     r = duplicate_span_stats(df, window=3).collect()[0]
     # windows: abc bca cab abc -> 'a b c' occurs twice
     assert r["n_spans"] == 4 and r["n_dup_spans"] == 2
+
+
+def test_minhash_calibration_within_binomial_envelope(spark):
+    """minhash_jaccard_calibration (extras56): per exact-J decile the
+    mean MinHash estimate must sit within the 64-hash binomial SE
+    envelope of the mean exact Jaccard (3 sigma, sigma <=
+    sqrt(0.25/64)/sqrt(n)) for every bucket with >= 20 pairs — the
+    unbiasedness property that makes LSH thresholds transferable."""
+    import math
+
+    from agent_data_pipeline_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["minhash_jaccard_calibration"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) >= 5  # the corruption spans a real similarity range
+    checked = 0
+    for r in rows:
+        if r["n_pairs"] < 20:
+            continue
+        se = math.sqrt(0.25 / 64) / math.sqrt(r["n_pairs"])
+        assert abs(r["mean_estimate"] - r["mean_exact"]) <= 3 * se + 0.01, (
+            r["decile"],
+            r["mean_estimate"],
+            r["mean_exact"],
+        )
+        checked += 1
+    assert checked >= 4

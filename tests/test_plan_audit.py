@@ -35,6 +35,7 @@ ALLOWED: dict[str, set[str]] = {
     "kmeans_clusters": {"global_window", "single_part_sort"},
     "ks_drift_test": {"global_window", "single_part_sort"},
     "best_split_stump": {"global_window", "single_part_sort"},
+    "forecast_skill_mase": {"global_window", "single_part_sort"},
     "granger_daily": {"global_window", "single_part_sort"},
     "hill_tail_index": {"global_window"},
     "randomized_response_freq": {"global_window", "single_part_sort"},
