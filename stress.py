@@ -456,6 +456,10 @@ R7B_OPS = [
     # calibration (shingle sets + signatures — dedup-class cost).
     "forecast_skill_mase",
     "minhash_jaccard_calibration",
+    # twenty-third wave: bitwise aggs (two-phase), business days
+    # (pure row arithmetic + one agg).
+    "bitwise_kit",
+    "business_days_kit",
 ]
 
 
