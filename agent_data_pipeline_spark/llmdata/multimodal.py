@@ -494,3 +494,122 @@ def audio_spectral_peak(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=SPECTRAL_SCHEMA)
+
+
+CHANNEL_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, "
+    "r_mean DOUBLE, r_min BIGINT, r_max BIGINT, "
+    "g_mean DOUBLE, b_mean DOUBLE, r_entropy_nats DOUBLE, "
+    "decode_status STRING"
+)
+
+
+def synthesize_gradient_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Gradient BMP fixture for CHANNEL-STATISTICS analysis: per id a
+    w×h BMP (w = 4 + id%4 ≤ 7, h = 4 + id%5 ≤ 8) whose red channel is
+    the gradient R(x, y) = base + x + 7·y with base = id % 192 — no
+    modular wrap (max 191+6+49 = 246 < 256) and, because w ≤ 7, every
+    (x, y) yields a DISTINCT R value, so the red histogram is exactly
+    uniform over w·h values: mean = base + (w−1)/2 + 7(h−1)/2,
+    min = base, max = base + (w−1) + 7(h−1), entropy = ln(w·h) — all
+    pure arithmetic an SQL oracle can state. G = 255 − R (perfect
+    anti-correlation), B = base (constant)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, modality, payloads, mimes = [], [], [], []
+            for raw_id in pdf["_media_src_id"]:
+                i = int(raw_id)
+                w, h, base = 4 + i % 4, 4 + i % 5, i % 192
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        r = base + x + 7 * y
+                        px += bytes((r, 255 - r, base))
+                payloads.append(codecs.make_bmp(w, h, bytes(px)))
+                ids.append(i)
+                modality.append("image")
+                mimes.append("image/bmp")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "modality": modality,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "byte_len": pd.Series(
+                        [len(x) for x in payloads], dtype="int64"
+                    ),
+                    "sha256": [hashlib.sha256(x).hexdigest() for x in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel statistics over a REAL BMP decode: R mean /
+    min / max, G and B means, and the empirical entropy of the R
+    histogram in nats — the exposure/contrast screening pass of an
+    image curation pipeline. Payload-local (zero shuffle); corrupt
+    payloads land with decode_status='corrupt' and zeroed stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ws, hs = [], []
+            rm, rmin, rmax, gm, bm, ent, statuses = (
+                [], [], [], [], [], [], [],
+            )
+            for payload in pdf["payload"]:
+                try:
+                    w, h, _bpp, px = codecs.parse_bmp(bytes(payload))
+                    n = w * h
+                    rs = [px[3 * i] for i in range(n)]
+                    gs = [px[3 * i + 1] for i in range(n)]
+                    bs = [px[3 * i + 2] for i in range(n)]
+                    hist: dict[int, int] = {}
+                    for r in rs:
+                        hist[r] = hist.get(r, 0) + 1
+                    e = -sum(
+                        (c / n) * math.log(c / n) for c in hist.values()
+                    )
+                    ws.append(w)
+                    hs.append(h)
+                    rm.append(sum(rs) / n)
+                    rmin.append(min(rs))
+                    rmax.append(max(rs))
+                    gm.append(sum(gs) / n)
+                    bm.append(sum(bs) / n)
+                    ent.append(e)
+                    statuses.append("ok")
+                except (ValueError, struct.error, IndexError):
+                    ws.append(0)
+                    hs.append(0)
+                    rm.append(0.0)
+                    rmin.append(0)
+                    rmax.append(0)
+                    gm.append(0.0)
+                    bm.append(0.0)
+                    ent.append(0.0)
+                    statuses.append("corrupt")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "r_mean": pd.Series(rm, dtype="float64"),
+                    "r_min": pd.Series(rmin, dtype="int64"),
+                    "r_max": pd.Series(rmax, dtype="int64"),
+                    "g_mean": pd.Series(gm, dtype="float64"),
+                    "b_mean": pd.Series(bm, dtype="float64"),
+                    "r_entropy_nats": pd.Series(ent, dtype="float64"),
+                    "decode_status": statuses,
+                }
+            )
+
+    return media.mapInPandas(run, schema=CHANNEL_SCHEMA)

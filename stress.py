@@ -460,6 +460,10 @@ R7B_OPS = [
     # (pure row arithmetic + one agg).
     "bitwise_kit",
     "business_days_kit",
+    # twenty-fourth wave: BMP channel stats (payload-local decode),
+    # IP rollup (map-side hash + two aggs).
+    "bmp_channel_stats",
+    "ip_subnet_rollup",
 ]
 
 
