@@ -64,6 +64,7 @@ from . import (
     extras56,
     extras57,
     extras58,
+    extras59,
     llmdata_q,
     relational,
     scalars,
@@ -192,6 +193,10 @@ _NEVER_VERIFIED_FRONT = [
     # round-7 twenty-fourth wave (extras58) — never driver-checked
     "bmp_channel_stats",
     "ip_subnet_rollup",
+    # round-7 twenty-fifth wave (extras59) — never driver-checked
+    "haar_energy_decomposition",
+    "ljung_box_hw_residuals",
+    "arch_effect_acf",
     # everything below was driver-verified in CORRECTNESS_r06.json
     "mean_confidence_intervals",
     "cohort_ltv_curve",
@@ -225,7 +230,7 @@ _NEVER_VERIFIED_FRONT = [
     "entity_resolution_pipeline",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
