@@ -77,3 +77,38 @@ def epoch_micros(col: Column | str, ntz: bool = True) -> Column:
         + F.minute(col) * 60
         + F.second(col)
     ) * 1000000 + F.date_format(col, "SSSSSS").cast("long")
+
+
+def bounded_collect(df, max_rows: int, why: str) -> list:
+    """Collect a DataFrame the engine has ADJUDICATED as driver-safe,
+    mechanically enforcing the documented bound.
+
+    The "bounded driver-side recursion" family (Holt-Winters, PACF,
+    GMM EM, DTW, binseg, IPF/raking, PQ/IVF codebook fits, BPE merges,
+    …) legitimately collects calendar-grain (≤ ~2,400 rows),
+    value-grain (≤ ~550), or domain-bounded matrices. The discipline
+    keeping those collects safe used to be prose + review only; this
+    helper makes it mechanical: the length check turns a quietly
+    unbounded collect into a loud error naming the violated bound.
+
+    ``why`` states the bound's provenance (e.g. "daily grain ≤ 2400",
+    "vocab cap max_types=2000") so the error message is the
+    adjudication.
+
+    Deliberately a plain ``collect()`` + length assert, NOT
+    ``limit(max_rows + 1).collect()``: CollectLimit runs Spark's
+    incremental job escalation (1 partition, then scaleUpFactor×…),
+    which would turn pinned single-job aggregates into multi-job plans
+    (tests/test_sampling.py pins the weighted-mix counts step to ONE
+    job). The guard therefore fires after one driver materialization of
+    the offending frame — loud and immediate, which is the contract;
+    the bound itself is what keeps that materialization small.
+    """
+    rows = df.collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"bounded_collect: driver-side bound violated ({why}): "
+            f"got > {max_rows} rows — refusing to collect a "
+            f"fact-scale frame"
+        )
+    return rows

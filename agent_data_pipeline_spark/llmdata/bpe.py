@@ -65,7 +65,13 @@ def bpe_train_merges(
     at least twice. Tests assert the reference-equality of the merge
     sequence against an independent implementation and the
     non-increasing winning-pair count observed across steps."""
-    rows = word_type_counts(df, text_col, max_types=max_types).collect()
+    from ..fns import bounded_collect
+
+    rows = bounded_collect(
+        word_type_counts(df, text_col, max_types=max_types),
+        max_types if max_types is not None else 1_000_000,
+        "word-TYPE vocab capped at max_types (1e6 envelope when uncapped)",
+    )
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         sym = tuple(r["word"]) + (_END,)

@@ -83,7 +83,15 @@ def pca_explained_variance(
         .groupBy("i")
         .agg(F.sum("v").alias("v"))
     )
-    vals = {r.i: r.v for r in flat.collect()}  # the single action
+    from ..fns import bounded_collect
+
+    # the single action; grain is 1+d+d² moment scalars, NOT corpus rows
+    vals = {
+        r.i: r.v
+        for r in bounded_collect(
+            flat, 1 + 1024 + 1024 * 1024, "PCA moment grain 1+d+d², d ≤ 1024"
+        )
+    }
     if not vals:
         return spark.createDataFrame(
             [], "component long, eigenvalue double, explained_ratio double, cum_ratio double"

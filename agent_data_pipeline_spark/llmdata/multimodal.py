@@ -527,7 +527,9 @@ def synthesize_gradient_images(df: DataFrame, id_col: str) -> DataFrame:
                 for y in range(h):
                     for x in range(w):
                         r = base + x + 7 * y
-                        px += bytes((r, 255 - r, base))
+                        # make_bmp consumes BGR triplets (codecs.py:43):
+                        # the R gradient goes in byte 2, B=base in byte 0.
+                        px += bytes((base, 255 - r, r))
                 payloads.append(codecs.make_bmp(w, h, bytes(px)))
                 ids.append(i)
                 modality.append("image")
@@ -569,9 +571,12 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
                 try:
                     w, h, _bpp, px = codecs.parse_bmp(bytes(payload))
                     n = w * h
-                    rs = [px[3 * i] for i in range(n)]
+                    # parse_bmp yields BGR triplets: byte 0 is BLUE,
+                    # byte 2 is RED (codecs.py:66) — a BMP from any
+                    # standard tool stores this order, so read it.
+                    bs = [px[3 * i] for i in range(n)]
                     gs = [px[3 * i + 1] for i in range(n)]
-                    bs = [px[3 * i + 2] for i in range(n)]
+                    rs = [px[3 * i + 2] for i in range(n)]
                     hist: dict[int, int] = {}
                     for r in rs:
                         hist[r] = hist.get(r, 0) + 1

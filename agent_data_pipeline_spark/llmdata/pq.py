@@ -42,7 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _kmeans_fit, _train_sample
+from ..fns import bounded_collect
+from .similarity import MAX_QUERY_SIDE_ROWS, _kmeans_fit, _train_sample
 
 _ROUND = 6
 
@@ -92,7 +93,11 @@ def pq_topk(
     books = pq_fit(corpus, id_col, vec_col, n_sub, n_codes, train_limit, seed)
     sub = books.shape[2]
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = bounded_collect(
+        queries.select(id_col, vec_col),
+        MAX_QUERY_SIDE_ROWS,
+        "ANN query side is the bounded broadcast side",
+    )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -182,7 +187,11 @@ def pq_topk(
         )
     )
     scale = 10.0**_ROUND
-    sim = F.floor(dot / cnorm * scale + F.lit(0.5)) / scale
+    # Zero-norm guard matching with_unit_norm / cosine_topk_bruteforce:
+    # the ADC encode substitutes norm 1 for zero vectors, so one CAN
+    # reach the shortlist — emit the raw dot (0.0) instead of NULL.
+    safe_cos = F.when(cnorm > 0, dot / cnorm).otherwise(dot)
+    sim = F.floor(safe_cos * scale + F.lit(0.5)) / scale
     scored = (
         shortlist.join(cvecs, "neighbor_id")
         .join(F.broadcast(qdf), "query_id")

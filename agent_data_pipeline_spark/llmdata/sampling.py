@@ -252,9 +252,15 @@ def weighted_mix(
     for name, (df, _) in sources.items():
         part = df.select(F.lit(name).alias("_mix_src"))
         tagged = part if tagged is None else tagged.unionByName(part)
+    from ..fns import bounded_collect
+
     counts = {
         r["_mix_src"]: r["n"]
-        for r in tagged.groupBy("_mix_src").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in bounded_collect(
+            tagged.groupBy("_mix_src").agg(F.count(F.lit(1)).alias("n")),
+            len(sources),
+            "one row per mixture source",
+        )
     }
     c = min(counts[n] / w for n, (_, w) in sources.items())
     parts = []

@@ -33,7 +33,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..fns import rnd
+from ..fns import bounded_collect, rnd
+
+# ANN/decontamination contract: the query/eval side is the SMALL side,
+# shipped to executors inside the kernel closure — the corpus side is
+# the fact-scale one that stays distributed. This cap makes that
+# contract mechanical (100k × d=64 doubles ≈ 50 MB closure ceiling).
+MAX_QUERY_SIDE_ROWS = 100_000
 
 _ROUND = 6
 
@@ -102,7 +108,11 @@ def cosine_topk_bruteforce(
         queries = queries.filter(F.col(exclude_match_col).isNotNull())
         corpus = corpus.filter(F.col(exclude_match_col).isNotNull())
     qcols = [id_col, vec_col] + ([exclude_match_col] if exclude_match_col else [])
-    qrows = queries.select(*qcols).collect()
+    qrows = bounded_collect(
+        queries.select(*qcols),
+        MAX_QUERY_SIDE_ROWS,
+        "ANN query side is the bounded broadcast side",
+    )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qvals = (
         np.array([r[2] for r in qrows]) if exclude_match_col else None
@@ -330,7 +340,11 @@ def _train_sample(corpus: DataFrame, id_col: str, vec_col: str, train_limit: int
     whatever rows the first partitions supply, silently breaking the
     "seeded fit => deterministic" reproducibility contract whenever the
     corpus is repartitioned."""
-    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_limit).collect()
+    sample = bounded_collect(
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_limit),
+        train_limit,
+        "codebook/centroid fit sample capped at train_limit",
+    )
     return np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
 
 
@@ -441,7 +455,11 @@ def semantic_decontaminate(
     Returns (id, nearest_eval_id, max_cosine, is_contaminated) for every
     training vector.
     """
-    erows = eval_df.select(id_col, vec_col).collect()
+    erows = bounded_collect(
+        eval_df.select(id_col, vec_col),
+        MAX_QUERY_SIDE_ROWS,
+        "decontamination eval benchmark is the bounded broadcast side",
+    )
     eids = np.array([r[0] for r in erows], dtype=np.int64)
     emat = np.stack([np.asarray(r[1], dtype=np.float64) for r in erows])
     enorm = np.linalg.norm(emat, axis=1)
@@ -524,7 +542,11 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("cell", nearest_cell("c_vec"))
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = bounded_collect(
+        queries.select(id_col, vec_col),
+        MAX_QUERY_SIDE_ROWS,
+        "ANN query side is the bounded broadcast side",
+    )
     spark = corpus.sparkSession
     probe_rows = []
     for r in qrows:

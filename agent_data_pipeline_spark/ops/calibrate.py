@@ -71,7 +71,13 @@ def isotonic_calibrate_binned(
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     binned = df.select(
-        F.least(F.floor(score * bins).cast("long"), F.lit(bins - 1)).alias("bin"),
+        # Clamp BOTH edges: scores are nominally in [0, 1] but a caller
+        # passing an unnormalized score below 0 must land in bin 0, not
+        # a silent negative bin that sorts ahead of the real range.
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.floor(score * bins).cast("long"), F.lit(bins - 1)),
+        ).alias("bin"),
         label.cast("long").alias("y"),
     )
     agg = binned.groupBy("bin").agg(

@@ -89,69 +89,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 24 front entries green, so as of round 7 every registry query has a
 # driver row; the round-7 front below leads with the new additions.
 _NEVER_VERIFIED_FRONT = [
-    # round-7 first wave (extras35) — never driver-checked yet, lead
-    "cms_heavy_hitters",
-    "ks_drift_test",
-    "ndcg_eval",
-    "adamic_adar_links",
-    "acf_lags",
-    "cohens_kappa",
-    "theil_sen_trend",
-    # round-7 second wave (extras36) — rows-only, never driver-checked
-    "pq_ann_topk",
-    "mmr_diverse_topk",
-    "image_dhash_neardup",
-    # round-7 third wave (extras37) — never driver-checked
-    "cuped_adjusted_ab",
-    "k_anonymity_audit",
-    "weighted_log_odds_terms",
-    "fdr_bh_tests",
-    # round-7 fourth wave (extras38) — never driver-checked
-    "poisson_bootstrap_ci",
-    "neyman_allocation",
-    "isotonic_calibration",
-    # round-7 fifth wave (extras39) — never driver-checked
-    "embedding_diversity_by_label",
-    "embedding_centroid_shift",
-    # round-7 sixth wave (extras40) — never driver-checked
-    "mann_whitney_u",
-    "assoc_rules_lift",
-    "threshold_sweep_pr",
-    "conformal_intervals",
-    # round-7 seventh wave (extras41) — never driver-checked
-    "cem_att",
-    "rolling_ols_slope",
-    "mutual_information_lang_source",
-    "quantile_normalize_scores",
-    # round-7 eighth wave (extras42) — never driver-checked
-    "bigram_backoff_scores",
-    "hhi_concentration",
-    "raking_ipf",
-    # round-7 ninth wave (extras43) — never driver-checked
-    "spearman_daily_corr",
-    "welch_ttest",
-    "kruskal_wallis_h",
-    "cramers_v_assoc",
-    "js_divergence_sources",
-    "jaro_winkler_linkage",
-    # round-7 tenth wave (extras44) — never driver-checked
-    "rake_keyphrases",
-    "ab_power_mde",
-    "l_diversity_audit",
-    "wav_spectral_peak",
-    "k_core_decomposition",
-    "pacf_lags",
-    # round-7 eleventh wave (extras45) — never driver-checked
-    "grid_proximity_join",
-    "markov_attribution",
-    # round-7 twelfth wave (extras46) — never driver-checked
-    "kmv_distinct_shingles",
-    "g2_collocations",
-    "funnel_within_window",
-    "ess_weighted_estimate",
-    # round-7 thirteenth wave (extras47) — never driver-checked
-    "its_segmented_regression",
-    "spatial_knn_grid",
+    # Round-8 rotation: CORRECTNESS_r07.json hard-checked the first 50
+    # round-7 entries (cms_heavy_hitters → spatial_knn_grid, all green),
+    # leaving these 33 round-7 waves-13-to-25 queries as the only
+    # registry entries without a driver row. They lead so the driver's
+    # 50-sample clears the debt; new round-8 queries slot in AFTER them
+    # (positions 34-50) so growth can never displace the backlog.
+    # round-7 thirteenth wave tail (extras47) — never driver-checked
     "huber_mean_irls",
     # round-7 fourteenth wave (extras48) — never driver-checked
     "holt_winters_daily",
@@ -197,6 +141,58 @@ _NEVER_VERIFIED_FRONT = [
     "haar_energy_decomposition",
     "ljung_box_hw_residuals",
     "arch_effect_acf",
+    # --- round-8 additions land here (keep total ≤50 per round) ---
+    # everything below was driver-verified in CORRECTNESS_r07.json
+    "cms_heavy_hitters",
+    "ks_drift_test",
+    "ndcg_eval",
+    "adamic_adar_links",
+    "acf_lags",
+    "cohens_kappa",
+    "theil_sen_trend",
+    "pq_ann_topk",
+    "mmr_diverse_topk",
+    "image_dhash_neardup",
+    "cuped_adjusted_ab",
+    "k_anonymity_audit",
+    "weighted_log_odds_terms",
+    "fdr_bh_tests",
+    "poisson_bootstrap_ci",
+    "neyman_allocation",
+    "isotonic_calibration",
+    "embedding_diversity_by_label",
+    "embedding_centroid_shift",
+    "mann_whitney_u",
+    "assoc_rules_lift",
+    "threshold_sweep_pr",
+    "conformal_intervals",
+    "cem_att",
+    "rolling_ols_slope",
+    "mutual_information_lang_source",
+    "quantile_normalize_scores",
+    "bigram_backoff_scores",
+    "hhi_concentration",
+    "raking_ipf",
+    "spearman_daily_corr",
+    "welch_ttest",
+    "kruskal_wallis_h",
+    "cramers_v_assoc",
+    "js_divergence_sources",
+    "jaro_winkler_linkage",
+    "rake_keyphrases",
+    "ab_power_mde",
+    "l_diversity_audit",
+    "wav_spectral_peak",
+    "k_core_decomposition",
+    "pacf_lags",
+    "grid_proximity_join",
+    "markov_attribution",
+    "kmv_distinct_shingles",
+    "g2_collocations",
+    "funnel_within_window",
+    "ess_weighted_estimate",
+    "its_segmented_regression",
+    "spatial_knn_grid",
     # everything below was driver-verified in CORRECTNESS_r06.json
     "mean_confidence_intervals",
     "cohort_ltv_curve",

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fns import rnd  # noqa: F401  (re-exported for query modules)
+from ..fns import bounded_collect, rnd  # noqa: F401  (re-exported for query modules)
 
 
 @dataclass(frozen=True)

@@ -45,7 +45,7 @@ from pyspark.sql.types import (
 )
 
 from ..fns import spread
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _KNUTH = 2654435761
 
@@ -249,11 +249,21 @@ def ipf_rake(
 def _raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("lang", "source", "n_chars")
     sample = d.filter(F.col("n_chars") >= 300)
-    cell_rows = (
-        sample.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    ).collect()
-    corpus_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
-    corpus_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    cell_rows = bounded_collect(
+        sample.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")),
+        10_000,
+        "lang × source value grain",
+    )
+    corpus_lang = bounded_collect(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")),
+        1_000,
+        "lang value grain",
+    )
+    corpus_src = bounded_collect(
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n")),
+        1_000,
+        "source value grain",
+    )
     n_sample = sum(r["n"] for r in cell_rows)
     n_corpus = sum(r["n"] for r in corpus_lang)
     cells = {(r["lang"], r["source"]): r["n"] for r in cell_rows}

@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 
 # --------------------------------------------------------------------------
@@ -436,13 +436,14 @@ def _pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag"))
     shifted = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
-    acf_rows = (
+    acf_rows = bounded_collect(
         daily.crossJoin(F.broadcast(lags))
         .join(shifted, F.col("d2") == F.date_add(F.col("d"), F.col("lag")))
         .groupBy("lag")
         .agg(F.corr("rev", "rev2").alias("acf"))
-        .orderBy("lag")
-        .collect()
+        .orderBy("lag"),
+        12,
+        "one row per requested lag (range 1..12)",
     )
     import math
 

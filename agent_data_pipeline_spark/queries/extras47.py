@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _CUT = "1998-01-01"
 
@@ -300,10 +300,11 @@ def _huber_mean_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(r["mean_x"]),
             int(r["n"]),
         )
-        for r in seed.collect()
+        for r in bounded_collect(seed, 1_000, "segment value grain")
     }
     scale = {
-        r["seg"]: max(1.4826 * float(r["mad"]), 1e-9) for r in mad.collect()
+        r["seg"]: max(1.4826 * float(r["mad"]), 1e-9)
+        for r in bounded_collect(mad, 1_000, "segment value grain")
     }
     est = {s: v[0] for s, v in state.items()}
     for _ in range(_IRLS_ITERS):
@@ -321,13 +322,14 @@ def _huber_mean_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) if len(scale) > 1 else F.lit(next(iter(scale.values())))
         r = F.abs(F.col("x") - cond) / sc
         w = F.when(r <= _HUBER_C, 1.0).otherwise(_HUBER_C / r)
-        it = (
+        it = bounded_collect(
             u.withColumn("w", w)
             .groupBy("seg")
             .agg(
                 (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
-            )
-            .collect()
+            ),
+            1_000,
+            "segment value grain",
         )
         est = {row["seg"]: float(row["m"]) for row in it}
     rows = [

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _ALPHA, _BETA, _GAMMA, _M = 0.2, 0.05, 0.1, 7
 
@@ -91,7 +91,11 @@ def holt_winters_additive(
 def _holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    rows = _daily_series(spark, sf_dir).orderBy("day").collect()
+    rows = bounded_collect(
+        _daily_series(spark, sf_dir).orderBy("day"),
+        2_400,
+        "daily calendar grain (TPC-H order-date span ≤ ~2,400 days)",
+    )
     days = [r["day"] for r in rows]
     ys = [float(r["cents"]) / 100.0 for r in rows]
     fitted, fc = holt_winters_additive(ys)

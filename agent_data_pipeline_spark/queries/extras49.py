@@ -40,7 +40,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _DIM = 64
 
@@ -112,11 +112,12 @@ def _embedding_procrustes_align(
         out["v"].append(float(n))
         yield pd.DataFrame(out)
 
-    agg = (
+    agg = bounded_collect(
         emb.mapInPandas(partials, schema="i INT, j INT, v DOUBLE")
         .groupBy("i", "j")
-        .agg(F.sum("v").alias("v"))
-        .collect()
+        .agg(F.sum("v").alias("v")),
+        _DIM * _DIM + 4,
+        "cross-covariance moment grain d² + 4 scalars (saa/sbb/sab/n)",
     )
     m = [[0.0] * _DIM for _ in range(_DIM)]
     saa = sbb = sab = nn = 0.0

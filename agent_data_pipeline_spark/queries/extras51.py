@@ -41,7 +41,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _MIN_SEG = 30
 _MAX_BREAKS = 5
@@ -94,7 +94,7 @@ def binseg(ys: list[float], min_seg: int = _MIN_SEG,
 
 
 def _binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = (
+    rows = bounded_collect(
         t(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
@@ -102,8 +102,9 @@ def _binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("cents")
         )
-        .orderBy("day")
-        .collect()
+        .orderBy("day"),
+        2_400,
+        "daily calendar grain (TPC-H order-date span ≤ ~2,400 days)",
     )
     days = [r["day"] for r in rows]
     ys = [r["cents"] / 100.0 for r in rows]

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 
 def _wasserstein_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +161,7 @@ def dtw_l1(a: list[float], b: list[float]) -> float:
 
 
 def _dtw_priority_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    weekly = (
+    weekly = bounded_collect(
         t(spark, sf_dir, "orders")
         .groupBy(
             F.col("o_orderpriority").alias("prio"),
@@ -172,8 +172,9 @@ def _dtw_priority_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("cents")
         )
-        .orderBy("prio", "wk")
-        .collect()
+        .orderBy("prio", "wk"),
+        5_000,
+        "priority × week grain (5 priorities × ~350 weeks)",
     )
     series: dict[str, list[float]] = {}
     for r in weekly:

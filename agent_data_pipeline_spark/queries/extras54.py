@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,10 +179,11 @@ def _bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    hist = (
+    hist = bounded_collect(
         visited.groupBy("hop")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_at_hop"))
-        .collect()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_at_hop")),
+        31,
+        "one row per BFS hop (max_hops=30)",
     )
     reached = sum(r["n_at_hop"] for r in hist)
     rows = [

@@ -39,7 +39,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _HAAR_N = 256
 
@@ -70,7 +70,7 @@ def haar_energies(ys: list[float]) -> list[tuple[str, float]]:
 def _haar_energy_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    rows = (
+    rows = bounded_collect(
         t(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
@@ -80,8 +80,9 @@ def _haar_energy_decomposition(
         )
         .orderBy(F.col("day").desc())
         .limit(_HAAR_N)
-        .orderBy("day")
-        .collect()
+        .orderBy("day"),
+        _HAAR_N,
+        "trailing _HAAR_N-day window",
     )
     ys = [r["cents"] / 1e6 for r in rows]  # millions of dollars
     if len(ys) < _HAAR_N:
@@ -132,7 +133,11 @@ def _ljung_box_hw_residuals(
 ) -> DataFrame:
     from .extras48 import _daily_series, holt_winters_additive
 
-    rows = _daily_series(spark, sf_dir).orderBy("day").collect()
+    rows = bounded_collect(
+        _daily_series(spark, sf_dir).orderBy("day"),
+        2_400,
+        "daily calendar grain (TPC-H order-date span ≤ ~2,400 days)",
+    )
     ys = [float(r["cents"]) / 100.0 for r in rows]
     fitted, _fc = holt_winters_additive(ys)
     burn = 28  # discard initialization transient

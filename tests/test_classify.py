@@ -301,3 +301,25 @@ def test_unigram_scaling_law_nll_monotone(spark):
     assert rows[0]["scaling_exponent"] < 0
     docs = [r["n_train_docs"] for r in sorted(rows, key=lambda r: r["fraction"])]
     assert all(a < b for a, b in zip(docs, docs[1:]))  # nested growth
+
+
+def test_isotonic_binning_clamps_out_of_range_scores(spark):
+    """Regression (round-8 advice): scores below 0 must clamp into bin
+    0 (mirroring the existing upper-edge clamp at bins-1), not create a
+    negative leading bin."""
+    from agent_data_pipeline_spark.ops.calibrate import isotonic_calibrate_binned
+
+    df = spark.createDataFrame(
+        [(-0.7, 0), (-0.01, 1), (0.0, 0), (0.5, 1), (1.5, 1)],
+        "score double, label int",
+    )
+    rows = (
+        isotonic_calibrate_binned(df, "score", F.col("label") == 1, bins=10)
+        .orderBy("bin")
+        .collect()
+    )
+    bins = [r["bin"] for r in rows]
+    assert bins[0] == 0 and bins[-1] == 9, bins
+    assert all(b >= 0 for b in bins)
+    # the three clamped/edge scores (-0.7, -0.01, 0.0) share bin 0
+    assert rows[0]["n"] == 3

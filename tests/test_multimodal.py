@@ -270,3 +270,51 @@ def test_dhash_stable_under_resize(spark):
         small = c.resize_bmp(big, 16, 16)
         d = bin((dhash64(big) ^ dhash64(small)) & ((1 << 64) - 1)).count("1")
         assert d <= 6, (i, d)
+
+
+def test_image_channel_stats_reads_bgr_order(spark):
+    """Regression (round-8 advice): a BMP built with KNOWN per-channel
+    constants — B=10, G=20, R=30, i.e. make_bmp triplet bytes
+    (10, 20, 30) per BGR contract (codecs.py:43) — must report
+    r_mean=30 and b_mean=10. Before the fix, image_channel_stats read
+    byte 0 as red AND synthesize_gradient_images wrote the gradient
+    into byte 0, so the swap was mutually invisible to the fixture
+    tests; this test pins the channel order against the codec contract
+    itself, independent of any fixture."""
+    import hashlib
+
+    w, h = 4, 3
+    payload = codecs.make_bmp(w, h, bytes((10, 20, 30)) * (w * h))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/bmp", len(payload),
+          hashlib.sha256(payload).hexdigest())],
+        "media_id long, modality string, payload binary, mime string, "
+        "byte_len long, sha256 string",
+    )
+    row = multimodal.image_channel_stats(media).collect()[0]
+    assert row["decode_status"] == "ok"
+    assert row["r_mean"] == 30.0 and row["r_min"] == 30 and row["r_max"] == 30
+    assert row["g_mean"] == 20.0
+    assert row["b_mean"] == 10.0
+    assert row["r_entropy_nats"] == 0.0
+
+
+def test_gradient_fixture_red_channel_in_byte2(spark):
+    """The gradient fixture's documented R(x,y)=base+x+7y must land in
+    BGR byte 2 so a standards-conformant decoder sees the red gradient."""
+    base_df = spark.createDataFrame([(5,)], "doc_id long")
+    payload = bytes(
+        multimodal.synthesize_gradient_images(base_df, "doc_id")
+        .collect()[0]["payload"]
+    )
+    w, h, _bpp, px = codecs.parse_bmp(payload)
+    i = 5
+    base = i % 192
+    assert (w, h) == (4 + i % 4, 4 + i % 5)
+    for y in range(h):
+        for x in range(w):
+            r = base + x + 7 * y
+            off = 3 * (y * w + x)
+            assert px[off + 2] == r, (x, y)        # red in byte 2
+            assert px[off + 1] == 255 - r, (x, y)  # green
+            assert px[off] == base, (x, y)         # blue constant

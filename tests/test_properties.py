@@ -207,3 +207,20 @@ def test_simpsons_scan_detects_planted_paradox(spark):
         ):
             flips += 1
     assert flips == 2
+
+
+def test_bounded_collect_enforces_and_is_identity(spark):
+    """bounded_collect (round-8: mechanical guard for the adjudicated
+    driver-side-recursion family) must (a) return exactly df.collect()
+    when the bound holds, order included, and (b) raise loudly, naming
+    the violated bound, when it doesn't."""
+    import pytest
+
+    from agent_data_pipeline_spark.fns import bounded_collect
+
+    df = spark.range(0, 100).orderBy("id")
+    ok = bounded_collect(df, 100, "test grain")
+    assert [r["id"] for r in ok] == list(range(100))
+
+    with pytest.raises(ValueError, match="test grain"):
+        bounded_collect(spark.range(0, 1_000_000), 100, "test grain")
