@@ -410,23 +410,43 @@ def semantic_dedup(
         .drop("_n")
     )
 
-    pair_dot = _pair_dot_udf()
-    a = cells.select("cell", "sub", F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = cells.select("cell", "sub", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    dup_ids = (
-        a.join(b, ["cell", "sub"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", pair_dot("va", "vb"))
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
+    # Within-group pair mining as ONE matmul per (cell, sub) group via
+    # applyInPandas, emitting per-vector flags directly. Round-8 rework:
+    # the previous shape materialized the ~cap²/2 pair ROWS through a
+    # (cell, sub) self-join and shipped every pair's two d-float vectors
+    # to a per-pair pandas UDF, then needed a distinct + left join to
+    # fold flags back. Each group is ≤ ~cell_cap vectors by the salt
+    # split, so S = X·Xᵀ / (‖x‖‖y‖) is a tiny BLAS call (cap²·d flops,
+    # ~2 MB at cap 512); each vector now crosses the wire ONCE and the
+    # whole tail is a single groupBy shuffle (vs join + distinct + left
+    # join before). Semantics identical: raw-dot / norm-product
+    # (zero-norm → 1), floor-6dp rounding, flag = has a LOWER-id
+    # cell-mate ≥ threshold, pairs straddling a salt split not compared.
+    def _flag_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        x = x[order]
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0.0] = 1.0
+        s = (x @ x.T) / np.outer(n, n)
+        s = np.floor(s * 1e6 + 0.5) / 1e6
+        is_dup = np.tril(s >= threshold, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": ids[order],
+                "cell": np.repeat(np.int64(pdf["cell"].iloc[0]), len(ids)),
+                "is_dup": is_dup.astype("int64"),
+            }
+        )
+
     return (
-        cells.join(dup_ids.withColumn("_dup", F.lit(1)), "id", "left")
+        cells.groupBy("cell", "sub")
+        .applyInPandas(_flag_group, schema="id long, cell long, is_dup long")
         .select(
             F.col("id").alias(id_col),
-            F.col("cell").cast("long").alias("cell"),
-            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+            F.col("cell"),
+            F.col("is_dup"),
         )
     )
 
