@@ -93,8 +93,8 @@ def _holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = bounded_collect(
         _daily_series(spark, sf_dir).orderBy("day"),
-        2_400,
-        "daily calendar grain (TPC-H order-date span ≤ ~2,400 days)",
+        3_000,
+        "daily calendar grain (TPC-H order-date span is ~2,406 days)",
     )
     days = [r["day"] for r in rows]
     ys = [float(r["cents"]) / 100.0 for r in rows]

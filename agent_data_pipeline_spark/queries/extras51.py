@@ -103,8 +103,8 @@ def _binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
         .orderBy("day"),
-        2_400,
-        "daily calendar grain (TPC-H order-date span ≤ ~2,400 days)",
+        3_000,
+        "daily calendar grain (TPC-H order-date span is ~2,406 days)",
     )
     days = [r["day"] for r in rows]
     ys = [r["cents"] / 100.0 for r in rows]

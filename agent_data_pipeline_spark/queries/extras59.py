@@ -135,8 +135,8 @@ def _ljung_box_hw_residuals(
 
     rows = bounded_collect(
         _daily_series(spark, sf_dir).orderBy("day"),
-        2_400,
-        "daily calendar grain (TPC-H order-date span ≤ ~2,400 days)",
+        3_000,
+        "daily calendar grain (TPC-H order-date span is ~2,406 days)",
     )
     ys = [float(r["cents"]) / 100.0 for r in rows]
     fitted, _fc = holt_winters_additive(ys)

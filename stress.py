@@ -466,6 +466,24 @@ R7B_OPS = [
     "ip_subnet_rollup",
 ]
 
+R8_OPS = [
+    # round-7 snapshot wave (extras59, never stress-measured in r7):
+    # all three reduce to the bounded daily/256-day spine before any
+    # driver-side math — expect ~data ratio from the fact-side agg.
+    "haar_energy_decomposition",
+    "ljung_box_hw_residuals",
+    "arch_effect_acf",
+    # round-8 wave (extras60): KMV pair sketches (two-phase distinct +
+    # k-grain windows — dedup-class cost), blocked WAV loudness
+    # (payload-local decode, zero shuffle), prefix census (substring
+    # hash agg), DAU/WAU (distinct user-day grain + constant 7x
+    # explode, equi-join only).
+    "kmv_source_jaccard",
+    "wav_block_loudness",
+    "prefix_dup_census",
+    "dau_wau_stickiness",
+]
+
 
 def bloom_ab_probe(spark, sf_dir: str) -> dict:
     """A/B the Bloom semi-join pruning against the plain join with
@@ -595,6 +613,7 @@ def main() -> None:
     r6 = base_vs_10x(R6_OPS)
     r7 = base_vs_10x(R7_OPS)
     r7b = base_vs_10x(R7B_OPS)
+    r8 = base_vs_10x(R8_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -631,6 +650,7 @@ def main() -> None:
                 "round6_ops_base_vs_10x": r6,
                 "round7_ops_base_vs_10x": r7,
                 "round7_late_ops_base_vs_10x": r7b,
+                "round8_ops_base_vs_10x": r8,
                 "pagerank_job_probe": pg_jobs,
                 "bloom_ab_probe": bloom_ab,
                 "composed_exact_then_minhash": composed,

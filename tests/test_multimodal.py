@@ -318,3 +318,34 @@ def test_gradient_fixture_red_channel_in_byte2(spark):
             assert px[off + 2] == r, (x, y)        # red in byte 2
             assert px[off + 1] == 255 - r, (x, y)  # green
             assert px[off] == base, (x, y)         # blue constant
+
+
+def test_block_loudness_totality_and_exactness(spark):
+    """audio_block_loudness: (a) corrupt payloads land as
+    decode_status='corrupt' with zeroed stats (totality contract);
+    (b) on the blocked square-wave fixture the per-block RMS is
+    EXACTLY the block amplitude, so min/max match the arithmetic."""
+    import hashlib
+
+    base_df = spark.createDataFrame([(3,)], "doc_id long")
+    good = multimodal.synthesize_block_wavs(base_df, "doc_id")
+    bad = spark.createDataFrame(
+        [(99, "audio", bytearray(b"RIFFgarbage"), "audio/wav", 11,
+          hashlib.sha256(b"RIFFgarbage").hexdigest())],
+        "media_id long, modality string, payload binary, mime string, "
+        "byte_len long, sha256 string",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.audio_block_loudness(good.unionByName(bad)).collect()
+    }
+    ok = rows[3]
+    i, nb = 3, 4 + 3 % 4
+    amps = [1000 + 500 * ((i + b) % 5) for b in range(nb)]
+    assert ok["decode_status"] == "ok"
+    assert ok["n_blocks"] == nb
+    assert ok["rms_min"] == float(min(amps))
+    assert ok["rms_max"] == float(max(amps))
+    corrupt = rows[99]
+    assert corrupt["decode_status"] == "corrupt"
+    assert corrupt["n_blocks"] == 0 and corrupt["rms_max"] == 0.0
