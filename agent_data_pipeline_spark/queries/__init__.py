@@ -66,6 +66,7 @@ from . import (
     extras58,
     extras59,
     extras60,
+    extras61,
     llmdata_q,
     relational,
     scalars,
@@ -147,6 +148,10 @@ _NEVER_VERIFIED_FRONT = [
     "wav_block_loudness",
     "prefix_dup_census",
     "dau_wau_stickiness",
+    # round-8 second wave (extras61) — never driver-checked
+    "embedding_mahalanobis_outliers",
+    "event_trigram_mining",
+    "trimmed_mean_by_segment",
     # everything below was driver-verified in CORRECTNESS_r07.json
     "cms_heavy_hitters",
     "ks_drift_test",
@@ -231,7 +236,7 @@ _NEVER_VERIFIED_FRONT = [
     "entity_resolution_pipeline",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, extras61, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

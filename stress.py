@@ -482,6 +482,13 @@ R8_OPS = [
     "wav_block_loudness",
     "prefix_dup_census",
     "dau_wau_stickiness",
+    # round-8 second wave (extras61): Mahalanobis (d-fold posexplode
+    # collapsed map-side to labels×d + bucket-refine top-k), trigrams
+    # (user-grain lead window + hash agg + 125-row rank), trimmed mean
+    # (bucket-histogram + boundary-bucket refine — no fact sort).
+    "embedding_mahalanobis_outliers",
+    "event_trigram_mining",
+    "trimmed_mean_by_segment",
 ]
 
 

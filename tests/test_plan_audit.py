@@ -59,6 +59,7 @@ ALLOWED: dict[str, set[str]] = {
     "udtf_first_words": {"row_python_udf"},
     "vocab_encode_stats": {"global_window"},
     "zipf_fit": {"global_window"},
+    "event_trigram_mining": {"global_window"},
 }
 
 
