@@ -238,21 +238,75 @@ ORDER BY from_type, to_type
 
 def _quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency decile binning of order totals (feature
-    discretization): ntile(10) over a TOTAL order (price + unique key
-    tie-break, so bin membership is engine-independent), then per-bin
-    count/edges/sum. The global ntile sorts on a single partition — the
-    exact small-table variant; at 100 TB the scale path is
-    approx_percentile bin EDGES broadcast back as a range join
-    (see `approx_quantile_kit`), trading exact equal counts for a
-    shuffle-free scan. Sum is over 2-decimal money values, rounded on
-    the same grid — no float knife-edge."""
+    discretization) with EXACT ntile(10) semantics — equal counts,
+    remainder to the early bins, (price, unique key) total order — but
+    WITHOUT the single-partition fact sort ntile plans (round-8 rework;
+    the op carried a measured ~5x ratio at 10x for rounds as the
+    documented small-table variant). The 9 decile boundary ROWS are
+    order statistics r_i = i·(n div 10) + min(i, n mod 10), located by
+    the bucket-histogram + refine pattern ($100 cents buckets, a
+    bucket-grain cumulative window, per-boundary rank of ONE bucket's
+    rows); the 9 (cents, orderkey) boundary pairs — a bounded_collect
+    of exactly 9 rows — then assign bins in a single map-side
+    lexicographic comparison pass, and one hash agg finishes. Exact
+    equal-frequency binning at any scale: the only windows run on the
+    bucket grain (~#distinct-$100-values rows) and inside located
+    buckets. Assumes n ≥ 10 (any driver fixture). Sum stays over
+    2-decimal money values on the same rounding grid as the oracle —
+    no float knife-edge; cents = floor(p·100+0.5) orders identically
+    to p for 2-decimal money."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.select(
-        F.ntile(10).over(w).cast("long").alias("bin"), "o_totalprice"
+    u = o.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
     )
+    tot = u.agg(F.count(F.lit(1)).alias("n_tot"))
+    ranks = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            (
+                F.col("i") * F.floor(F.col("n_tot") / 10).cast("long")
+                + F.least(F.col("i"), F.col("n_tot") % 10)
+            ).alias("r"),
+        )
+    )
+    bucketed = u.withColumn("b", F.floor(F.col("cents") / 10000).cast("long"))
+    bagg = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bcum = bagg.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    located = ranks.join(
+        bcum,
+        (F.col("cum_before") < F.col("r"))
+        & (F.col("r") <= F.col("cum_before") + F.col("cnt")),
+    ).select("i", "r", "b", "cum_before")
+    cand = bucketed.join(F.broadcast(located), "b")
+    w_in = Window.partitionBy("i").orderBy("cents", "o_orderkey")
+    bval = (
+        cand.withColumn("rk", F.row_number().over(w_in))
+        .filter(F.col("rk") == F.col("r") - F.col("cum_before"))
+        .select("i", "cents", "o_orderkey")
+    )
+    from .core import bounded_collect
+
+    bounds = sorted(
+        (int(r["cents"]), int(r["o_orderkey"]))
+        for r in bounded_collect(bval, 9, "exactly one row per decile boundary")
+    )
+    bin_expr = F.lit(1)
+    for bc, bk in bounds:
+        after = (F.col("cents") > bc) | (
+            (F.col("cents") == bc) & (F.col("o_orderkey") > bk)
+        )
+        bin_expr = bin_expr + after.cast("long")
     return (
-        binned.groupBy("bin")
+        u.withColumn("bin", bin_expr.cast("long"))
+        .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("o_totalprice").alias("lo"),

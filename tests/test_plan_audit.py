@@ -48,7 +48,6 @@ ALLOWED: dict[str, set[str]] = {
     "orphan_audit": {"single_part_sort"},
     "poisson_bootstrap_ci": {"global_window"},
     "pareto_revenue": {"global_window", "single_part_sort"},
-    "quantile_bins": {"global_window", "single_part_sort"},
     "rfm_segments": {"global_window", "single_part_sort"},
     "rrf_rank_fusion": {"global_window", "single_part_sort"},
     "sequence_gaps": {"global_window", "single_part_sort"},
