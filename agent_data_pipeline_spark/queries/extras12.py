@@ -110,26 +110,74 @@ def _pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("cust")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.withColumn("cum", F.sum("cents").over(w)).withColumn(
-        "total", F.sum("cents").over(Window.partitionBy())
-    )
-    return ranked.agg(
-        F.max("total").alias("total_cents"),
+    # Round-8 rework: the ranked cumulative sum over the CUSTOMER grain
+    # (a dimension that grows with data — 10x ratios ~3 in the stress
+    # record) is replaced by the bucket-histogram + refine pattern: the
+    # 80% crossing point lands in exactly one $1000 revenue bucket
+    # (buckets order-partition the (cents desc, cust) total order, so a
+    # bucket-grain top-down cumulative locates it), and only THAT
+    # bucket's rows get a ranked running sum. All comparisons stay on
+    # the exact integer grid (cum*10 vs total*8) — semantics identical
+    # to the full windowed cumsum; the oracle is unchanged.
+    tot = rev.agg(
+        F.sum("cents").alias("total"),
         F.count(F.lit(1)).alias("n_customers"),
-        (
+        F.max("cents").alias("top_cents"),
+    )
+    bucketed = rev.withColumn(
+        "b", F.floor(F.col("cents") / 100000).cast("long")
+    )
+    bagg = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("s")
+    )
+    wb = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bagg.withColumn(
+        "cum_cnt_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    ).withColumn(
+        "cum_s_before", F.coalesce(F.sum("s").over(wb), F.lit(0))
+    )
+    crossing = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cum_s_before") * 10 < F.col("total") * 8)
+            & (F.col("total") * 8 <= (F.col("cum_s_before") + F.col("s")) * 10)
+        )
+        .select(
+            F.col("b").alias("b_star"), "cum_cnt_before", "cum_s_before"
+        )
+    )
+    w_in = Window.partitionBy("b").orderBy(
+        F.col("cents").desc(), F.col("cust")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    in_bucket = (
+        bucketed.join(
+            F.broadcast(crossing), bucketed["b"] == crossing["b_star"]
+        )
+        .withColumn("cum_in", F.sum("cents").over(w_in))
+        .crossJoin(F.broadcast(tot.select("total")))
+        .agg(
             F.sum(
                 F.when(
-                    F.col("cum") * 10 < F.col("total") * 8, F.lit(1)
+                    (F.col("cum_s_before") + F.col("cum_in")) * 10
+                    < F.col("total") * 8,
+                    F.lit(1),
                 ).otherwise(F.lit(0))
-            )
-            + 1
+            ).alias("c_in"),
+            F.max("cum_cnt_before").alias("cum_cnt_before"),
         )
-        .cast("long")
-        .alias("n_top80"),
-        F.max("cents").alias("top_customer_cents"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(in_bucket))
+        .select(
+            F.col("total").cast("long").alias("total_cents"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            (F.col("cum_cnt_before") + F.col("c_in") + 1)
+            .cast("long")
+            .alias("n_top80"),
+            F.col("top_cents").cast("long").alias("top_customer_cents"),
+        )
     )
 
 
