@@ -57,7 +57,8 @@ def pca_explained_variance(
 ) -> DataFrame:
     """Top-k PCA explained-variance ratios over an embedding column.
 
-    One distributed pass AND one action: mapInPandas emits per-batch
+    One distributed pass over the corpus (plus a limit(1) dimension
+    probe): mapInPandas emits per-batch
     partials (n, Σx, flattened XᵀX); the three moments are concatenated
     into a single long-form (idx, value) frame — idx 0 is n, 1..d is Σx,
     d+1.. is the Gram — and reduced by index in ONE groupBy collected
@@ -85,11 +86,19 @@ def pca_explained_variance(
     )
     from ..fns import bounded_collect
 
-    # the single action; grain is 1+d+d² moment scalars, NOT corpus rows
+    # The moment grain is exactly 1+d+d² scalars, NOT corpus rows — but
+    # d must come from the data, not a hardcoded envelope (ADVICE r8: a
+    # fixed d ≤ 1024 bound falsely rejected wider embeddings). One
+    # limit(1) probe reads a single row's vector length; the corpus
+    # itself is still scanned exactly once, by the moment kernel.
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    d_probe = int(probe[0].d) if probe else 0
     vals = {
         r.i: r.v
         for r in bounded_collect(
-            flat, 1 + 1024 + 1024 * 1024, "PCA moment grain 1+d+d², d ≤ 1024"
+            flat,
+            1 + d_probe + d_probe * d_probe,
+            f"PCA moment grain 1+d+d², probed d={d_probe}",
         )
     }
     if not vals:

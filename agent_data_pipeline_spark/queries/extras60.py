@@ -35,10 +35,12 @@ template-prefix censusing, and engagement stickiness.
   exercise the census; the degenerate-fixture-labels lesson).
 * ``dau_wau_stickiness`` — daily-active / trailing-7-day-active user
   ratio (the classic DAU/WAU engagement number) per day: distinct
-  (user, day) pairs once, then a day-spine range join for the trailing
-  window — no window over fact rows, interval arithmetic only (the
-  TZ-safe comparison class for the events fixture). Day spine and
-  user-day grain are both bounded (≤ a few thousand rows at any SF);
+  (user, day) pairs once, then a constant-7× explode of each user-day
+  to the window anchor days it serves — equi-join/equi-agg only, no
+  window over fact rows and deliberately NOT a day-spine range join
+  (that plans as BroadcastNestedLoopJoin); interval arithmetic keeps
+  the comparison TZ-safe for the events fixture. The user-day grain is
+  bounded (≤ a few thousand rows at any SF);
   dates are emitted as ISO strings (driver contract: never DATE).
 
 Reference parity: no sketch/audio/census surface in the reference
@@ -417,6 +419,7 @@ QUERIES: dict[str, QuerySpec] = {
         _dau_wau_stickiness,
         _DAU_WAU_SQL,
         "DAU / trailing-7-day WAU engagement ratio per day via a "
-        "day-spine range join over the distinct user-day grain",
+        "constant-7x explode of the distinct user-day grain to its "
+        "window anchor days (equi-join only, no range join)",
     ),
 }

@@ -29,7 +29,10 @@ pattern mining, and robust (trimmed) aggregation.
   (S_total − S_low_k − S_high_k)/(n − 2k). With ties, any k rows
   realizing the k smallest values give the same sum, so the
   (x, o_orderkey) rank tie-break cannot change the result — the
-  robust-location sibling of ``median_ci_order_stats``.
+  robust-location sibling of ``median_ci_order_stats``. Segments with
+  n < 10 get k = 0: the cut/part frames are left-joined and coalesced
+  to 0, so such a segment keeps its plain (untrimmed) mean on both
+  engines instead of being dropped.
 
 Reference parity: no outlier/sequence/robust-agg surface in the
 reference (SURVEY.md §2.A); declared north-star §2.B additions.
@@ -132,7 +135,15 @@ ORDER BY label, outlier_rank
 
 
 def _event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # NULL event_type is excluded up front on BOTH engines: Spark's
+    # concat_ws skips NULL parts (2-part trigram) while the oracle's
+    # '||' propagates NULL — filtering first keeps them in agreement
+    # (ADVICE r8).
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     tri = (
         ev.withColumn("e2", F.lead("event_type", 1).over(w))
@@ -172,6 +183,7 @@ WITH tri AS (
            lead(event_type, 1) OVER w AS e2,
            lead(event_type, 2) OVER w AS e3
     FROM events
+    WHERE event_type IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
   ) WHERE e3 IS NOT NULL
 ), counted AS (
@@ -282,11 +294,15 @@ def _trimmed_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.sum("cents").alias("part_hi"))
     )
+    # left joins + coalesce: with k = 0 (segment n < 10) the cut/part
+    # frames match nothing — the trimmed sums collapse to 0 and the
+    # result is the plain mean, exactly what the oracle's CASE computes
+    # (ADVICE r8: inner joins silently dropped such segments).
     return (
-        stats.join(lo_cut.select("seg", "full_lo"), "seg")
-        .join(hi_cut.select("seg", "full_hi"), "seg")
-        .join(lo_part, "seg")
-        .join(hi_part, "seg")
+        stats.join(lo_cut.select("seg", "full_lo"), "seg", "left")
+        .join(hi_cut.select("seg", "full_hi"), "seg", "left")
+        .join(lo_part, "seg", "left")
+        .join(hi_part, "seg", "left")
         .select(
             "seg",
             F.col("n").cast("long").alias("n"),
@@ -294,10 +310,10 @@ def _trimmed_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(
                 (
                     F.col("s_tot")
-                    - F.col("full_lo")
-                    - F.col("part_lo")
-                    - F.col("full_hi")
-                    - F.col("part_hi")
+                    - F.coalesce(F.col("full_lo"), F.lit(0))
+                    - F.coalesce(F.col("part_lo"), F.lit(0))
+                    - F.coalesce(F.col("full_hi"), F.lit(0))
+                    - F.coalesce(F.col("part_hi"), F.lit(0))
                 ).cast("double")
                 / 100.0
                 / (F.col("n") - 2 * F.col("k")),

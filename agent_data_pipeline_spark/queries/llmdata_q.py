@@ -4,7 +4,7 @@ multimodal carriage — wired to the `documents` / `embeddings` fixtures.
 Queries with no ``oracle`` (MinHash-LSH, SimHash, SRP-LSH ANN) use
 engine-side hash seeds DuckDB cannot reproduce; they get rows-only driver
 checks plus pytest recall/parity checks against exact counterparts
-(tests/test_llmdata.py).
+(tests/test_dedup_quality.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations

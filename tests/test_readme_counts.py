@@ -30,3 +30,20 @@ def test_readme_counts_match_live_registry():
     assert int(m.group(1)) == oracled, (
         f"README says {m.group(1)} hash-checked; registry has {oracled} oracled"
     )
+
+
+def test_docstring_test_citations_exist():
+    """Every tests/test_*.py path cited in a source docstring/comment
+    must exist — round-8 verdict found queries/llmdata_q.py citing a
+    test file that was never created (a reader chasing it found
+    nothing). Swept mechanically so citations cannot go stale again.
+    """
+    root = README.parent
+    pkg = root / "agent_data_pipeline_spark"
+    pattern = re.compile(r"tests/test_[a-z_0-9]*\.py")
+    stale = []
+    for src in list(pkg.rglob("*.py")) + list(root.glob("*.py")):
+        for cited in set(pattern.findall(src.read_text())):
+            if not (root / cited).exists():
+                stale.append(f"{src.relative_to(root)} cites missing {cited}")
+    assert not stale, "\n".join(stale)
