@@ -47,28 +47,119 @@ def _cents(col: F.Column) -> F.Column:
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order,
     vs the dataset's max order date), frequency (order count), monetary
-    (lifetime cents), each scored 1-5 by global ntile with the customer
-    key as tie-break (5 = best). Output is the segment census: counts
-    and monetary totals per (r,f,m) cell plus a named segment. The fact
-    scan collapses to customer-dim rows before any global window."""
+    (lifetime cents), each scored 1-5 with EXACT global ntile(5)
+    semantics and the customer key as tie-break (5 = best). Output is
+    the segment census: counts and monetary totals per (r,f,m) cell
+    plus a named segment.
+
+    Round-9 rework (was: three global ntile windows over the customer
+    dim — the documented exact-small variant, measured 2.39x at 10x).
+    Ranking by recency DESC is identical to ranking by last-order-day
+    ASC (recency = anchor − last_day is monotone decreasing and ties
+    coincide), so no anchor scan is needed at all; each metric's 4
+    quintile boundary ROWS are order statistics r_i = i·(n div 5) +
+    min(i, n mod 5), located by ONE long-form bucket-histogram + refine
+    side job over all three metrics at once (buckets: last-order
+    epoch-day and order count are their own value grain, ≤ ~2.4k / ~60
+    rows; lifetime cents bucket at $1,000, ~5.5k rows). The 12
+    (metric, key, custkey) boundary pairs — a bounded_collect of
+    exactly 12 rows — assign all three scores in one map-side
+    lexicographic pass; the RETURNED plan is scan → hash agg → project
+    → hash agg, window-free (the bucket-grain windows live in the
+    bounded side job). In-bucket refine grain = the largest single
+    day/count/$1,000 tie class; a second refine level is the documented
+    escalation if a tie class ever approaches partition size. Assumes
+    n ≥ 5 customers (any driver fixture)."""
     o = t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_dt"),
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(_cents(F.col("o_totalprice"))).alias("mon_cents"),
     )
-    anchor = o.agg(F.max("o_orderdate").alias("anchor_dt"))
-    per = per.crossJoin(F.broadcast(anchor)).withColumn(
-        "recency_days", F.datediff("anchor_dt", "last_dt").cast("long")
+    # One fact shuffle total: the customer-dim aggregate feeds the
+    # boundary side job (histogram + refine) AND the scoring pass —
+    # persist it so orders is scanned/aggregated once, not three times
+    # (at cluster scale this is the checkpoint-the-dim idiom).
+    per = per.persist()
+    # --- bounded side job: locate the 12 ntile(5) boundary pairs -----
+    longf = per.select(
+        F.col("o_custkey").alias("ck"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("r").alias("mid"), F.col("last_day").alias("key")),
+                F.struct(F.lit("f").alias("mid"), F.col("freq").alias("key")),
+                F.struct(F.lit("m").alias("mid"), F.col("mon_cents").alias("key")),
+            )
+        ).alias("x"),
+    ).select("ck", "x.mid", "x.key")
+    longf = longf.withColumn(
+        "b",
+        F.when(F.col("mid") == "m", F.floor(F.col("key") / 100000))
+        .otherwise(F.col("key"))
+        .cast("long"),
     )
-    # 5 = best: most recent / most frequent / highest spend.
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("freq").asc(), F.col("o_custkey"))
-    w_m = Window.orderBy(F.col("mon_cents").asc(), F.col("o_custkey"))
+    bagg = longf.groupBy("mid", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    ntot = bagg.groupBy("mid").agg(F.sum("cnt").alias("n"))
+    ranks = (
+        spark.range(1, 5)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "mid",
+            "i",
+            (
+                F.col("i") * F.floor(F.col("n") / 5).cast("long")
+                + F.least(F.col("i"), F.col("n") % 5)
+            ).alias("rnk"),
+        )
+    )
+    wb = Window.partitionBy("mid").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bcum = bagg.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    # rename before the join: ranks and bcum share bagg's lineage, and
+    # ranks.mid == bcum.mid resolves as a trivially-true self-compare
+    ranks = ranks.withColumnRenamed("mid", "r_mid")
+    located = ranks.join(
+        bcum,
+        (F.col("r_mid") == F.col("mid"))
+        & (F.col("cum_before") < F.col("rnk"))
+        & (F.col("rnk") <= F.col("cum_before") + F.col("cnt")),
+    ).select("mid", "i", "rnk", "b", "cum_before")
+    cand = longf.join(F.broadcast(located), ["mid", "b"])
+    w_in = Window.partitionBy("mid", "i").orderBy("key", "ck")
+    bval = (
+        cand.withColumn("in_rk", F.row_number().over(w_in))
+        .filter(F.col("in_rk") == F.col("rnk") - F.col("cum_before"))
+        .select("mid", "i", "key", "ck")
+    )
+    from .core import bounded_collect
+
+    bounds: dict[str, list[tuple[int, int]]] = {"r": [], "f": [], "m": []}
+    for row in bounded_collect(
+        bval, 12, "exactly one row per (metric, quintile boundary)"
+    ):
+        bounds[row["mid"]].append((int(row["key"]), int(row["ck"])))
+
+    def tile(key_col: F.Column, mid: str) -> F.Column:
+        # tile = 1 + #boundary pairs strictly below (key, custkey);
+        # the boundary row itself closes its tile.
+        e: F.Column = F.lit(1).cast("long")
+        for bk, bc in sorted(bounds[mid]):
+            after = (key_col > bk) | (
+                (key_col == bk) & (F.col("o_custkey") > bc)
+            )
+            e = e + after.cast("long")
+        return e
+
     scored = per.select(
-        F.ntile(5).over(w_r).cast("long").alias("r"),
-        F.ntile(5).over(w_f).cast("long").alias("f"),
-        F.ntile(5).over(w_m).cast("long").alias("m"),
+        tile(F.col("last_day"), "r").alias("r"),
+        tile(F.col("freq"), "f").alias("f"),
+        tile(F.col("mon_cents"), "m").alias("m"),
         "mon_cents",
     )
     seg = (

@@ -102,12 +102,39 @@ ORDER BY degree
 """
 
 
+_RRF_C = 60
+_RRF_TOPN = 20
+# Candidate cutoff: a row with BOTH ranks > K scores < 2/(C+K); the
+# top-N-by-revenue rows alone each score > 1/(C+N), so with
+# K = C + 2N every fused top-N row has rev_rank <= K or freq_rank <= K.
+_RRF_K = _RRF_C + 2 * _RRF_TOPN  # = 100
+
+
 def _rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two independent customer rankings —
     by lifetime revenue (cents) and by order count — fused as
-    Σ 1/(60 + rank); emits the fused top-20 with both source ranks.
-    Rankings tie-break on the customer key; the fusion constant 60 is
-    the published RRF default."""
+    Σ 1/(60 + rank); emits the fused top-20 with both EXACT source
+    ranks. Rankings tie-break on the customer key; the fusion constant
+    60 is the published RRF default.
+
+    Round-9 rework (was: two global row_number windows over the
+    customer dim — the documented exact-small variant, measured 2.59x
+    at 10x). The fused top-20 provably lies in the union of the two
+    per-metric top-K sets with K = 60 + 2·20 = 100 (a row outside both
+    scores < 2/160 = 1/80 while the 20 top-revenue rows each score
+    > 1/80), so only ≤ 2K candidate rows ever need ranks. A bounded
+    side job builds one long-form bucket histogram over both metrics
+    ($1,000 lifetime-value buckets / exact order-count values), takes
+    its descending-cumulative counts (value-domain grain, collected
+    once), and refines the two rank-100 boundary pairs. In-plan, the
+    candidate filter is one map-side lexicographic compare, each
+    candidate's EXACT global rank is rebuilt as
+    1 + cum(better buckets) + |strictly-better rows in its own bucket|
+    (a BroadcastHashJoin of the ≤200 candidates against their own
+    buckets only), and the final top-20 is a TakeOrdered over ≤200
+    rows. The returned plan has no windows and no global sort; with
+    n ≤ 100 customers the boundary is absent and every row is a
+    candidate (still exact)."""
     o = t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(
@@ -115,23 +142,150 @@ def _rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w_rev = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    w_frq = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
-    ranked = per.select(
-        "o_custkey",
-        F.row_number().over(w_rev).cast("long").alias("rev_rank"),
-        F.row_number().over(w_frq).cast("long").alias("freq_rank"),
+    # One fact shuffle total: the customer-dim aggregate feeds the
+    # histogram side job, the candidate filter, and both in-bucket
+    # better-count branches — persist it (checkpoint-the-dim idiom).
+    per = per.persist()
+    # --- bounded side job: bucket histogram + rank-100 boundaries ----
+    # keys are NEGATED so ascending (key, ck) = (metric desc, ck asc)
+    longf = per.select(
+        F.col("o_custkey").alias("ck"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("rev").alias("mid"), (-F.col("cents")).alias("key")),
+                F.struct(
+                    F.lit("frq").alias("mid"), (-F.col("n_orders")).alias("key")
+                ),
+            )
+        ).alias("x"),
+    ).select("ck", "x.mid", "x.key")
+    longf = longf.withColumn(
+        "b",
+        F.when(F.col("mid") == "rev", F.floor(F.col("key") / 100000))
+        .otherwise(F.col("key"))
+        .cast("long"),
     )
-    fused = ranked.withColumn(
-        "rrf_score",
+    bagg = longf.groupBy("mid", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.partitionBy("mid").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bcum = bagg.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    from .core import bounded_collect
+
+    hist = bounded_collect(
+        bcum,
+        100_000,
+        "$1,000 lifetime-value buckets (~22k max) + distinct order counts",
+    )
+    located = bcum.filter(
+        (F.col("cum_before") < _RRF_K)
+        & (F.lit(_RRF_K) <= F.col("cum_before") + F.col("cnt"))
+    )
+    w_in = Window.partitionBy("mid").orderBy("key", "ck")
+    bval = (
+        longf.join(F.broadcast(located), ["mid", "b"])
+        .withColumn("in_rk", F.row_number().over(w_in))
+        .filter(F.col("in_rk") == F.lit(_RRF_K) - F.col("cum_before"))
+        .select("mid", "key", "ck")
+    )
+    cut = {
+        row["mid"]: (int(row["key"]), int(row["ck"]))
+        for row in bounded_collect(bval, 2, "one rank-100 boundary per metric")
+    }
+    cum_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["mid"], int(r["b"]), int(r["cum_before"])) for r in hist],
+            "mid string, b long, cum_before long",
+        )
+    )
+
+    def is_cand(key_col: F.Column, mid: str) -> F.Column:
+        if mid not in cut:  # n <= K: every row is a candidate
+            return F.lit(True)
+        bk, bc = cut[mid]
+        return (key_col < bk) | ((key_col == bk) & (F.col("ck") <= bc))
+
+    x = per.select(
+        F.col("o_custkey").alias("ck"),
+        (-F.col("cents")).alias("k_rev"),
+        (-F.col("n_orders")).alias("k_frq"),
+    )
+    cand = (
+        x.filter(is_cand(F.col("k_rev"), "rev") | is_cand(F.col("k_frq"), "frq"))
+        .withColumn("b_rev", F.floor(F.col("k_rev") / 100000).cast("long"))
+        .withColumn("b_frq", F.col("k_frq").cast("long"))
+    )
+
+    def exact_rank(mid: str, b_col: str, k_col: str) -> DataFrame:
+        base = (
+            cand.select(
+                F.col("ck").alias("c_ck"),
+                F.col(b_col).alias("c_b"),
+                F.col(k_col).alias("c_k"),
+            )
+            .join(
+                cum_df.filter(F.col("mid") == mid).select("b", "cum_before"),
+                F.col("c_b") == F.col("b"),
+            )
+            .select("c_ck", "c_b", "c_k", "cum_before")
+        )
+        key_expr = (
+            (-F.col("cents")) if mid == "rev" else (-F.col("n_orders"))
+        )
+        y = per.select(
+            F.col("o_custkey").alias("y_ck"),
+            key_expr.alias("y_k"),
+        ).withColumn(
+            "y_b",
+            (F.floor(F.col("y_k") / 100000) if mid == "rev" else F.col("y_k"))
+            .cast("long"),
+        )
+        better = (
+            y.join(
+                F.broadcast(base),
+                (F.col("y_b") == F.col("c_b"))
+                & (
+                    (F.col("y_k") < F.col("c_k"))
+                    | ((F.col("y_k") == F.col("c_k")) & (F.col("y_ck") < F.col("c_ck")))
+                ),
+            )
+            .groupBy("c_ck")
+            .agg(F.count(F.lit(1)).alias("n_better"))
+        )
+        return (
+            base.join(better, "c_ck", "left")
+            .select(
+                F.col("c_ck").alias("ck"),
+                (
+                    1
+                    + F.col("cum_before")
+                    + F.coalesce(F.col("n_better"), F.lit(0))
+                )
+                .cast("long")
+                .alias(f"{mid}_rank"),
+            )
+        )
+
+    ranked = (
+        cand.select("ck")
+        .join(exact_rank("rev", "b_rev", "k_rev"), "ck")
+        .join(exact_rank("frq", "b_frq", "k_frq"), "ck")
+    )
+    fused = ranked.select(
+        F.col("ck").alias("o_custkey"),
+        F.col("rev_rank"),
+        F.col("frq_rank").alias("freq_rank"),
         rnd(
-            1.0 / (60 + F.col("rev_rank")) + 1.0 / (60 + F.col("freq_rank")),
+            1.0 / (_RRF_C + F.col("rev_rank"))
+            + 1.0 / (_RRF_C + F.col("frq_rank")),
             6,
-        ),
+        ).alias("rrf_score"),
     )
     return (
         fused.orderBy(F.col("rrf_score").desc(), F.col("o_custkey"))
-        .limit(20)
+        .limit(_RRF_TOPN)
         .orderBy(F.col("rrf_score").desc(), F.col("o_custkey"))
     )
 

@@ -48,8 +48,6 @@ ALLOWED: dict[str, set[str]] = {
     "orphan_audit": {"single_part_sort"},
     "poisson_bootstrap_ci": {"global_window"},
     "pareto_revenue": {"global_window", "single_part_sort"},
-    "rfm_segments": {"global_window", "single_part_sort"},
-    "rrf_rank_fusion": {"global_window", "single_part_sort"},
     "sequence_gaps": {"global_window", "single_part_sort"},
     "share_of_parent": {"single_part_sort"},
     "skyline_parts": {"global_window", "single_part_sort"},

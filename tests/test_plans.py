@@ -488,14 +488,15 @@ def test_interval_overlap_day_grain_preagg(spark):
     assert _nodes(plan, "HashAggregate") >= 5, plan[:1500]
 
 
-def test_rfm_collapses_facts_before_global_windows(spark):
-    """RFM scores: the fact scan must aggregate to customer-dim rows
-    BEFORE any global ntile window, and the anchor-date join must not
-    be a cartesian over facts."""
+def test_rfm_returned_plan_window_free(spark):
+    """RFM scores (round-9 rework): the quintile boundaries are located
+    in a bounded side job, so the RETURNED plan must be window-free —
+    scan, customer-dim hash agg, map-side tile comparison, census agg.
+    No cartesian anywhere (the old anchor cross-join is gone too)."""
     plan = plan_of(spark, "rfm_segments")
     assert "CartesianProduct" not in plan, plan[:1200]
     assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
-    assert _nodes(plan, "Window") >= 1, plan[:1500]
+    assert _nodes(plan, "Window") == 0, plan[:1500]
 
 
 def test_gini_single_rank_exchange(spark):
@@ -831,12 +832,18 @@ def test_degree_distribution_capped_pair_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
 
 
-def test_rrf_rank_windows_on_customer_dim(spark):
-    """Both rank windows run over the customer-dim aggregate, and the
-    top-20 compiles to TakeOrderedAndProject, not a global sort."""
+def test_rrf_returned_plan_window_free_topk(spark):
+    """RRF (round-9 rework): boundary location lives in a bounded side
+    job and candidate ranks are rebuilt by bucket-cum + in-bucket
+    better-count joins, so the returned plan has NO windows and the
+    top-20 compiles to TakeOrderedAndProject, not a global sort. The
+    in-bucket counts must be equi (broadcast-hash) joins, not BNLJ."""
     plan = plan_of(spark, "rrf_rank_fusion")
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+    assert _nodes(plan, "Window") == 0, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan, plan[:1200]
 
 
 def test_mode_imputation_histogram_not_fact_sort(spark):
