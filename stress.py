@@ -491,6 +491,16 @@ R8_OPS = [
     "trimmed_mean_by_segment",
 ]
 
+# Round-9 wave (extras62). The media join decodes payload-local and
+# shuffles scalar features only; the re-ranker's pair scorer touches
+# n_queries x 50 broadcast shortlist rows, never the corpus. (The two
+# round-9 window-free rank reworks, rfm_segments / rrf_rank_fusion,
+# are already swept in R4D_OPS above.)
+R9_OPS = [
+    "media_source_curation_join",
+    "crossenc_rerank_topk",
+]
+
 
 def bloom_ab_probe(spark, sf_dir: str) -> dict:
     """A/B the Bloom semi-join pruning against the plain join with
@@ -621,6 +631,7 @@ def main() -> None:
     r7 = base_vs_10x(R7_OPS)
     r7b = base_vs_10x(R7B_OPS)
     r8 = base_vs_10x(R8_OPS)
+    r9 = base_vs_10x(R9_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -658,6 +669,7 @@ def main() -> None:
                 "round7_ops_base_vs_10x": r7,
                 "round7_late_ops_base_vs_10x": r7b,
                 "round8_ops_base_vs_10x": r8,
+                "round9_ops_base_vs_10x": r9,
                 "pagerank_job_probe": pg_jobs,
                 "bloom_ab_probe": bloom_ab,
                 "composed_exact_then_minhash": composed,
