@@ -399,6 +399,44 @@ def main() -> None:
         sum(r["attribution_share"] for r in mk), 6
     )
     out["markov_p_conv"] = mk[0]["p_conv"] if mk else None
+
+    # round-9: two-stage re-rank recall vs the exact full-candidate
+    # blended scoring (same 6dp rounding on both sides) — the shortlist
+    # quality number tests/test_extras62.py floors at 0.80.
+    import numpy as np
+
+    docs_pd = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    emb_pd = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in emb_pd])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    tok_sets = [set(r["text"].lower().split()) for r in docs_pd]
+
+    def _r6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    exact_top = {}
+    for q in range(10):
+        cos = V @ V[q]
+        scored = []
+        for c in range(len(V)):
+            if c == q:
+                continue
+            jac = len(tok_sets[q] & tok_sets[c]) / len(tok_sets[q] | tok_sets[c])
+            scored.append((_r6(0.5 * _r6(cos[c]) + 0.5 * _r6(jac)), -c))
+        scored.sort(reverse=True)
+        exact_top[q] = {-c for _s, c in scored[:5]}
+    ce = _REG["crossenc_rerank_topk"].spark(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    for r in ce:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out["crossenc_rerank_recall_at_5"] = round(
+        sum(len(got[q] & exact_top[q]) / 5 for q in range(10)) / 10, 4
+    )
     print(json.dumps(out))
 
 
