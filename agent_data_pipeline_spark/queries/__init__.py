@@ -103,6 +103,7 @@ _NEVER_VERIFIED_FRONT = [
     # -- reworked in round 9 (window-free boundary-location rewrites)
     "rfm_segments",
     "rrf_rank_fusion",
+    "gini_lorenz",
     # -- round-9 edge/robustness fixes (k=0 segments, NULL trigrams,
     #    PCA dim probe, description-only dau_wau)
     "trimmed_mean_by_segment",

@@ -224,39 +224,89 @@ def _gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based rank — every sum an exact BIGINT (Σ(i·x) stays < 2^63 up to
     ~sf10 corpus sizes; beyond that, bin first), the final ratio a
     single double division rounded at 6. Ranks/deciles tie-break on the
-    customer key. Customer-dim rows only after the first aggregate."""
+    customer key.
+
+    Round-9 rework (was: global row_number + ntile(10) over the
+    customer dim — the documented exact-small variant). The global
+    index is decomposed as i = cum_before(bucket) + in-bucket rank:
+    ONE bounded side collect takes the $1,000-lifetime-value bucket
+    histogram (value-domain grain, ≤ ~22k rows at any scale) whose
+    prefix sums broadcast back as a plain lookup table, and the
+    in-bucket rank is a window PARTITIONED by bucket — shuffle-parallel,
+    never a single-task sort. n and Σx are exact Python ints from the
+    same histogram, so the decile of a row is pure map-side arithmetic
+    on i (ntile boundaries r_t = t·(n div 10) + min(t, n mod 10)), and
+    the Lorenz cumulative is an explode-sequence equi-aggregation over
+    the 10-row census (each decile contributes to every d ≥ itself) —
+    the returned plan has NO global window and no global sort. Assumes
+    n ≥ 10 customers (any driver fixture). Oracle unchanged."""
     o = t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("cents")
+    ).withColumn("b", F.floor(F.col("cents") / 100000).cast("long"))
+    from .core import bounded_collect
+
+    hist = sorted(
+        (int(r["b"]), int(r["cnt"]), int(r["s"]))
+        for r in bounded_collect(
+            per.groupBy("b").agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("s")
+            ),
+            100_000,
+            "$1,000 lifetime-value buckets (~22k max at any scale)",
+        )
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey"))
-    ranked = per.select(
-        "cents",
-        F.row_number().over(w).cast("long").alias("i"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
+    n = sum(c for _b, c, _s in hist)
+    total = sum(s for _b, _c, s in hist)
+    cum_rows, acc = [], 0
+    for b, c, _s in hist:
+        cum_rows.append((b, acc))
+        acc += c
+    cum_df = F.broadcast(
+        spark.createDataFrame(cum_rows, "b long, cum_before long")
     )
-    tot = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("total_cents"),
-        F.sum(F.col("i") * F.col("cents")).alias("s_iw"),
+    r_bounds = [
+        t_ * (n // 10) + min(t_, n % 10) for t_ in range(1, 10)
+    ]
+    w_in = Window.partitionBy("b").orderBy("cents", "o_custkey")
+    decile_expr = F.lit(1).cast("long")
+    for r_t in r_bounds:
+        decile_expr = decile_expr + (F.col("i") > r_t).cast("long")
+    ranked = (
+        per.join(cum_df, "b")
+        .withColumn("j", F.row_number().over(w_in).cast("long"))
+        .withColumn("i", F.col("cum_before") + F.col("j"))
+        .withColumn("decile", decile_expr)
     )
-    deciles = ranked.groupBy("decile").agg(
+    s_iw = ranked.agg(F.sum(F.col("i") * F.col("cents")).alias("s_iw"))
+    census = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("decile_cents"),
     )
-    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # Lorenz cumulative without a window: decile d' contributes its
+    # cents to every running total d >= d' (a 10-row, <=55-element
+    # explode — constant at any scale)
+    cum = (
+        census.select(
+            F.explode(F.sequence(F.col("decile"), F.lit(10))).alias("decile"),
+            F.col("decile_cents").alias("dc"),
+        )
+        .groupBy("decile")
+        .agg(F.sum("dc").alias("cum_cents"))
+    )
     gini = (
-        2.0 * F.col("s_iw") - (F.col("n") + 1.0) * F.col("total_cents")
-    ) / (F.col("n").cast("double") * F.col("total_cents"))
+        2.0 * F.col("s_iw") - F.lit((n + 1.0) * total)
+    ) / F.lit(float(n) * total)
     return (
-        deciles.crossJoin(F.broadcast(tot))
+        census.join(F.broadcast(cum), "decile")
+        .crossJoin(F.broadcast(s_iw))
         .select(
             "decile",
             "n_customers",
             "decile_cents",
-            rnd(
-                F.sum("decile_cents").over(wd) / F.col("total_cents"), 6
-            ).alias("cum_share"),
+            rnd(F.col("cum_cents") / F.lit(total).cast("double"), 6).alias(
+                "cum_share"
+            ),
             rnd(gini, 6).alias("gini"),
         )
         .orderBy("decile")

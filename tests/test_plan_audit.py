@@ -30,7 +30,6 @@ ALLOWED: dict[str, set[str]] = {
     "concurrency_peaks": {"global_window", "single_part_sort"},
     "cosine_neardup_pairs": {"bnlj_non_cross"},
     "fdr_bh_tests": {"global_window", "single_part_sort"},
-    "gini_lorenz": {"global_window", "single_part_sort"},
     "gini_lorenz_approx": {"global_window", "single_part_sort"},
     "kmeans_clusters": {"global_window", "single_part_sort"},
     "ks_drift_test": {"global_window", "single_part_sort"},

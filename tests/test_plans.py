@@ -499,12 +499,24 @@ def test_rfm_returned_plan_window_free(spark):
     assert _nodes(plan, "Window") == 0, plan[:1500]
 
 
-def test_gini_single_rank_exchange(spark):
-    """Gini/Lorenz: customer-dim aggregation first, then the global
-    rank/decile windows; no cartesian over fact rows."""
+def test_gini_no_global_window(spark):
+    """Gini/Lorenz (round-9 rework): the global index decomposes as
+    bucket-cum (bounded side collect) + an in-bucket rank window
+    PARTITIONED by bucket, and the Lorenz cumulative is the
+    explode-sequence equi-agg — the returned plan must carry windows
+    only with partition clauses and no cartesian over fact rows (the
+    one BNLJ is the Cross 1-row s_iw attachment, allowed)."""
     plan = plan_of(spark, "gini_lorenz")
     assert "CartesianProduct" not in plan, plan[:1200]
-    assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
+    assert _nodes(plan, "HashAggregate") >= 4, plan[:1500]
+    assert _nodes(plan, "Window") >= 1, plan[:1500]
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (
+            "global (partition-less) window crept back: " + spec
+        )
 
 
 def test_proration_broadcasts_order_totals(spark):
