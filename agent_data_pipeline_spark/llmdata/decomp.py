@@ -91,8 +91,16 @@ def pca_explained_variance(
     # fixed d ≤ 1024 bound falsely rejected wider embeddings). One
     # limit(1) probe reads a single row's vector length; the corpus
     # itself is still scanned exactly once, by the moment kernel.
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    d_probe = int(probe[0].d) if probe else 0
+    # NULL guard (ADVICE r9): size(NULL) is -1 in Spark, which would
+    # collapse the bound to 1 and reject a valid corpus; probe only
+    # non-null vectors and clamp to >= 0 for the empty-array row case.
+    probe = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    d_probe = max(int(probe[0].d), 0) if probe else 0
     vals = {
         r.i: r.v
         for r in bounded_collect(

@@ -629,15 +629,25 @@ BLOCK_LOUDNESS_SCHEMA = (
 _LOUDNESS_BLOCK = 256  # samples per loudness block
 
 
-def synthesize_block_wavs(df: DataFrame, id_col: str) -> DataFrame:
+def synthesize_block_wavs(
+    df: DataFrame, id_col: str, nb_mod: int = 4, amp_mod: int = 5
+) -> DataFrame:
     """Blocked square-wave WAV fixture for LOUDNESS analysis: per id a
-    mono PCM16 WAV of ``nb = 4 + id % 4`` blocks of 256 samples; block
-    ``b`` is a ±A square wave with ``A(id, b) = 1000 + 500·((id+b) % 5)``
-    — per-block RMS is exactly A (sqrt of a perfect square is exact in
-    IEEE double), and because b spans ≥ 4 consecutive residues mod 5,
-    every media has ≥ 4 DISTINCT block amplitudes (rms_max ≠ rms_min —
-    no degenerate dynamic range). All outputs are pure arithmetic
-    functions of the id that a SQL oracle can state."""
+    mono PCM16 WAV of ``nb = 4 + id % nb_mod`` blocks of 256 samples;
+    block ``b`` is a ±A square wave with
+    ``A(id, b) = 1000 + 500·((id+b) % amp_mod)`` — per-block RMS is
+    exactly A (sqrt of a perfect square is exact in IEEE double), and
+    because b spans ≥ 4 consecutive residues, every media has ≥ 4
+    DISTINCT block amplitudes when amp_mod ≥ 4 (rms_max ≠ rms_min — no
+    degenerate dynamic range). All outputs are pure arithmetic
+    functions of the id that a SQL oracle can state.
+
+    The defaults (4, 5) are the original recipe ``wav_block_loudness``
+    oracles against; its period lcm(4,5)=20 aliases with the fixture's
+    source = doc_id % 20 assignment, so PER-SOURCE rollups must pick
+    moduli coprime with 20 (e.g. (3, 7), period 21 — see
+    ``audio_source_curation_join``) or every source is one constant
+    loudness value (degenerate-fixture-labels)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -646,10 +656,10 @@ def synthesize_block_wavs(df: DataFrame, id_col: str) -> DataFrame:
             ids, modality, payloads, mimes = [], [], [], []
             for raw_id in pdf["_media_src_id"]:
                 i = int(raw_id)
-                nb = 4 + i % 4
+                nb = 4 + i % nb_mod
                 samples: list[int] = []
                 for b in range(nb):
-                    amp = 1000 + 500 * ((i + b) % 5)
+                    amp = 1000 + 500 * ((i + b) % amp_mod)
                     samples.extend(
                         amp if kk % 2 == 0 else -amp
                         for kk in range(_LOUDNESS_BLOCK)

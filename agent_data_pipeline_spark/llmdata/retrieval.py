@@ -1,0 +1,305 @@
+"""Lexical retrieval (multi-query BM25) and the hybrid BM25 ∪ ANN
+two-stage re-ranker.
+
+Round 9 shipped the two-stage retrieval shape (IVF shortlist →
+late-interaction re-rank, ``queries/extras62.py``) and measured its
+ceiling: recall@5 saturates at 0.86 because high-Jaccard / low-cosine
+candidates never enter ANY vector shortlist, at any depth — the
+textbook motivation for a lexical retrieval arm. This module adds that
+arm:
+
+* ``bm25_scores`` / ``bm25_topk`` — MULTI-QUERY BM25 (Robertson /
+  Sparck-Jones with the Lucene idf form, same constants as the
+  single-query ``bm25_topk`` registry row in ``queries/extras29.py``).
+  Scale shape: tokenize map-side; prune the exploded (doc, token)
+  stream to the union of query tokens BEFORE any shuffle (the posting
+  list is term-bounded); per-term document frequencies come off the
+  pruned stream (every (doc, token) posting for a query term survives
+  the prune, so df is exact); the query→token map, the df map, and
+  the global (N, avgdl) scalars all broadcast. Nothing fact-scale is
+  ever sorted — per-query top-k is a window over the candidate set
+  (docs sharing ≥1 query term). At 100 TB the production mitigation
+  for stopword-dense queries is a df-ratio cutoff (``max_df_ratio``)
+  so a term matching most of the corpus never inflates the candidate
+  set — implemented, default off to keep parity with extras29.
+* ``hybrid_bm25_ann_rerank`` — union the IVF ANN shortlist with the
+  BM25 shortlist, then apply the SAME late-interaction blend
+  (0.5·cosine + 0.5·token-Jaccard, 6dp floor-rounding) to the unioned
+  candidate set. The expensive pair scorer still touches only
+  ``n_queries × ≤ 2·shortlist_k`` broadcast rows; the corpus is pruned
+  by the shortlist join before any tokenization, and candidate-pair
+  cosines are recomputed uniformly (one Arrow-batched pair-dot over
+  the bounded pair frame) so vector-arm and lexical-arm candidates are
+  scored identically.
+
+Reference parity: the reference (Airflow/NiFi ELT — SURVEY.md §2.A)
+has no retrieval surface; this is a declared north-star §2.B addition
+(VERDICT r9 item 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..fns import rnd
+from . import similarity
+
+
+def tokenize(col, *, distinct: bool = False):
+    """Whitespace tokens of lower(trim(col)) with empty strings removed
+    — the engine-wide token contract (matches Python ``str.split()`` by
+    construction; ADVICE r9)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    toks = F.array_remove(toks, "")
+    return F.array_distinct(toks) if distinct else toks
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    token_col: str = "token",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Per-(query, doc) BM25 scores for a small query set.
+
+    ``query_terms`` is the broadcast side: (query_id, token) rows, one
+    per distinct query term — derive it with ``query_terms_from_docs``
+    or supply free-text query terms directly. Returns
+    (query_id, doc_id, bm25) for every doc sharing ≥1 surviving term
+    with the query; docs sharing none are absent (score 0 by
+    convention, exactly the posting-list semantics).
+
+    ``max_df_ratio``: drop query terms whose document frequency exceeds
+    this corpus fraction (stopword guard — at scale a term matching
+    ~every doc turns the candidate set into the corpus; its idf is
+    ~ln(1+ε) anyway, so dropping it barely moves scores).
+    """
+    qt = query_terms.select(
+        F.col(query_id_col).alias("query_id"), F.col(token_col).alias("_tok")
+    ).distinct()
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
+    # global scalars: one row, broadcast into the scoring join
+    g = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # prune the exploded stream to query terms BEFORE the (doc, term)
+    # aggregate — the only fact-scale shuffle is term-bounded
+    qtok = qt.select(F.col("_tok").alias("tok")).distinct()
+    tf = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .join(F.broadcast(qtok), "tok")
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # exact df per query term off the pruned stream (term-grain, tiny)
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(g))
+    )
+    if max_df_ratio is not None:
+        scored = scored.filter(
+            F.col("dft") <= F.lit(max_df_ratio) * F.col("n_docs")
+        )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    w = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        scored.withColumn("_w", w)
+        .join(
+            F.broadcast(qt), scored["tok"] == qt["_tok"]
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(rnd(F.sum("_w"), 6).alias("bm25"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 50,
+    **kwargs,
+) -> DataFrame:
+    """Top-k docs per query by BM25 (ties broken by doc_id asc).
+
+    The window partitions by query_id over the term-bounded candidate
+    set — never the corpus (docs sharing no query term were never
+    scored)."""
+    scores = bm25_scores(docs, query_terms, **kwargs)
+    w = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("bm25_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("bm25_rank") <= k)
+    )
+
+
+def query_terms_from_docs(
+    docs: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, token) frame from the query docs' own text — the
+    doc-as-query convention the retrieval fixtures use (vec_id ↔
+    doc_id aligned)."""
+    return (
+        docs.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(tokenize(F.col(text_col), distinct=True)).alias("token"),
+        )
+    )
+
+
+def hybrid_bm25_ann_rerank(
+    emb: DataFrame,
+    docs: DataFrame,
+    query_ids: list[int],
+    *,
+    shortlist_k: int = 50,
+    final_k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 16,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Two-stage retrieval with a hybrid first stage: IVF ANN shortlist
+    ∪ BM25 shortlist, re-ranked by the late-interaction blend
+    0.5·cosine + 0.5·token-set-Jaccard (the same scorer and rounding as
+    ``crossenc_rerank_topk`` — recall numbers compare directly).
+
+    Scale shape: both arms produce ≤ shortlist_k rows per query; their
+    union (≤ 2·shortlist_k per query) is the ONLY thing the pair
+    scorer ever sees. Candidate cosines are recomputed uniformly for
+    the unioned set (one broadcast join per side of the pair + an
+    Arrow-batched pair-dot), so a lexical-only candidate gets exactly
+    the score an ANN candidate gets. Tokenization runs only on
+    shortlist join survivors.
+
+    Hash-seeded IVF ⇒ rows-only driver check; the planted-fixture test
+    (tests/test_retrieval_planted.py) measures the recall lift over the
+    vector-only shortlist on a corpus whose lexical twins are invisible
+    to any vector arm.
+    """
+    q_ids = [int(q) for q in query_ids]
+    queries_emb = emb.filter(F.col(vec_id_col).isin(q_ids))
+
+    vec_arm = similarity.ivf_topk(
+        emb,
+        queries_emb,
+        k=shortlist_k,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qt = query_terms_from_docs(
+        docs, q_ids, id_col=doc_id_col, text_col=text_col
+    )
+    lex_arm = (
+        bm25_topk(
+            docs,
+            qt,
+            k=shortlist_k + 1,  # self-match occupies one slot
+            id_col=doc_id_col,
+            text_col=text_col,
+            max_df_ratio=max_df_ratio,
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+    )
+    cand = (
+        vec_arm.withColumn("from_vec", F.lit(True))
+        .join(
+            lex_arm.withColumn("from_lex", F.lit(True)),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.coalesce("from_vec", F.lit(False)).alias("from_vec"),
+            F.coalesce("from_lex", F.lit(False)).alias("from_lex"),
+        )
+    )
+
+    # uniform exact cosine over the bounded candidate pairs: broadcast
+    # the pair list into the embeddings scan twice (neighbor side, then
+    # query side) — only candidate vectors ever cross a join
+    n_vec = emb.select(
+        F.col(vec_id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vec = emb.select(
+        F.col(vec_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    pair_dot = similarity._pair_dot_udf()
+    cand = (
+        n_vec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_vec.filter(F.col("query_id").isin(q_ids))), "query_id")
+        .withColumn("cosine_sim", pair_dot(F.col("q_vec"), F.col("c_vec")))
+        .drop("q_vec", "c_vec")
+    )
+
+    # late-interaction lexical evidence: tokenize only join survivors
+    c_toks = docs.join(
+        F.broadcast(cand.select("query_id", "neighbor_id")),
+        docs[doc_id_col] == F.col("neighbor_id"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        tokenize(F.col(text_col), distinct=True).alias("c_toks"),
+    )
+    q_toks = docs.filter(F.col(doc_id_col).isin(q_ids)).select(
+        F.col(doc_id_col).alias("query_id"),
+        tokenize(F.col(text_col), distinct=True).alias("q_toks"),
+    )
+    scored = (
+        cand.join(c_toks, ["query_id", "neighbor_id"])
+        .join(F.broadcast(q_toks), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "from_vec",
+            "from_lex",
+            rnd(F.col("cosine_sim"), 6).alias("cosine_sim"),
+            rnd(
+                F.size(F.array_intersect("q_toks", "c_toks"))
+                / F.size(F.array_union("q_toks", "c_toks")),
+                6,
+            ).alias("jaccard"),
+        )
+        .withColumn(
+            "rerank_score",
+            rnd(0.5 * F.col("cosine_sim") + 0.5 * F.col("jaccard"), 6),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rerank_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rerank_rank") <= final_k)
+        .orderBy("query_id", "rerank_rank")
+    )

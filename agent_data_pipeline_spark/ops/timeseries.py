@@ -74,9 +74,11 @@ def hypertable_rollup(
     the production shape, which WRITES each level to its own table and
     derives the next from the stored one (see `io/tables.py`).
     """
+    from ..fns import persist_dim
+
     base = bucket_agg(df, ts_col, widths[0], keys, value_col)
     if cache_levels:
-        base = base.persist()
+        base = persist_dim(base, f"rollup level {widths[0]} (bucket grain)")
     out = base.withColumn("bucket_width", F.lit(widths[0]))
     prev = base
     for width in widths[1:]:
@@ -89,7 +91,7 @@ def hypertable_rollup(
             F.max("max_value").alias("max_value"),
         )
         if cache_levels:
-            lvl = lvl.persist()
+            lvl = persist_dim(lvl, f"rollup level {width} (bucket grain)")
         out = out.unionByName(lvl.withColumn("bucket_width", F.lit(width)))
         prev = lvl
     return out

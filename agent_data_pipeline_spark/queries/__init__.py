@@ -68,6 +68,7 @@ from . import (
     extras60,
     extras61,
     extras62,
+    extras63,
     llmdata_q,
     relational,
     scalars,
@@ -92,27 +93,37 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 24 front entries green, so as of round 7 every registry query has a
 # driver row; the round-7 front below leads with the new additions.
 _NEVER_VERIFIED_FRONT = [
-    # Round-9 rotation. Standing rule (round-8 verdict item 1): any
-    # query whose IMPLEMENTATION changed this round jumps the queue so
-    # the driver hard-checks the new code path the same round.
-    # -- reworked in round 8, last driver rows r04/r05 (the verdict's
-    #    headline debt): fresh rows required for the rewritten paths
+    # Round-10 rotation. Standing rule (round-8 verdict item 1, encoded
+    # here since round 9): any query whose IMPLEMENTATION changed this
+    # round jumps the queue so the driver hard-checks the new code path
+    # the same round.
+    # -- round-10 additions (extras63) — never driver-checked
+    "hybrid_bm25_ann_rerank",
+    "audio_source_curation_join",
+    # -- implementation touched in round 10: crossenc tokenization now
+    #    trims + drops empty tokens (ADVICE r9); pca_variance probe is
+    #    NULL-guarded; rfm/rrf/gapfill/rollup persists are now tracked
+    #    via fns.persist_dim (plan-identical, but the rule is the rule)
+    "crossenc_rerank_topk",
+    "pca_variance",
+    "rfm_segments",
+    "rrf_rank_fusion",
+    "gapfill_interpolate",
+    "hypertable_rollup",
+    #    wav_block_loudness shares synthesize_block_wavs, which gained
+    #    the (nb_mod, amp_mod) parameters (defaults preserve its recipe)
+    "wav_block_loudness",
+    # Everything below was driver-verified in CORRECTNESS_r09.json
+    # (all 50 rows green — the round-9 front came back clean) or
+    # earlier; kept as sample backfill in the r09 order.
     "quantile_bins",
     "pareto_revenue",
     "semantic_dedup_summary",
-    # -- reworked in round 9 (window-free boundary-location rewrites)
-    "rfm_segments",
-    "rrf_rank_fusion",
     "gini_lorenz",
-    # -- round-9 edge/robustness fixes (k=0 segments, NULL trigrams,
-    #    PCA dim probe, description-only dau_wau)
     "trimmed_mean_by_segment",
     "event_trigram_mining",
-    "pca_variance",
     "dau_wau_stickiness",
-    # -- round-9 additions (extras62) — never driver-checked
     "media_source_curation_join",
-    "crossenc_rerank_topk",
     # Everything below was driver-verified in CORRECTNESS_r08.json
     # (the 33-query round-7 backlog + round-8 additions, all green) or
     # earlier; kept in the r08 order as sample backfill.
@@ -255,7 +266,7 @@ _NEVER_VERIFIED_FRONT = [
     "entity_resolution_pipeline",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, extras61, extras62, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, extras61, extras62, extras63, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

@@ -23,8 +23,9 @@ payload-local only; retrieval had no late-interaction re-rank stage).
   candidate doc's text (the deterministic stand-in for a cross-encoder
   forward pass; the fixture aligns vec_id ↔ doc_id) — blended
   0.5·cosine + 0.5·jaccard, top-5 per query. Exactly the production
-  shape: the expensive pair scorer touches only ``n_queries × 25``
-  shortlist rows (broadcast), never the corpus; text tokenization of
+  shape: the expensive pair scorer touches only ``n_queries × 50``
+  (``_SHORTLIST_K``) shortlist rows (broadcast), never the corpus;
+  text tokenization of
   candidates happens AFTER the shortlist join prunes the corpus scan.
   Hash-seeded IVF ⇒ rows-only driver check; a planted-truth test
   measures recall vs the exact brute-force two-stage scoring
@@ -134,11 +135,16 @@ def _crossenc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim")
 
     def toks(col: str) -> F.Column:
-        return F.array_distinct(
-            F.split(F.lower(F.col(col)), r"\s+")
+        # trim + drop empty tokens (ADVICE r9): Spark's split keeps
+        # leading/trailing empty strings (limit -1) where Python's
+        # str.split() drops them — trim so the engine's token set
+        # coincides with the exact-side recomputation by construction
+        return F.array_remove(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(col))), r"\s+")),
+            "",
         )
 
-    # candidate text: the bounded shortlist (n_queries x 25 rows)
+    # candidate text: the bounded shortlist (n_queries x _SHORTLIST_K rows)
     # broadcasts INTO the documents scan, so tokenization only ever
     # runs on join survivors — the corpus is pruned before the
     # expensive pair scorer, never after

@@ -1,0 +1,159 @@
+"""Round-10 wave: the hybrid BM25 ∪ ANN retrieval arm (VERDICT r9
+item 1) and the audio sibling of the round-9 media-curation fact join
+(item 5).
+
+* ``hybrid_bm25_ann_rerank`` — two-stage retrieval whose first stage
+  unions the IVF ANN shortlist with a multi-query BM25 shortlist
+  (``llmdata/retrieval.py``), then re-ranks the union with the SAME
+  late-interaction blend as round 9's ``crossenc_rerank_topk``
+  (0.5·cosine + 0.5·token-Jaccard, 6dp floor) — so the two queries'
+  recall@5 numbers compare directly. The crossenc docstring diagnosed
+  the vector-only ceiling (recall@5 0.86, saturated in shortlist
+  depth: the misses are high-Jaccard/low-cosine docs no vector
+  shortlist can surface); the lexical arm exists precisely to surface
+  those. The sf fixtures cannot measure the lift (31-word global
+  vocabulary — every posting list covers ~80% of the corpus, so a
+  fixture test would pass by accidental brute force; see
+  degenerate-fixture-labels), so the recall lift is measured on a
+  locally PLANTED richer-vocab corpus in
+  tests/test_retrieval_planted.py: planted lexical twins are
+  constructed orthogonal to every query embedding (cosine exactly 0 —
+  invisible to ANY vector arm at ANY depth) yet share ~10/12 query
+  tokens; the hybrid recovers them, the vector-only path provably
+  cannot. Hash-seeded IVF ⇒ rows-only driver check.
+* ``audio_source_curation_join`` — the WAV analog of round 9's
+  ``media_source_curation_join``: per-doc blocked-square-wave WAVs
+  (the exact-closed-form recipe of ``wav_block_loudness``) are
+  REAL-decoded payload-local (stdlib RIFF codec, mapInPandas, zero
+  payload shuffle) into typed scalar features — mean block RMS,
+  dynamic range (dB) — and only those scalars cross the join back to
+  the documents dim for the per-source census (count, loud share at
+  the probed 57%-prevalence cut, mean loudness, mean dynamic range,
+  total stored bytes). Stored bytes are reconstructed arithmetically
+  from the decoded block count (44-byte RIFF header + 512 bytes per
+  256-sample mono PCM16 block), so the stats frame never rejoins the
+  payload frame. The synthesis recipe gives every feature in closed
+  form ⇒ fully oracled (DuckDB lateral generate_series).
+
+Reference parity: no retrieval/audio surface in the reference
+(SURVEY.md §2.A); declared north-star §2.B additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import QuerySpec, rnd, t
+
+_SHORTLIST_K = 50
+_FINAL_K = 5
+_N_QUERIES = 10
+
+
+def _hybrid_bm25_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata import retrieval
+
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    return retrieval.hybrid_bm25_ann_rerank(
+        emb,
+        docs,
+        list(range(_N_QUERIES)),
+        shortlist_k=_SHORTLIST_K,
+        final_k=_FINAL_K,
+        n_cells=32,
+        n_probe=16,
+    )
+
+
+# loudness cut on per-clip mean block RMS. Recipe moduli (3, 7) give
+# period lcm(3,7)=21, COPRIME with the fixture's source = doc_id % 20
+# assignment -- the default (4, 5) recipe's period 20 aliases with it
+# and makes every source one constant loudness (probed: n_loud would
+# be 0 or 25 per source). With (3, 7): 17 distinct rms_mean values per
+# source, span [1750, 3250]; 2500 probed at 57% overall prevalence,
+# per-source loud share spanning (not constant) -- the
+# degenerate-fixture-labels 20-80% rule on BOTH grains.
+_LOUD_CUT = 2500.0
+_NB_MOD, _AMP_MOD = 3, 7
+
+
+def _audio_source_curation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_block_wavs(
+        d, "doc_id", nb_mod=_NB_MOD, amp_mod=_AMP_MOD
+    )
+    feats = multimodal.audio_block_loudness(media)
+    # stored size from the DECODED block count (RIFF/WAVE: 44-byte
+    # canonical header + 2 bytes x 256 samples per mono PCM16 block)
+    # -- the scalar stats frame never rejoins the binary payload frame
+    feats = feats.select(
+        F.col("media_id").alias("doc_id"),
+        "rms_mean",
+        "dyn_range_db",
+        (F.lit(44) + 512 * F.col("n_blocks")).cast("long").alias("stored_bytes"),
+    )
+    joined = d.select("doc_id", "source").join(feats, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum(F.when(F.col("rms_mean") >= _LOUD_CUT, 1).otherwise(0))
+            .cast("long")
+            .alias("n_loud"),
+            rnd(F.avg("rms_mean"), 6).alias("avg_rms"),
+            rnd(F.avg("dyn_range_db"), 6).alias("avg_dyn_db"),
+            F.sum("stored_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+_AUDIO_JOIN_SQL = """
+WITH blocks AS (
+  SELECT doc_id, 4 + doc_id % 3 AS nb,
+         1000 + 500 * ((doc_id + b) % 7) AS amp
+  FROM (
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(3 + doc_id % 3 AS BIGINT))) AS b
+    FROM documents
+  )
+), agg AS (
+  SELECT doc_id, nb,
+         sum(CAST(amp AS DOUBLE)) / nb AS rmean,
+         20.0 * log10(CAST(max(amp) AS DOUBLE) / min(amp)) AS dyn_db,
+         44 + 512 * nb AS stored_bytes
+  FROM blocks GROUP BY doc_id, nb
+)
+SELECT d.source AS source,
+       count(*) AS n_clips,
+       CAST(sum(CASE WHEN a.rmean >= 2500.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_loud,
+       floor(avg(a.rmean) * 1000000 + 0.5) / 1000000 AS avg_rms,
+       floor(avg(a.dyn_db) * 1000000 + 0.5) / 1000000 AS avg_dyn_db,
+       CAST(sum(a.stored_bytes) AS BIGINT) AS total_bytes
+FROM documents d JOIN agg a USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "hybrid_bm25_ann_rerank": QuerySpec(
+        _hybrid_bm25_ann_rerank,
+        None,
+        "two-stage retrieval with a hybrid first stage: IVF ANN shortlist "
+        "∪ multi-query BM25 shortlist, re-ranked by the late-interaction "
+        "cosine+Jaccard blend, top-5 per query",
+    ),
+    "audio_source_curation_join": QuerySpec(
+        _audio_source_curation_join,
+        _AUDIO_JOIN_SQL,
+        "per-source audio curation rollup: real WAV decode payload-local, "
+        "scalar features (mean block RMS, dynamic range, stored bytes) "
+        "joined to the documents dim",
+    ),
+}

@@ -550,8 +550,10 @@ def _gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket("ts", "15 minutes").alias("bucket"), "event_type"
     ).agg(rnd(F.avg("value"), 2).alias("avg_value"))
     # gap_fill reads b twice (span bounds + grid join): persist the small
-    # aggregate so the raw scan + agg runs once.
-    b = b.persist()
+    # aggregate so the raw scan + agg runs once (tracked, ADVICE r9).
+    from ..fns import persist_dim
+
+    b = persist_dim(b, "15-min bucket × event_type aggregate")
     g = locf(gap_fill(b, "bucket", "15 minutes", ["event_type"]),
              "bucket", ["event_type"], "avg_value")
     g = interpolate_linear(g, "bucket", ["event_type"], "avg_value")

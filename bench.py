@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from agent_data_pipeline_spark.fns import release_persists
 from agent_data_pipeline_spark.queries import REGISTRY
 from agent_data_pipeline_spark.session import get_spark
 
@@ -117,6 +118,13 @@ def main() -> None:
             mid = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples[name].append((mid - start, time.perf_counter() - mid))
+    # Release AFTER all passes, not between queries: cross-pass cache
+    # reuse for the persisting queries (hypertable_rollup,
+    # gapfill_interpolate) has been the measurement semantics since
+    # round 1 — releasing mid-run would shift their numbers for
+    # methodology reasons, not plan reasons. End-of-run release still
+    # caps session accumulation (ADVICE r9).
+    release_persists()
     timings = {
         name: round(min(pl + ex for pl, ex in ts), 3)
         for name, ts in samples.items()

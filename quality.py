@@ -437,6 +437,24 @@ def main() -> None:
     out["crossenc_rerank_recall_at_5"] = round(
         sum(len(got[q] & exact_top[q]) / 5 for q in range(10)) / 10, 4
     )
+
+    # Hybrid BM25 ∪ ANN (round 10): same exact blended top-5 target, so
+    # the number is directly comparable to crossenc's vector-only
+    # recall. The union candidate set is a superset of the vector
+    # shortlist and the re-ranker scores candidates exactly, so hybrid
+    # recall is ≥ vector-only BY CONSTRUCTION — measured here for the
+    # round-over-round record. (The designed lift is proven on the
+    # planted lexical-twin corpus in tests/test_retrieval_planted.py,
+    # deterministically 1.0 vs 0.6; the sf fixture's 31-word vocabulary
+    # makes its lexical arm near-degenerate — see
+    # queries/extras63.py docstring.)
+    hy = _REG["hybrid_bm25_ann_rerank"].spark(spark, sf_dir).collect()
+    hgot: dict[int, set[int]] = {}
+    for r in hy:
+        hgot.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out["hybrid_rerank_recall_at_5"] = round(
+        sum(len(hgot[q] & exact_top[q]) / 5 for q in range(10)) / 10, 4
+    )
     print(json.dumps(out))
 
 

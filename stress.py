@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from agent_data_pipeline_spark.fns import release_persists
 from agent_data_pipeline_spark.queries import REGISTRY
 from agent_data_pipeline_spark.session import get_spark
 from bench import HEADLINE
@@ -501,6 +502,15 @@ R9_OPS = [
     "crossenc_rerank_topk",
 ]
 
+# Round-10 wave (extras63). The hybrid's BM25 arm prunes the exploded
+# token stream to query terms BEFORE any shuffle and its pair scorer
+# touches only the unioned broadcast shortlists; the audio join decodes
+# payload-local and shuffles scalar loudness features only.
+R10_OPS = [
+    "hybrid_bm25_ann_rerank",
+    "audio_source_curation_join",
+]
+
 
 def bloom_ab_probe(spark, sf_dir: str) -> dict:
     """A/B the Bloom semi-join pruning against the plain join with
@@ -585,6 +595,10 @@ def _sweep(spark, names: list[str], sf_dir: str, n_passes: int = 2) -> dict[str,
                 "overwrite"
             ).save()
             samples[name].append(time.perf_counter() - start)
+    # end-of-run release (not between queries): keeps the r1-r9 warm
+    # cross-pass semantics for persisting queries, still bounds session
+    # accumulation (ADVICE r9)
+    release_persists()
     return {name: round(min(ts), 3) for name, ts in samples.items()}
 
 
@@ -632,6 +646,7 @@ def main() -> None:
     r7b = base_vs_10x(R7B_OPS)
     r8 = base_vs_10x(R8_OPS)
     r9 = base_vs_10x(R9_OPS)
+    r10 = base_vs_10x(R10_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -670,6 +685,7 @@ def main() -> None:
                 "round7_late_ops_base_vs_10x": r7b,
                 "round8_ops_base_vs_10x": r8,
                 "round9_ops_base_vs_10x": r9,
+                "round10_ops_base_vs_10x": r10,
                 "pagerank_job_probe": pg_jobs,
                 "bloom_ab_probe": bloom_ab,
                 "composed_exact_then_minhash": composed,

@@ -77,14 +77,21 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str = "query") -> None:
 
 
 def run_check(spark, name: str, spec, sf_dir: str) -> None:
-    sdf = spec.spark(spark, sf_dir)
-    if spec.oracle is None:
-        n = sdf.count()
-        assert n >= 0
-        return
-    con = duck_connection(sf_dir)
+    from agent_data_pipeline_spark.fns import release_persists
+
     try:
-        ddf = con.sql(spec.oracle).fetchdf()
+        sdf = spec.spark(spark, sf_dir)
+        if spec.oracle is None:
+            n = sdf.count()
+            assert n >= 0
+            return
+        con = duck_connection(sf_dir)
+        try:
+            ddf = con.sql(spec.oracle).fetchdf()
+        finally:
+            con.close()
+        compare(sdf, ddf, name)
     finally:
-        con.close()
-    compare(sdf, ddf, name)
+        # release tracked dim-grain persists so a 362-query session
+        # doesn't accumulate cached frames (ADVICE r9)
+        release_persists()
