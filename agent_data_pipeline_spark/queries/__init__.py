@@ -100,6 +100,7 @@ _NEVER_VERIFIED_FRONT = [
     # -- round-10 additions (extras63) — never driver-checked
     "hybrid_bm25_ann_rerank",
     "audio_source_curation_join",
+    "mixed_media_manifest",
     # -- implementation touched in round 10: crossenc tokenization now
     #    trims + drops empty tokens (ADVICE r9); pca_variance probe is
     #    NULL-guarded; rfm/rrf/gapfill/rollup persists are now tracked

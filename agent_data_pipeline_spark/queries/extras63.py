@@ -141,6 +141,101 @@ ORDER BY d.source
 """
 
 
+_BRIGHT_CUT = 96  # same probed ~54% cut as media_source_curation_join
+
+
+def _mixed_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality curation manifest: every document carries an
+    image AND an audio clip; each payload is REAL-decoded payload-local
+    into scalars (BMP channel stats, WAV block loudness), the two
+    modality feature frames meet in a doc-grain equi-join, and the
+    per-source rollup reports the joint keep decision
+    (bright image AND loud audio — probed ~31% joint prevalence) plus
+    the per-modality byte budgets. The 100 TB shape: two independent
+    payload-local extractions (zero payload shuffle each), then joins
+    that move only typed scalars — the manifest never carries a byte of
+    media. Fully closed-form ⇒ oracled."""
+    from ..llmdata import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    img = multimodal.image_channel_stats(
+        multimodal.synthesize_gradient_images(d, "doc_id")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("r_mean") >= _BRIGHT_CUT).alias("is_bright"),
+        (
+            F.lit(54)
+            + F.floor((3 * F.col("width") + 3) / 4) * 4 * F.col("height")
+        )
+        .cast("long")
+        .alias("img_bytes"),
+    )
+    wav = multimodal.audio_block_loudness(
+        multimodal.synthesize_block_wavs(
+            d, "doc_id", nb_mod=_NB_MOD, amp_mod=_AMP_MOD
+        )
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("rms_mean") >= _LOUD_CUT).alias("is_loud"),
+        (F.lit(44) + 512 * F.col("n_blocks")).cast("long").alias("wav_bytes"),
+    )
+    manifest = (
+        d.select("doc_id", "source").join(img, "doc_id").join(wav, "doc_id")
+    )
+    return (
+        manifest.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("is_bright") & F.col("is_loud")).cast("long"))
+            .cast("long")
+            .alias("n_keep"),
+            F.sum("img_bytes").cast("long").alias("total_img_bytes"),
+            F.sum("wav_bytes").cast("long").alias("total_wav_bytes"),
+        )
+        .withColumn("keep_share", rnd(F.col("n_keep") / F.col("n_docs"), 6))
+        .orderBy("source")
+    )
+
+
+_MIXED_MANIFEST_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         (doc_id % 192 + (4 + doc_id % 4 - 1) / 2.0
+          + 7 * (4 + doc_id % 5 - 1) / 2.0) >= 96 AS is_bright,
+         54 + ((3 * (4 + doc_id % 4) + 3) // 4) * 4 * (4 + doc_id % 5)
+           AS img_bytes
+  FROM documents
+), blocks AS (
+  SELECT doc_id, 4 + doc_id % 3 AS nb,
+         1000 + 500 * ((doc_id + b) % 7) AS amp
+  FROM (
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(3 + doc_id % 3 AS BIGINT))) AS b
+    FROM documents
+  )
+), wav AS (
+  SELECT doc_id,
+         sum(CAST(amp AS DOUBLE)) / nb >= 2500.0 AS is_loud,
+         44 + 512 * nb AS wav_bytes
+  FROM blocks GROUP BY doc_id, nb
+)
+SELECT d.source AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN i.is_bright AND w.is_loud THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       CAST(sum(i.img_bytes) AS BIGINT) AS total_img_bytes,
+       CAST(sum(w.wav_bytes) AS BIGINT) AS total_wav_bytes,
+       floor(sum(CASE WHEN i.is_bright AND w.is_loud THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS keep_share
+FROM documents d
+JOIN img i USING (doc_id)
+JOIN wav w USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hybrid_bm25_ann_rerank": QuerySpec(
         _hybrid_bm25_ann_rerank,
@@ -155,5 +250,12 @@ QUERIES: dict[str, QuerySpec] = {
         "per-source audio curation rollup: real WAV decode payload-local, "
         "scalar features (mean block RMS, dynamic range, stored bytes) "
         "joined to the documents dim",
+    ),
+    "mixed_media_manifest": QuerySpec(
+        _mixed_media_manifest,
+        _MIXED_MANIFEST_SQL,
+        "mixed-modality curation manifest: image + audio payloads decoded "
+        "payload-local to scalars, doc-grain joined, per-source joint "
+        "keep decision and per-modality byte budgets",
     ),
 }
