@@ -114,6 +114,10 @@ _NEVER_VERIFIED_FRONT = [
     #    wav_block_loudness shares synthesize_block_wavs, which gained
     #    the (nb_mod, amp_mod) parameters (defaults preserve its recipe)
     "wav_block_loudness",
+    #    round-10 allowlist burn-down reworks (window-free plans)
+    "skyline_parts",
+    "sequence_gaps",
+    "survival_curve",
     # Everything below was driver-verified in CORRECTNESS_r09.json
     # (all 50 rows green — the round-9 front came back clean) or
     # earlier; kept as sample backfill in the r09 order.

@@ -470,42 +470,58 @@ def _survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("churned").alias("d"),
         F.count(F.lit(1)).alias("c"),
     )
-    w_all = Window.orderBy("lifetime").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Round-10 burn-down of the last global-window flags: the KM
+    # product-limit recursion is inherently sequential and its domain
+    # is the DISTINCT-LIFETIME grain (≤ lifetime span + 1 rows, ~2.4k
+    # at any corpus scale — lifetimes are day counts inside the data's
+    # date span). That is exactly the "bounded driver-side recursion"
+    # family contract (Holt-Winters, PACF, …: calendar-grain collect +
+    # driver fold), so the three cumulative windows become one
+    # sequential Python fold over the collected value-grain rows — the
+    # fact-scale work (orders → customer dim → lifetime grain) stays
+    # distributed and unchanged. Bonus exactness: the driver fold sums
+    # the log terms in the SAME sequential order as the oracle's
+    # running window, removing the float-association risk a
+    # bucket-decomposed cumsum would introduce.
+    import math as _math
+
+    from ..fns import bounded_collect
+
+    probe = bounded_collect(
+        by_t.agg(F.max("lifetime").alias("mx")), 1, "1-row lifetime-span probe"
     )
-    tot = by_t.agg(F.sum("c").alias("n_total"))
-    by_t = (
-        by_t.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "at_risk",
-            F.col("n_total") - F.sum("c").over(w_all) + F.col("c"),
-        )
-        .withColumn(
-            "term",
-            F.when(
-                (F.col("d") > 0) & (F.col("d") < F.col("at_risk")),
-                F.log(1.0 - F.col("d") / F.col("at_risk")),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "hit_zero",
-            F.max(
-                F.when(F.col("d") >= F.col("at_risk"), F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-            ).over(w_all),
-        )
+    mx = probe[0].mx
+    schema = (
+        "lifetime long, at_risk long, d_events long, n_at_t long, "
+        "survival double"
     )
-    surv = F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
-        F.exp(F.sum("term").over(w_all))
+    if mx is None:
+        return spark.createDataFrame([], schema)
+    rows = bounded_collect(
+        by_t,
+        int(mx) + 2,
+        f"distinct-lifetime grain ≤ lifetime span + 2 = {int(mx) + 2}",
     )
-    return by_t.select(
-        "lifetime",
-        "at_risk",
-        F.col("d").alias("d_events"),
-        F.col("c").alias("n_at_t"),
-        rnd(surv, 6).alias("survival"),
-    ).orderBy("lifetime")
+    rows.sort(key=lambda r: r.lifetime)
+    n_total = sum(r.c for r in rows)
+    cum_c = 0
+    logsum = 0.0
+    hit_zero = False
+    out = []
+    for r in rows:
+        cum_c += r.c
+        at_risk = n_total - cum_c + r.c
+        if r.d >= at_risk:
+            hit_zero = True
+        elif r.d > 0:
+            logsum += _math.log(1.0 - r.d / at_risk)
+        surv = (
+            0.0
+            if hit_zero
+            else _math.floor(_math.exp(logsum) * 1e6 + 0.5) / 1e6
+        )
+        out.append((int(r.lifetime), int(at_risk), int(r.d), int(r.c), surv))
+    return spark.createDataFrame(out, schema).orderBy("lifetime")
 
 
 _SURVIVAL_SQL = """

@@ -45,58 +45,115 @@ from .core import QuerySpec, rnd, t
 # --------------------------------------------------------------------------
 
 
+def gap_ranges(
+    keys: DataFrame,
+    key_col: str,
+    bucket_width: int = 8192,
+    super_width: int = 8192,
+) -> DataFrame:
+    """All missing ranges (gap_start, gap_end, gap_len) in an integer
+    key sequence, with NO unpartitioned window anywhere (round-10
+    burn-down of the last sequence_gaps allowlist flags).
+
+    Three-level decomposition — the single-level version's boundary
+    stitch was a lag over ALL non-empty buckets (keyspace/8192 rows in
+    one sort partition: dimension-scale but still a serialization
+    point at a 1e10 keyspace). Lifted one level:
+
+      1. in-bucket gaps: lag partitioned by ``bucket = key div
+         bucket_width`` — parallel, window input ≤ bucket_width rows;
+      2. cross-bucket gaps within a super-bucket: lag over the
+         per-bucket (min,max) span rows partitioned by ``super =
+         bucket div super_width`` — parallel, ≤ super_width rows per
+         window;
+      3. cross-SUPER-bucket gaps: per-super spans collapse to
+         keyspan/(bucket_width·super_width) rows (≤ ~225 at a 1.5e10
+         keyspace — genuinely driver-bounded, enforced by
+         bounded_collect against a 1-row keyspan probe), stitched in a
+         Python loop and unioned back as a literal frame.
+
+    Whole missing buckets/super-buckets simply have no span row and
+    fall out of the stitch arithmetic exactly as before; the union of
+    the three levels is the global lag() gap set (same argument as the
+    two-level proof, applied once more). Integer-only throughout."""
+    from ..fns import bounded_collect
+
+    key = F.col(key_col)
+    o = (
+        keys.select(key_col)
+        .distinct()
+        .withColumn("bucket", (key / bucket_width).cast("long"))
+        .withColumn("super", (F.col("bucket") / super_width).cast("long"))
+    )
+    w_in = Window.partitionBy("bucket").orderBy(key_col)
+    inner = (
+        o.withColumn("prev_k", F.lag(key_col).over(w_in))
+        .filter(key - F.col("prev_k") > 1)
+        .select(key, F.col("prev_k"))
+    )
+    spans = o.groupBy("super", "bucket").agg(
+        F.min(key_col).alias("min_k"), F.max(key_col).alias("max_k")
+    )
+    w_b = Window.partitionBy("super").orderBy("bucket")
+    mid = (
+        spans.withColumn("prev_max", F.lag("max_k").over(w_b))
+        .filter(F.col("min_k") - F.col("prev_max") > 1)
+        .select(
+            F.col("min_k").alias(key_col), F.col("prev_max").alias("prev_k")
+        )
+    )
+    # level-3 side job: the per-super spans are keyspan/(bw·sw) rows —
+    # probe the actual keyspan for the bound, then stitch driver-side
+    spark = keys.sparkSession
+    probe = bounded_collect(
+        o.agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi")),
+        1,
+        "1-row keyspan probe",
+    )
+    lo, hi = probe[0].lo, probe[0].hi
+    cross_rows: list[tuple[int, int]] = []
+    if lo is not None:
+        n_super_bound = (hi - lo) // (bucket_width * super_width) + 2
+        sspans = bounded_collect(
+            spans.groupBy("super").agg(
+                F.min("min_k").alias("smin"), F.max("max_k").alias("smax")
+            ),
+            n_super_bound,
+            f"per-super spans ≤ keyspan/(bw·sw)+2 = {n_super_bound}",
+        )
+        sspans.sort(key=lambda r: r.super)
+        for prev, nxt in zip(sspans, sspans[1:]):
+            if nxt.smin - prev.smax > 1:
+                cross_rows.append((int(nxt.smin), int(prev.smax)))
+    cross = spark.createDataFrame(
+        cross_rows, f"{key_col} long, prev_k long"
+    )
+    return inner.unionByName(mid).unionByName(cross).select(
+        (F.col("prev_k") + 1).alias("gap_start"),
+        (key - 1).alias("gap_end"),
+        (key - F.col("prev_k") - 1).alias("gap_len"),
+    )
+
+
 def _sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Missing ranges in the order-key sequence, found WITHOUT a global
-    single-partition sort (the round-4 weak mark): keys are bucketed by
-    fixed key range (``key div 8192`` — deterministic, unlike sampled
-    repartitionByRange boundaries), lag() runs within bucket-partitioned
-    windows (parallel, each bounded by the bucket width), and a second
-    pass over the TINY per-bucket (min,max) aggregate — one row per
-    non-empty bucket — stitches the gaps that straddle bucket
-    boundaries (including whole missing buckets, which simply have no
-    row). The union is exactly the global lag() gap set. Emits the 10
-    longest gaps (length desc, start asc tie-break) with the global
-    totals (n_gaps, missing_keys) carried on each row so the audit is
-    one result set. Integer-only. The fixture's key space is
-    contiguous, so the feed simulates dropped extract chunks (keys ≡
-    7,8,9 mod 1000 withheld) — the audit must find exactly those
-    ranges."""
-    bucket_width = 8192  # fixed key-range buckets: bounded window input
+    """Missing ranges in the order-key sequence via ``gap_ranges`` —
+    the three-level bucket decomposition (in-bucket lag, per-super
+    bucket-span lag, driver-stitched super spans; see its docstring)
+    with NO unpartitioned window (round-10 burn-down; the single-level
+    version's bucket-grain boundary lag was the last allowlist flag).
+    Emits the 10 longest gaps (length desc, start asc tie-break) with
+    the global totals (n_gaps, missing_keys) carried on each row so
+    the audit is one result set. Integer-only. The fixture's key space
+    is contiguous, so the feed simulates dropped extract chunks (keys
+    ≡ 7,8,9 mod 1000 withheld) — the audit must find exactly those
+    ranges. Level boundaries are exercised with tiny widths in
+    tests/test_extras63_burndown.py."""
     o = (
         t(spark, sf_dir, "orders")
         .select("o_orderkey")
         .filter(~(F.col("o_orderkey") % 1000).isin(7, 8, 9))
-        .distinct()
-        .withColumn("bucket", (F.col("o_orderkey") / bucket_width).cast("long"))
     )
-    w_in = Window.partitionBy("bucket").orderBy("o_orderkey")
-    inner = (
-        o.withColumn("prev_k", F.lag("o_orderkey").over(w_in))
-        .filter(F.col("o_orderkey") - F.col("prev_k") > 1)
-        .select("o_orderkey", "prev_k")
-    )
-    # boundary pass: one (min,max) row per non-empty bucket; lag over
-    # this bucket-grain frame is a window over ~keyspace/8192 rows —
-    # dimension-scale, never fact-scale.
-    spans = o.groupBy("bucket").agg(
-        F.min("o_orderkey").alias("min_k"), F.max("o_orderkey").alias("max_k")
-    )
-    w_b = Window.orderBy("bucket")
-    boundary = (
-        spans.withColumn("prev_max", F.lag("max_k").over(w_b))
-        .filter(F.col("min_k") - F.col("prev_max") > 1)
-        .select(
-            F.col("min_k").alias("o_orderkey"), F.col("prev_max").alias("prev_k")
-        )
-    )
-    gaps = (
-        inner.unionByName(boundary)
-        .select(
-            (F.col("prev_k") + 1).alias("gap_start"),
-            (F.col("o_orderkey") - 1).alias("gap_end"),
-            (F.col("o_orderkey") - F.col("prev_k") - 1).alias("gap_len"),
-        )
-    )
+    gaps = gap_ranges(o, "o_orderkey")
     tot = gaps.agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum("gap_len").alias("missing_keys"),

@@ -47,10 +47,7 @@ ALLOWED: dict[str, set[str]] = {
     "orphan_audit": {"single_part_sort"},
     "poisson_bootstrap_ci": {"global_window"},
     "pareto_revenue": {"global_window", "single_part_sort"},
-    "sequence_gaps": {"global_window", "single_part_sort"},
     "share_of_parent": {"single_part_sort"},
-    "skyline_parts": {"global_window", "single_part_sort"},
-    "survival_curve": {"global_window", "single_part_sort"},
     "udf_kit": {"row_python_udf"},
     "udtf_first_words": {"row_python_udf"},
     "vocab_encode_stats": {"global_window"},

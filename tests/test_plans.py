@@ -529,12 +529,14 @@ def test_proration_broadcasts_order_totals(spark):
 
 
 def test_survival_curve_no_fact_scale_join(spark):
-    """Kaplan-Meier: facts collapse per-customer, then per-lifetime —
-    the horizon/total joins are broadcast scalars, never a shuffle of
-    fact rows."""
+    """Kaplan-Meier: facts collapse per-customer, then per-lifetime,
+    distributed (the construction-time side jobs); the RETURNED plan is
+    the driver-folded value-grain result — no windows, no joins, no
+    fact scan left to regress (round-10 rework)."""
     plan = plan_of(spark, "survival_curve")
     assert "SortMergeJoin" not in plan, plan[:1200]
     assert "CartesianProduct" not in plan, plan[:1200]
+    assert "Window" not in plan, plan[:1200]
 
 
 def test_ab_test_single_row_from_partial_aggs(spark):
@@ -734,12 +736,16 @@ def test_attribution_single_user_shuffle_for_session_windows(spark):
     assert _nodes(plan, "Window") >= 1, plan[:1500]
 
 
-def test_skyline_runs_on_distinct_dim_points(spark):
-    """The skyline sort-scan deduplicates to distinct (price, size)
-    points before its global window — and never joins (the quadratic
-    NOT-EXISTS shape belongs to the oracle only)."""
+def test_skyline_window_free_broadcast_suffix_min(spark):
+    """Round-10 rework: the skyline is per-size min-price (one
+    fact-scale equi-agg) + an explode-sequence suffix-min joined back
+    BROADCAST — zero windows, no shuffle join, and never the quadratic
+    NOT-EXISTS shape (that belongs to the oracle only)."""
     plan = plan_of(spark, "skyline_parts")
-    assert "Join" not in plan, plan[:800]
+    assert "Window" not in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
     assert _nodes(plan, "HashAggregate") >= 2, plan[:1500]
 
 
@@ -903,8 +909,10 @@ def test_sequence_gaps_key_windows_bucket_partitioned(spark):
     """The round-4 weak mark: sequence_gaps must never run lag() in a
     single-partition window over the fact-scale key scan. Every window
     that orders by the raw order key must be partitioned by the fixed
-    key-range bucket; the only unpartitioned windows allowed are the
-    bucket-grain boundary pass (one row per non-empty bucket)."""
+    key-range bucket — and since the round-10 three-level rework, NO
+    window anywhere in the plan may lack a partition clause (the
+    bucket-span stitch partitions by super-bucket; the cross-super
+    stitch is a bounded driver side job)."""
     import re as _re
 
     plan = plan_of(spark, "sequence_gaps")
@@ -913,6 +921,9 @@ def test_sequence_gaps_key_windows_bucket_partitioned(spark):
     assert key_specs, plan[:1200]  # the inner lag windows must exist
     for s in key_specs:
         assert s.startswith("bucket#"), s
+    for s in specs:  # no unpartitioned window of any grain remains
+        first = s.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, s
     # and the parallel key windows shuffle on the bucket, not to one task
     assert "hashpartitioning(bucket" in plan, plan[:1500]
 
