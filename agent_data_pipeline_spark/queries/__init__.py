@@ -101,6 +101,7 @@ _NEVER_VERIFIED_FRONT = [
     "hybrid_bm25_ann_rerank",
     "audio_source_curation_join",
     "mixed_media_manifest",
+    "bm25_multiquery_topk",
     # -- implementation touched in round 10: crossenc tokenization now
     #    trims + drops empty tokens (ADVICE r9); pca_variance probe is
     #    NULL-guarded; rfm/rrf/gapfill/rollup persists are now tracked

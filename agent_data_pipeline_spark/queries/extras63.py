@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .core import QuerySpec, rnd, t
 
@@ -236,6 +237,86 @@ ORDER BY d.source
 """
 
 
+_BM25_K = 10
+
+
+def _bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 top-10 (doc-as-query, self excluded) — the
+    hybrid's lexical arm run standalone so the driver HASH-checks it
+    against a SQL oracle (the arm is fully deterministic; only the
+    hybrid's IVF side is hash-seeded). Ranks order by the 6dp-rounded
+    score then doc_id on BOTH engines, so the cut is deterministic
+    even where scores collide after rounding."""
+    from ..llmdata import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    qt = retrieval.query_terms_from_docs(docs, list(range(_N_QUERIES)))
+    return (
+        retrieval.bm25_topk(docs, qt, k=_BM25_K + 1)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", "bm25")
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("bm25").desc(), F.col("doc_id")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("lex_rank") <= _BM25_K)
+        .orderBy("query_id", "lex_rank")
+    )
+
+
+_BM25_MULTI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')
+           AS tk
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tk) AS dl FROM toks
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), qt AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS tok
+  FROM toks WHERE doc_id < {_N_QUERIES}
+), dft AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS dft FROM tf
+  WHERE tok IN (SELECT DISTINCT tok FROM qt)
+  GROUP BY tok
+), sc AS (
+  SELECT q.query_id, f.doc_id,
+         floor(sum(
+           ln(1 + (g.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+           * f.tf * 2.2
+           / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / g.avgdl))
+         ) * 1000000 + 0.5) / 1000000 AS bm25
+  FROM tf f
+  JOIN qt q USING (tok)
+  JOIN dft d USING (tok)
+  JOIN dl l ON l.doc_id = f.doc_id
+  CROSS JOIN g
+  WHERE f.doc_id <> q.query_id
+  GROUP BY q.query_id, f.doc_id
+), rk AS (
+  SELECT query_id, doc_id, bm25,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM sc
+)
+SELECT query_id, doc_id, bm25, lex_rank
+FROM rk WHERE lex_rank <= {_BM25_K}
+ORDER BY query_id, lex_rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hybrid_bm25_ann_rerank": QuerySpec(
         _hybrid_bm25_ann_rerank,
@@ -250,6 +331,12 @@ QUERIES: dict[str, QuerySpec] = {
         "per-source audio curation rollup: real WAV decode payload-local, "
         "scalar features (mean block RMS, dynamic range, stored bytes) "
         "joined to the documents dim",
+    ),
+    "bm25_multiquery_topk": QuerySpec(
+        _bm25_multiquery_topk,
+        _BM25_MULTI_SQL,
+        "multi-query BM25 top-10 per query doc (posting-list equi-join, "
+        "the hybrid's lexical arm standalone and fully oracled)",
     ),
     "mixed_media_manifest": QuerySpec(
         _mixed_media_manifest,

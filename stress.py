@@ -509,6 +509,8 @@ R9_OPS = [
 R10_OPS = [
     "hybrid_bm25_ann_rerank",
     "audio_source_curation_join",
+    "mixed_media_manifest",
+    "bm25_multiquery_topk",
 ]
 
 
