@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..fns import rnd
+
 _TOKEN_SPLIT = r"\s+"
 
 
@@ -134,3 +136,101 @@ def nb_train_score(
         )
     )
     return scored
+
+
+def dsir_doc_weights(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Both the target and raw distributions are bag-of-hashed-ngrams
+    unigram models over ``n_buckets`` feature buckets: features are the
+    word unigrams AND bigrams of the lower-cased, whitespace-split,
+    empty-token-filtered text, hashed portably (first 8 md5 hex digits
+    as an unsigned 32-bit int, mod ``n_buckets`` — the same
+    engine-portable hash as the CMS sketch in queries/extras35.py).
+    Bucket probabilities are add-one smoothed over ``n_buckets``; the
+    per-document weight is the summed occurrence-level log-ratio
+
+        w(doc) = sum_{ngram occurrences} ln p_target[b] - ln p_raw[b]
+
+    rounded to 9dp so the two engines' different partial-sum orders
+    cannot leak into a value-hash compare (fns.rnd portable rounding).
+
+    Scale shape (100 TB): the ngram stream is fact-scale but is only
+    ever aggregated — once to the ``n_buckets``-row model (map-side
+    combine into <= n_buckets groups; the totals row and the log-ratio
+    table are broadcast back), once to the per-document weight (the one
+    unavoidable doc-key shuffle, map-combined). No window, no sort, no
+    pair materialization; the model table is O(n_buckets) regardless of
+    corpus size, so it broadcasts anywhere. The lineage deliberately
+    recomputes the tokenize+explode for the scoring pass instead of
+    persisting a fact-scale intermediate — at 100 TB a re-scan is
+    cheaper than caching the exploded stream.
+
+    Documents with zero ngrams (empty/whitespace text) drop out of the
+    result — they carry no evidence either way; callers needing them
+    can left-join this frame back to the corpus.
+
+    Returns a DataFrame ``(id_col, *keep, w: double)``.
+    """
+    tc = F.array_remove(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            _TOKEN_SPLIT,
+        ),
+        "",
+    )
+    base = df.select(
+        id_col, *keep, F.col(target_col).alias("_is_t"), tc.alias("_tc")
+    )
+    # unigrams ++ bigrams; sequence(1, 0) would yield a DESCENDING [1, 0]
+    # in Spark, so the size >= 2 guard is load-bearing, not decorative
+    grams = F.when(
+        F.size("_tc") >= 2,
+        F.concat(
+            F.col("_tc"),
+            F.expr(
+                "transform(sequence(1, size(_tc) - 1),"
+                " i -> concat(_tc[i-1], ' ', _tc[i]))"
+            ),
+        ),
+    ).otherwise(F.col("_tc"))
+    stream = base.select(
+        id_col, *keep, "_is_t", F.explode(grams).alias("_ng")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_ng")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    bucketed = stream.withColumn("_b", bucket).drop("_ng")
+    model = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_r"),
+        F.sum(F.col("_is_t").cast("long")).alias("_t"),
+    )
+    tot = model.agg(
+        F.sum("_r").alias("_rtot"), F.sum("_t").alias("_ttot")
+    )
+    smooth = float(n_buckets)
+    logratio = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            (
+                F.log((F.col("_t") + 1.0) / (F.col("_ttot") + smooth))
+                - F.log((F.col("_r") + 1.0) / (F.col("_rtot") + smooth))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(logratio), "_b")
+        .groupBy(id_col, *keep)
+        .agg(rnd(F.sum("_lr"), 9).alias("w"))
+    )

@@ -69,6 +69,7 @@ from . import (
     extras61,
     extras62,
     extras63,
+    extras64,
     llmdata_q,
     relational,
     scalars,
@@ -97,6 +98,9 @@ _NEVER_VERIFIED_FRONT = [
     # here since round 9): any query whose IMPLEMENTATION changed this
     # round jumps the queue so the driver hard-checks the new code path
     # the same round.
+    # -- round-10 additions (extras64) — never driver-checked
+    "dsir_importance_weights",
+    "dsir_resample_census",
     # -- round-10 additions (extras63) — never driver-checked
     "hybrid_bm25_ann_rerank",
     "audio_source_curation_join",
@@ -272,7 +276,7 @@ _NEVER_VERIFIED_FRONT = [
     "entity_resolution_pipeline",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, extras61, extras62, extras63, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, extras61, extras62, extras63, extras64, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

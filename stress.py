@@ -508,6 +508,8 @@ R9_OPS = [
 # payload-local and shuffles scalar loudness features only.
 R10_OPS = [
     "hybrid_bm25_ann_rerank",
+    "dsir_importance_weights",
+    "dsir_resample_census",
     "audio_source_curation_join",
     "mixed_media_manifest",
     "bm25_multiquery_topk",
