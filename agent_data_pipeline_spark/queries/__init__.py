@@ -101,6 +101,7 @@ _NEVER_VERIFIED_FRONT = [
     # -- round-10 additions (extras64) — never driver-checked
     "dsir_importance_weights",
     "dsir_resample_census",
+    "multimodal_data_prep",
     # -- round-10 additions (extras63) — never driver-checked
     "hybrid_bm25_ann_rerank",
     "audio_source_curation_join",

@@ -225,3 +225,154 @@ QUERIES: dict[str, QuerySpec] = {
         "per-language selected-set composition vs corpus composition",
     ),
 }
+
+
+_TOK_FLOOR, _Q_FLOOR = 20, 0.45  # the training_data_prep text gates
+_VAL_SHARDS = 20  # md5 shard 0 of 20 -> val (~5%)
+
+
+def _multimodal_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed MULTIMODAL training-data pipeline — the media
+    sibling of ``training_data_prep`` (queries/llmdata_q.py): text
+    quality gate (token floor + quality score, scan-only) → image and
+    audio feature gates where the payload decode runs payload-local
+    over the text SURVIVORS only (the production gate order: the cheap
+    scan shrinks the corpus before the expensive decode; only typed
+    scalars ever cross a join) → deterministic md5 train/val split
+    (the shard_assign construction) → per-(split, source) manifest
+    with token and per-modality byte budgets. One lazy Catalyst plan,
+    no materialization between stages. Synthetic media is closed-form
+    (the extras63 recipes), so the whole composition is DuckDB-oracled.
+    At 100 TB: decode-on-survivors is the difference between decoding
+    100 TB of media and decoding the ~half that passes the text gate —
+    the plan encodes that by synthesizing/decoding from the GATED doc
+    frame, not the corpus."""
+    from ..llmdata import hygiene, multimodal, textstats
+    from .extras63 import _AMP_MOD, _BRIGHT_CUT, _LOUD_CUT, _NB_MOD
+
+    d = t(spark, sf_dir, "documents")
+    stats = textstats.with_text_stats(d)
+    kept = stats.filter(
+        (F.col("n_tokens") >= _TOK_FLOOR)
+        & (F.col("quality_score") >= _Q_FLOOR)
+    ).select("doc_id", "source", "n_tokens")
+    img = multimodal.image_channel_stats(
+        multimodal.synthesize_gradient_images(kept, "doc_id")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("r_mean") >= _BRIGHT_CUT).alias("is_bright"),
+        (
+            F.lit(54)
+            + F.floor((3 * F.col("width") + 3) / 4) * 4 * F.col("height")
+        )
+        .cast("long")
+        .alias("img_bytes"),
+    )
+    wav = multimodal.audio_block_loudness(
+        multimodal.synthesize_block_wavs(
+            kept, "doc_id", nb_mod=_NB_MOD, amp_mod=_AMP_MOD
+        )
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("rms_mean") >= _LOUD_CUT).alias("is_loud"),
+        (F.lit(44) + 512 * F.col("n_blocks")).cast("long").alias("wav_bytes"),
+    )
+    manifest = (
+        kept.join(img, "doc_id")
+        .join(wav, "doc_id")
+        .filter(F.col("is_bright") & F.col("is_loud"))
+    )
+    sharded = hygiene.shard_assign(manifest, "doc_id", n_shards=_VAL_SHARDS)
+    return (
+        sharded.withColumn(
+            "split",
+            F.when(F.col("shard") == 0, F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("img_bytes").cast("long").alias("sum_img_bytes"),
+            F.sum("wav_bytes").cast("long").alias("sum_wav_bytes"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+# text-gate CTEs are the training_data_prep fragments (minus its eval
+# holdout — this pipeline gates the full corpus); media CTEs are the
+# extras63 closed forms; the split is the shard_assign hex construction
+_MM_PREP_SQL = r"""
+WITH stats AS (
+  SELECT doc_id, source, text,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         floor((0.4 * least(n_chars_calc / 200.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+             + 0.3 * CASE WHEN n_tokens > 0 THEN n_distinct_tokens / CAST(n_tokens AS DOUBLE) ELSE 0.0 END)
+           * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM stats
+), kept AS (
+  SELECT doc_id, source, n_tokens FROM q
+  WHERE n_tokens >= 20 AND quality_score >= 0.45
+), img AS (
+  SELECT doc_id,
+         (doc_id % 192 + (4 + doc_id % 4 - 1) / 2.0
+          + 7 * (4 + doc_id % 5 - 1) / 2.0) >= 96 AS is_bright,
+         54 + ((3 * (4 + doc_id % 4) + 3) // 4) * 4 * (4 + doc_id % 5)
+           AS img_bytes
+  FROM kept
+), blocks AS (
+  SELECT doc_id, 4 + doc_id % 3 AS nb,
+         1000 + 500 * ((doc_id + b) % 7) AS amp
+  FROM (
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(3 + doc_id % 3 AS BIGINT))) AS b
+    FROM kept
+  )
+), wav AS (
+  SELECT doc_id,
+         sum(CAST(amp AS DOUBLE)) / nb >= 2500.0 AS is_loud,
+         44 + 512 * nb AS wav_bytes
+  FROM blocks GROUP BY doc_id, nb
+), m AS (
+  SELECT k.doc_id, k.source, k.n_tokens, i.img_bytes, w.wav_bytes
+  FROM kept k JOIN img i USING (doc_id) JOIN wav w USING (doc_id)
+  WHERE i.is_bright AND w.is_loud
+), sh AS (
+  SELECT *, md5('s42:' || CAST(doc_id AS VARCHAR)) AS hk FROM m
+), v AS (
+  SELECT *,
+    (CASE WHEN ascii(substr(hk,1,1)) >= 97 THEN ascii(substr(hk,1,1)) - 87
+          ELSE ascii(substr(hk,1,1)) - 48 END) * 16
+  + (CASE WHEN ascii(substr(hk,2,1)) >= 97 THEN ascii(substr(hk,2,1)) - 87
+          ELSE ascii(substr(hk,2,1)) - 48 END) AS hv
+  FROM sh
+)
+SELECT CASE WHEN hv % 20 = 0 THEN 'val' ELSE 'train' END AS split,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(img_bytes) AS BIGINT) AS sum_img_bytes,
+       CAST(sum(wav_bytes) AS BIGINT) AS sum_wav_bytes
+FROM v
+GROUP BY 1, source
+ORDER BY split, source
+"""
+
+
+QUERIES["multimodal_data_prep"] = QuerySpec(
+    _multimodal_data_prep,
+    _MM_PREP_SQL,
+    "composed multimodal training-data pipeline: text quality gate, "
+    "payload-local image+audio gates decoded over survivors only, md5 "
+    "train/val split, per-(split, source) token and byte manifest",
+)

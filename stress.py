@@ -510,6 +510,7 @@ R10_OPS = [
     "hybrid_bm25_ann_rerank",
     "dsir_importance_weights",
     "dsir_resample_census",
+    "multimodal_data_prep",
     "audio_source_curation_join",
     "mixed_media_manifest",
     "bm25_multiquery_topk",
