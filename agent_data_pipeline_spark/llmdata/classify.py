@@ -138,6 +138,88 @@ def nb_train_score(
     return scored
 
 
+def dsir_grams(text_col: str) -> Column:
+    """Array of DSIR features for one document: word unigrams ++
+    bigrams of the lower-cased, trimmed, whitespace-split,
+    empty-token-filtered text. ``sequence(1, 0)`` would yield a
+    DESCENDING ``[1, 0]`` in Spark, so the ``size >= 2`` guard on the
+    bigram arm is load-bearing, not decorative."""
+    tc = F.array_remove(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            _TOKEN_SPLIT,
+        ),
+        "",
+    )
+    # bind tc once via a lambda-less expr: build on the named column in
+    # the caller's select would force a two-step select; transform over
+    # the inline array keeps this a single Column usable anywhere
+    return F.when(
+        F.size(tc) >= 2,
+        F.concat(
+            tc,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tc) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(tc, i), F.element_at(tc, i + 1)),
+            ),
+        ),
+    ).otherwise(tc)
+
+
+def dsir_bucket(gram: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: first 8 md5 hex digits as an
+    unsigned 32-bit int, mod ``n_buckets`` (the queries/extras35.py CMS
+    hash; DuckDB mirror: ``CAST(concat('0x', substr(md5(g),1,8)) AS
+    BIGINT) % n``)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def dsir_bucket_model(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Train the DSIR bucket model alone: returns the ``n_buckets``-row
+    log-ratio table ``(_b, _lr, _lr_unseen)`` where ``_lr_unseen`` is
+    the (row-constant) log-ratio a bucket with zero training
+    occurrences would score — what a scorer shipping the model to a
+    stream must substitute for buckets outside the table. O(n_buckets)
+    rows at any corpus scale: safe to broadcast or bounded-collect into
+    a literal map (see queries/extras64.py ``stream_dsir_gate``)."""
+    stream = df.select(
+        F.col(target_col).alias("_is_t"),
+        F.explode(dsir_grams(text_col)).alias("_ng"),
+    )
+    bucketed = stream.select(
+        "_is_t", dsir_bucket(F.col("_ng"), n_buckets).alias("_b")
+    )
+    model = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_r"),
+        F.sum(F.col("_is_t").cast("long")).alias("_t"),
+    )
+    tot = model.agg(F.sum("_r").alias("_rtot"), F.sum("_t").alias("_ttot"))
+    smooth = float(n_buckets)
+    return (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            (
+                F.log((F.col("_t") + 1.0) / (F.col("_ttot") + smooth))
+                - F.log((F.col("_r") + 1.0) / (F.col("_rtot") + smooth))
+            ).alias("_lr"),
+            (
+                F.log(F.lit(1.0) / (F.col("_ttot") + smooth))
+                - F.log(F.lit(1.0) / (F.col("_rtot") + smooth))
+            ).alias("_lr_unseen"),
+        )
+    )
+
+
 def dsir_doc_weights(
     df: DataFrame,
     *,
@@ -181,54 +263,15 @@ def dsir_doc_weights(
 
     Returns a DataFrame ``(id_col, *keep, w: double)``.
     """
-    tc = F.array_remove(
-        F.split(
-            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-            _TOKEN_SPLIT,
-        ),
-        "",
+    stream = df.select(
+        id_col, *keep, F.explode(dsir_grams(text_col)).alias("_ng")
     )
-    base = df.select(
-        id_col, *keep, F.col(target_col).alias("_is_t"), tc.alias("_tc")
+    bucketed = stream.select(
+        id_col, *keep, dsir_bucket(F.col("_ng"), n_buckets).alias("_b")
     )
-    # unigrams ++ bigrams; sequence(1, 0) would yield a DESCENDING [1, 0]
-    # in Spark, so the size >= 2 guard is load-bearing, not decorative
-    grams = F.when(
-        F.size("_tc") >= 2,
-        F.concat(
-            F.col("_tc"),
-            F.expr(
-                "transform(sequence(1, size(_tc) - 1),"
-                " i -> concat(_tc[i-1], ' ', _tc[i]))"
-            ),
-        ),
-    ).otherwise(F.col("_tc"))
-    stream = base.select(
-        id_col, *keep, "_is_t", F.explode(grams).alias("_ng")
-    )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("_ng")), 1, 8), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
-    bucketed = stream.withColumn("_b", bucket).drop("_ng")
-    model = bucketed.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_r"),
-        F.sum(F.col("_is_t").cast("long")).alias("_t"),
-    )
-    tot = model.agg(
-        F.sum("_r").alias("_rtot"), F.sum("_t").alias("_ttot")
-    )
-    smooth = float(n_buckets)
-    logratio = (
-        model.crossJoin(F.broadcast(tot))
-        .select(
-            "_b",
-            (
-                F.log((F.col("_t") + 1.0) / (F.col("_ttot") + smooth))
-                - F.log((F.col("_r") + 1.0) / (F.col("_rtot") + smooth))
-            ).alias("_lr"),
-        )
-    )
+    logratio = dsir_bucket_model(
+        df, text_col=text_col, target_col=target_col, n_buckets=n_buckets
+    ).select("_b", "_lr")
     return (
         bucketed.join(F.broadcast(logratio), "_b")
         .groupBy(id_col, *keep)

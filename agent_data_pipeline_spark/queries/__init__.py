@@ -102,6 +102,7 @@ _NEVER_VERIFIED_FRONT = [
     "dsir_importance_weights",
     "dsir_resample_census",
     "multimodal_data_prep",
+    "stream_dsir_gate",
     # -- round-10 additions (extras63) — never driver-checked
     "hybrid_bm25_ann_rerank",
     "audio_source_curation_join",

@@ -376,3 +376,106 @@ QUERIES["multimodal_data_prep"] = QuerySpec(
     "payload-local image+audio gates decoded over survivors only, md5 "
     "train/val split, per-(split, source) token and byte manifest",
 )
+
+
+def _stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR ingest gate — the production shape for shipping a
+    trained data-selection model to a document stream:
+
+    1. TRAIN offline (batch): the 1024-row bucket log-ratio model from
+       the static corpus (``dsir_bucket_model``; O(n_buckets) rows at
+       any corpus scale).
+    2. SHIP: bounded-collect the model into a literal map — the same
+       move a fleet makes broadcasting a scorer to every ingest worker;
+       the unseen-bucket log-ratio rides along so buckets outside the
+       training table still score (it cannot fire in this finite replay
+       of the training corpus itself, but a live stream sees novel
+       buckets immediately).
+    3. SCORE stateless map-side: per-doc weight is an ``aggregate``
+       over the in-row gram array via map lookup — no explode, no
+       shuffle, no state store; the gate (w > 0, i.e. more target-like
+       than raw) filters inside the stream.
+    4. Census from the append sink after the drain.
+
+    The per-doc weight lands on the same 9dp grid as the batch
+    ``dsir_doc_weights`` (identical doubles through the collect/lit
+    round-trip; fns.rnd), so the batch SQL oracle is exact — streaming
+    execution, hash-checkable result."""
+    import os
+    import uuid
+
+    from ..fns import bounded_collect
+    from ..llmdata import classify
+    from ..streaming import drain, stream_to_memory
+
+    path = f"{sf_dir}/documents.parquet"
+    batch = spark.read.parquet(path)
+    model = classify.dsir_bucket_model(
+        batch.withColumn(
+            "is_target", F.coalesce(F.col("lang") == "en", F.lit(False))
+        ),
+        n_buckets=_B,
+    )
+    rows = bounded_collect(
+        model, _B, f"hashed-feature bucket model (<= n_buckets={_B} rows)"
+    )
+    lr_map = F.map_from_arrays(
+        F.lit([r["_b"] for r in rows]), F.lit([r["_lr"] for r in rows])
+    )
+    oov = rows[0]["_lr_unseen"]
+
+    if os.path.isdir(path):
+        reader, stream_dir = spark.readStream, path
+    else:
+        reader = spark.readStream.option("pathGlobFilter", "documents.parquet")
+        stream_dir = sf_dir
+    docs = reader.schema(batch.schema).parquet(stream_dir)
+
+    buckets = F.transform(
+        classify.dsir_grams("text"), lambda g: classify.dsir_bucket(g, _B)
+    )
+    w = rnd(
+        F.aggregate(
+            buckets,
+            F.lit(0.0),
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(lr_map, b), F.lit(oov)),
+        ),
+        9,
+    )
+    gated = docs.withColumn("w", w).filter(F.col("w") > 0)
+    name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(gated, name, output_mode="append")
+    drain(q)
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            rnd(F.avg("w"), 6).alias("mean_w_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_STREAM_DSIR_SQL = (
+    _w_ctes("source")
+    + """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       floor(avg(w) * 1000000 + 0.5) / 1000000 AS mean_w_kept
+FROM per_doc
+WHERE w > 0
+GROUP BY source
+ORDER BY source
+"""
+)
+
+
+QUERIES["stream_dsir_gate"] = QuerySpec(
+    _stream_dsir_gate,
+    _STREAM_DSIR_SQL,
+    "streaming DSIR ingest gate: batch-trained bucket model shipped "
+    "into the stream as a literal map, stateless map-side scoring, "
+    "w > 0 gate, per-source census from the append sink",
+)

@@ -138,7 +138,11 @@ def test_dsir_registry_queries_oracle_match_on_planted_corpus(
         "CREATE VIEW documents AS "
         f"SELECT * FROM '{planted_sf}/documents.parquet'"
     )
-    for name in ("dsir_importance_weights", "dsir_resample_census"):
+    for name in (
+        "dsir_importance_weights",
+        "dsir_resample_census",
+        "stream_dsir_gate",  # streaming execution, same batch oracle
+    ):
         spec = REGISTRY[name]
         got = sorted(tuple(r) for r in spec.spark(spark, planted_sf).collect())
         want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
