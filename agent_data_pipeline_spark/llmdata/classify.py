@@ -138,29 +138,38 @@ def nb_train_score(
     return scored
 
 
-def dsir_grams(text_col: str) -> Column:
-    """Array of DSIR features for one document: word unigrams ++
-    bigrams of the lower-cased, trimmed, whitespace-split,
-    empty-token-filtered text. ``sequence(1, 0)`` would yield a
-    DESCENDING ``[1, 0]`` in Spark, so the ``size >= 2`` guard on the
-    bigram arm is load-bearing, not decorative."""
-    tc = F.array_remove(
+def dsir_tokens(text_col: str) -> Column:
+    """Token array for the DSIR feature definition: lower-cased,
+    trimmed, whitespace-split, empty tokens removed. Callers MUST bind
+    this to a named column (``withColumn``/``select`` alias) before
+    feeding it to ``dsir_grams`` — Catalyst does not eliminate common
+    subexpressions across lambda boundaries, so an inline token
+    expression gets re-tokenized per element inside the bigram
+    transform (measured 5× wall on the sf0.1 corpus)."""
+    return F.array_remove(
         F.split(
             F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
             _TOKEN_SPLIT,
         ),
         "",
     )
-    # bind tc once via a lambda-less expr: build on the named column in
-    # the caller's select would force a two-step select; transform over
-    # the inline array keeps this a single Column usable anywhere
+
+
+def dsir_grams(tokens_col: str) -> Column:
+    """Array of DSIR features from a MATERIALIZED token-array column
+    (see ``dsir_tokens``): word unigrams ++ bigrams. ``sequence(1, 0)``
+    would yield a DESCENDING ``[1, 0]`` in Spark, so the ``size >= 2``
+    guard on the bigram arm is load-bearing, not decorative."""
+    tc = F.col(tokens_col)
     return F.when(
         F.size(tc) >= 2,
         F.concat(
             tc,
             F.transform(
                 F.sequence(F.lit(1), F.size(tc) - 1),
-                lambda i: F.concat_ws(" ", F.element_at(tc, i), F.element_at(tc, i + 1)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tc, i), F.element_at(tc, i + 1)
+                ),
             ),
         ),
     ).otherwise(tc)
@@ -192,9 +201,8 @@ def dsir_bucket_model(
     rows at any corpus scale: safe to broadcast or bounded-collect into
     a literal map (see queries/extras64.py ``stream_dsir_gate``)."""
     stream = df.select(
-        F.col(target_col).alias("_is_t"),
-        F.explode(dsir_grams(text_col)).alias("_ng"),
-    )
+        F.col(target_col).alias("_is_t"), dsir_tokens(text_col).alias("_tc")
+    ).select("_is_t", F.explode(dsir_grams("_tc")).alias("_ng"))
     bucketed = stream.select(
         "_is_t", dsir_bucket(F.col("_ng"), n_buckets).alias("_b")
     )
@@ -264,8 +272,8 @@ def dsir_doc_weights(
     Returns a DataFrame ``(id_col, *keep, w: double)``.
     """
     stream = df.select(
-        id_col, *keep, F.explode(dsir_grams(text_col)).alias("_ng")
-    )
+        id_col, *keep, dsir_tokens(text_col).alias("_tc")
+    ).select(id_col, *keep, F.explode(dsir_grams("_tc")).alias("_ng"))
     bucketed = stream.select(
         id_col, *keep, dsir_bucket(F.col("_ng"), n_buckets).alias("_b")
     )

@@ -431,8 +431,14 @@ def _stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dir = sf_dir
     docs = reader.schema(batch.schema).parquet(stream_dir)
 
+    # bind tokens and grams as named columns — Catalyst does not
+    # eliminate common subexpressions across lambda boundaries, so an
+    # inline token expr would re-tokenize per bigram (see dsir_tokens)
+    staged = docs.withColumn(
+        "_tc", classify.dsir_tokens("text")
+    ).withColumn("_grams", classify.dsir_grams("_tc"))
     buckets = F.transform(
-        classify.dsir_grams("text"), lambda g: classify.dsir_bucket(g, _B)
+        F.col("_grams"), lambda g: classify.dsir_bucket(g, _B)
     )
     w = rnd(
         F.aggregate(
@@ -443,7 +449,11 @@ def _stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    gated = docs.withColumn("w", w).filter(F.col("w") > 0)
+    gated = (
+        staged.withColumn("w", w)
+        .drop("_tc", "_grams")
+        .filter(F.col("w") > 0)
+    )
     name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
     q = stream_to_memory(gated, name, output_mode="append")
     drain(q)
