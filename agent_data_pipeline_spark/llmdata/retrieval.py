@@ -67,6 +67,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_ratio: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-(query, doc) BM25 scores for a small query set.
 
@@ -81,9 +82,17 @@ def bm25_scores(
     this corpus fraction (stopword guard — at scale a term matching
     ~every doc turns the candidate set into the corpus; its idf is
     ~ln(1+ε) anyway, so dropping it barely moves scores).
+
+    ``weight_col``: optional per-term query weight column on
+    ``query_terms`` (RM3-style expanded queries weight original terms
+    1.0 and expansion terms lower); each term's BM25 contribution is
+    multiplied by it before the per-(query, doc) sum. None = all 1.0.
     """
+    wcols = [F.col(weight_col).alias("_qw")] if weight_col else []
     qt = query_terms.select(
-        F.col(query_id_col).alias("query_id"), F.col(token_col).alias("_tok")
+        F.col(query_id_col).alias("query_id"),
+        F.col(token_col).alias("_tok"),
+        *wcols,
     ).distinct()
 
     toks = docs.select(
@@ -122,13 +131,14 @@ def bm25_scores(
         * (k1 + 1)
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     )
+    contrib = F.col("_w") * F.col("_qw") if weight_col else F.col("_w")
     return (
         scored.withColumn("_w", w)
         .join(
             F.broadcast(qt), scored["tok"] == qt["_tok"]
         )
         .groupBy("query_id", "doc_id")
-        .agg(rnd(F.sum("_w"), 6).alias("bm25"))
+        .agg(rnd(F.sum(contrib), 6).alias("bm25"))
     )
 
 
@@ -302,4 +312,127 @@ def hybrid_bm25_ann_rerank(
         scored.withColumn("rerank_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rerank_rank") <= final_k)
         .orderBy("query_id", "rerank_rank")
+    )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fb_k: int = 10,
+    n_exp: int = 5,
+    exp_weight: float = 0.5,
+    final_k: int = 10,
+) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-style Rocchio expansion) on the
+    multi-query BM25 arm: first-pass BM25 top-``fb_k`` per query →
+    expansion terms scored ``Σ_{d∈FB} tf(d,t)·idf(t)`` over the
+    FEEDBACK docs only (original query terms excluded) → top-``n_exp``
+    terms join the query at weight ``exp_weight`` → weighted-BM25
+    second pass → top-``final_k``. Self-retrieval is excluded in both
+    passes (doc-as-query convention).
+
+    Scale shape (100 TB): both corpus passes are the posting-list
+    prune of ``bm25_scores`` (the exploded token stream joins a
+    BROADCAST term set before any shuffle — first pass: query terms;
+    second pass: query ∪ expansion terms). Everything between them is
+    bounded: the feedback set is ``n_queries × fb_k`` rows, its
+    re-tokenization touches only those docs, expansion-term df comes
+    off the term-bounded posting stream, and every window partitions
+    by query_id over candidate (never corpus) sets. Expansion weights
+    are fns.rnd-rounded to 6dp with a term-asc tie-break before the
+    top-``n_exp`` cut, so the selected expansion set — and hence the
+    whole second pass — is engine-exact (DuckDB-oracled).
+    """
+    q0 = query_terms_from_docs(
+        docs, query_ids, id_col=id_col, text_col=text_col
+    )
+    fb = (
+        bm25_topk(
+            docs, q0, k=fb_k + 1, id_col=id_col, text_col=text_col
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("bm25").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= fb_k)
+        .select("query_id", "doc_id")
+    )
+    # term stats of the FEEDBACK docs only (n_queries × fb_k rows)
+    fb_tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("tok"),
+        )
+        .join(F.broadcast(fb.select("doc_id").distinct()), "doc_id")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .join(F.broadcast(fb), "doc_id")
+    )
+    # corpus df for the candidate expansion vocabulary (term-bounded)
+    cand_vocab = fb_tf.select("tok").distinct()
+    n_docs = docs.count()
+    df_t = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                tokenize(F.col(text_col), distinct=True)
+            ).alias("tok"),
+        )
+        .join(F.broadcast(cand_vocab), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    )
+    idf = F.log(
+        1 + (F.lit(n_docs) - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    exp_scores = (
+        fb_tf.join(F.broadcast(df_t), "tok")
+        .groupBy("query_id", "tok")
+        .agg(rnd(F.sum(F.col("tf") * idf), 6).alias("_wexp"))
+        # drop terms already in the query (anti-join on the tiny q0)
+        .join(
+            F.broadcast(q0.withColumnRenamed("token", "tok")),
+            ["query_id", "tok"],
+            "left_anti",
+        )
+    )
+    expn = (
+        exp_scores.withColumn(
+            "_er",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("_wexp").desc(), F.col("tok")
+                )
+            ),
+        )
+        .filter(F.col("_er") <= n_exp)
+        .select("query_id", F.col("tok").alias("token"))
+    )
+    q1 = q0.withColumn("qw", F.lit(1.0)).unionByName(
+        expn.withColumn("qw", F.lit(float(exp_weight)))
+    )
+    rescored = bm25_scores(
+        docs, q1, id_col=id_col, text_col=text_col, weight_col="qw"
+    ).filter(F.col("doc_id") != F.col("query_id"))
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        rescored.withColumn("prf_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("prf_rank") <= final_k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("bm25").alias("prf_score"),
+            "prf_rank",
+        )
+        .orderBy("query_id", "prf_rank")
     )

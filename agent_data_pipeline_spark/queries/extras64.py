@@ -489,3 +489,126 @@ QUERIES["stream_dsir_gate"] = QuerySpec(
     "into the stream as a literal map, stateless map-side scoring, "
     "w > 0 gate, per-source census from the append sink",
 )
+
+
+_PRF_Q = 10  # query docs 0..9 (doc-as-query, the retrieval fixture convention)
+_PRF_FB, _PRF_EXP, _PRF_W, _PRF_K = 10, 5, 0.5, 10
+
+
+def _bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback retrieval, fully oracled:
+    BM25 top-10 feedback per query → expansion terms ranked by
+    Σ tf·idf over the feedback docs (6dp grid, term-asc tie-break) →
+    top-5 expansion terms join the query at weight 0.5 →
+    weighted-BM25 second pass → top-10. See
+    llmdata/retrieval.py bm25_prf_topk for the 100 TB shape (both
+    corpus passes are broadcast-pruned posting lists; everything
+    between is n_queries-bounded)."""
+    from ..llmdata import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    return retrieval.bm25_prf_topk(
+        docs,
+        list(range(_PRF_Q)),
+        fb_k=_PRF_FB,
+        n_exp=_PRF_EXP,
+        exp_weight=_PRF_W,
+        final_k=_PRF_K,
+    )
+
+
+_PRF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tc
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(tc) AS BIGINT) AS dl FROM toks
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, u.tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks, unnest(tc) AS u(tok) GROUP BY doc_id, u.tok
+), dft AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY tok
+), q0 AS (
+  SELECT DISTINCT t.doc_id AS query_id, u.tok AS token
+  FROM toks t, unnest(tc) AS u(tok) WHERE t.doc_id < {_PRF_Q}
+), s1 AS (
+  SELECT q.query_id, f.doc_id,
+         floor(sum(
+           ln(1 + (g.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+           * f.tf * 2.2
+           / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / g.avgdl))
+         ) * 1000000 + 0.5) / 1000000 AS bm25
+  FROM tf f
+  JOIN q0 q ON q.token = f.tok
+  JOIN dft d ON d.tok = f.tok
+  JOIN dl l ON l.doc_id = f.doc_id
+  CROSS JOIN g
+  WHERE f.doc_id <> q.query_id
+  GROUP BY q.query_id, f.doc_id
+), fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY bm25 DESC, doc_id) AS r
+    FROM s1
+  ) WHERE r <= {_PRF_FB}
+), exp_cand AS (
+  SELECT b.query_id, f.tok,
+         floor(sum(f.tf * ln(1 + (g.n_docs - d.dft + 0.5) / (d.dft + 0.5)))
+               * 1000000 + 0.5) / 1000000 AS wexp
+  FROM fb b
+  JOIN tf f ON f.doc_id = b.doc_id
+  JOIN dft d ON d.tok = f.tok
+  CROSS JOIN g
+  GROUP BY b.query_id, f.tok
+), expn AS (
+  SELECT query_id, tok AS token FROM (
+    SELECT c.query_id, c.tok, c.wexp,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY c.wexp DESC, c.tok) AS er
+    FROM exp_cand c
+    ANTI JOIN q0 q ON q.query_id = c.query_id AND q.token = c.tok
+  ) WHERE er <= {_PRF_EXP}
+), q1 AS (
+  SELECT query_id, token, 1.0 AS qw FROM q0
+  UNION ALL
+  SELECT query_id, token, {_PRF_W} AS qw FROM expn
+), s2 AS (
+  SELECT q.query_id, f.doc_id,
+         floor(sum(
+           ln(1 + (g.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+           * f.tf * 2.2
+           / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / g.avgdl))
+           * q.qw
+         ) * 1000000 + 0.5) / 1000000 AS prf_score
+  FROM tf f
+  JOIN q1 q ON q.token = f.tok
+  JOIN dft d ON d.tok = f.tok
+  JOIN dl l ON l.doc_id = f.doc_id
+  CROSS JOIN g
+  WHERE f.doc_id <> q.query_id
+  GROUP BY q.query_id, f.doc_id
+)
+SELECT query_id, doc_id, prf_score,
+       CAST(prf_rank AS BIGINT) AS prf_rank
+FROM (
+  SELECT query_id, doc_id, prf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY prf_score DESC, doc_id) AS prf_rank
+  FROM s2
+) WHERE prf_rank <= {_PRF_K}
+ORDER BY query_id, prf_rank
+"""
+
+
+QUERIES["bm25_prf_topk"] = QuerySpec(
+    _bm25_prf_topk,
+    _PRF_SQL,
+    "pseudo-relevance feedback retrieval (RM3-style): BM25 feedback "
+    "top-10, tf·idf expansion terms at weight 0.5, weighted second "
+    "pass, top-10 per query",
+)

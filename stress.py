@@ -514,6 +514,7 @@ R10_OPS = [
     "audio_source_curation_join",
     "mixed_media_manifest",
     "bm25_multiquery_topk",
+    "bm25_prf_topk",
 ]
 
 
