@@ -104,6 +104,7 @@ _NEVER_VERIFIED_FRONT = [
     "multimodal_data_prep",
     "stream_dsir_gate",
     "bm25_prf_topk",
+    "dp_mean_release",
     # -- round-10 additions (extras63) — never driver-checked
     "hybrid_bm25_ann_rerank",
     "audio_source_curation_join",

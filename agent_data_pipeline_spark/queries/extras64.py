@@ -612,3 +612,104 @@ QUERIES["bm25_prf_topk"] = QuerySpec(
     "top-10, tf·idf expansion terms at weight 0.5, weighted second "
     "pass, top-10 per query",
 )
+
+
+_DPM_EPS, _DPM_CLIP = 1.0, 400.0
+
+
+def _dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private mean release with contribution clipping
+    — the other half of the DP toolkit next to ``dp_lang_counts``'
+    counts: per-language mean document length, computed as
+    Lap-noised(clipped sum) / Lap-noised(count) with the ε budget split
+    evenly (sum sensitivity = the clip bound C, count sensitivity 1).
+    Clipping is what bounds a single document's influence — the release
+    is (ε/2 + ε/2)-DP by basic composition regardless of outliers.
+    Noise is the engine-portable seeded inverse-CDF Laplace of
+    ``dp_lang_counts`` (Knuth-hash uniform of a per-group integer seed;
+    two draws use seed and seed+1) so the DuckDB oracle replays the
+    release exactly. Scale shape: one map-side clip + one hash
+    aggregate to the language grain; noise is dim-grain arithmetic."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.least(F.col("n_chars").cast("double"), F.lit(_DPM_CLIP)).alias(
+            "_clipped"
+        ),
+        (F.col("n_chars") > _DPM_CLIP).cast("long").alias("_was_clipped"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_clipped").alias("_s"),
+        F.sum("_was_clipped").cast("long").alias("_n_clip"),
+        F.avg(F.col("n_chars").cast("double")).alias("_true_mean"),
+        F.sum("doc_id").cast("long").alias("_seed"),
+    )
+
+    def lap(seed_col, scale: float):
+        h = (seed_col % 2147483648) * 2654435761 % 4294967296
+        u = (h + 0.5) / 4294967296.0
+        return (
+            F.lit(-scale) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+        )
+
+    noisy_sum = F.col("_s") + lap(F.col("_seed"), 2.0 * _DPM_CLIP / _DPM_EPS)
+    noisy_n = F.col("n_docs") + lap(F.col("_seed") + 1, 2.0 / _DPM_EPS)
+    return (
+        agg.select(
+            "lang",
+            "n_docs",
+            rnd(F.col("_n_clip") / F.col("n_docs"), 6).alias("clipped_share"),
+            rnd(noisy_sum / F.greatest(noisy_n, F.lit(1.0)), 6).alias(
+                "dp_mean"
+            ),
+            rnd(F.col("_true_mean"), 6).alias("true_mean"),
+            F.lit(_DPM_EPS).alias("epsilon"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DPM_SQL = f"""
+WITH agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         sum(least(CAST(n_chars AS DOUBLE), {_DPM_CLIP})) AS s,
+         CAST(sum(CASE WHEN n_chars > {_DPM_CLIP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clip,
+         avg(CAST(n_chars AS DOUBLE)) AS true_mean,
+         CAST(sum(doc_id) AS BIGINT) AS seed
+  FROM documents GROUP BY lang
+), nz AS (
+  SELECT *,
+         (((seed % 2147483648) * 2654435761) % 4294967296 + 0.5)
+           / 4294967296.0 AS u1,
+         ((((seed + 1) % 2147483648) * 2654435761) % 4294967296 + 0.5)
+           / 4294967296.0 AS u2
+  FROM agg
+), rel AS (
+  SELECT lang, n_docs, n_clip, true_mean,
+         s + (-{2.0 * _DPM_CLIP / _DPM_EPS}) * sign(u1 - 0.5)
+             * ln(1 - 2 * abs(u1 - 0.5)) AS noisy_sum,
+         n_docs + (-{2.0 / _DPM_EPS}) * sign(u2 - 0.5)
+             * ln(1 - 2 * abs(u2 - 0.5)) AS noisy_n
+  FROM nz
+)
+SELECT lang, n_docs,
+       floor(CAST(n_clip AS DOUBLE) / n_docs * 1000000 + 0.5) / 1000000
+         AS clipped_share,
+       floor(noisy_sum / greatest(noisy_n, 1.0) * 1000000 + 0.5) / 1000000
+         AS dp_mean,
+       floor(true_mean * 1000000 + 0.5) / 1000000 AS true_mean,
+       {_DPM_EPS} AS epsilon
+FROM rel ORDER BY lang
+"""
+
+
+QUERIES["dp_mean_release"] = QuerySpec(
+    _dp_mean_release,
+    _DPM_SQL,
+    "ε-DP clipped-mean release per language (Laplace on clipped sum "
+    "and count, even ε split, portable seeded noise)",
+)

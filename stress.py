@@ -515,6 +515,7 @@ R10_OPS = [
     "mixed_media_manifest",
     "bm25_multiquery_topk",
     "bm25_prf_topk",
+    "dp_mean_release",
 ]
 
 
