@@ -87,13 +87,25 @@ def bm25_scores(
     ``query_terms`` (RM3-style expanded queries weight original terms
     1.0 and expansion terms lower); each term's BM25 contribution is
     multiplied by it before the per-(query, doc) sum. None = all 1.0.
+    Duplicate (query_id, token) rows with DIFFERENT weights collapse to
+    max(weight) — a plain ``distinct`` would keep both rows and
+    double-count the term (ADVICE r10); max is the natural resolution
+    for RM3-style inputs where the original query's 1.0 should win
+    over a lower expansion weight for the same term.
     """
-    wcols = [F.col(weight_col).alias("_qw")] if weight_col else []
-    qt = query_terms.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(token_col).alias("_tok"),
-        *wcols,
-    ).distinct()
+    if weight_col:
+        qt = (
+            query_terms.groupBy(
+                F.col(query_id_col).alias("query_id"),
+                F.col(token_col).alias("_tok"),
+            )
+            .agg(F.max(weight_col).alias("_qw"))
+        )
+    else:
+        qt = query_terms.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(token_col).alias("_tok"),
+        ).distinct()
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")

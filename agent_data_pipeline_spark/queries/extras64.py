@@ -135,14 +135,18 @@ def _dsir_resample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _weights(spark, sf_dir, keep=("lang",))
     # Efraimidis–Spirakis A-Res: key = ln(u) / W, W = exp(clamp(w, ±30)),
     # u = Knuth-hash uniform of doc_id (portable, the extras33 scheme);
-    # top-k by key is sampling WITHOUT replacement ∝ W
+    # top-k by key is sampling WITHOUT replacement ∝ W. The key lands
+    # on the 12dp rnd grid BEFORE the orderBy/LIMIT (ADVICE r10): ln
+    # and exp are the engines' non-correctly-rounded libm ops, so a
+    # 1-ulp JVM-vs-libm divergence near the top-k boundary could
+    # otherwise flip the selection; doc_id stays the tie-break.
     u = (
         F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
     ) % F.lit(4294967296)
     u = (u + F.lit(0.5)) / F.lit(4294967296.0)
     wc = F.greatest(F.least(F.col("w"), F.lit(30.0)), F.lit(-30.0))
     sel = (
-        w.withColumn("_key", F.log(u) / F.exp(wc))
+        w.withColumn("_key", rnd(F.log(u) / F.exp(wc), 12))
         .orderBy(F.col("_key").desc(), "doc_id")
         .limit(_RESAMPLE_K)
     )
@@ -180,9 +184,10 @@ _DSIR_RESAMPLE_SQL = (
     + f"""
 , keyed AS (
   SELECT doc_id, lang, w,
-         ln((((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5)
-            / 4294967296.0)
-           / exp(greatest(least(w, 30.0), -30.0)) AS k
+         floor(ln((((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5)
+                  / 4294967296.0)
+               / exp(greatest(least(w, 30.0), -30.0))
+               * 1000000000000 + 0.5) / 1000000000000 AS k
   FROM per_doc
 ), sel AS (
   SELECT doc_id, lang, w FROM keyed
@@ -419,6 +424,13 @@ def _stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = bounded_collect(
         model, _B, f"hashed-feature bucket model (<= n_buckets={_B} rows)"
     )
+    if not rows:
+        # ADVICE r10: an empty documents table yields an empty bucket
+        # model — fail loudly instead of IndexError on rows[0]
+        raise ValueError(
+            "stream_dsir_gate: documents table is empty — no bucket "
+            "model to train; nothing to ship to the stream"
+        )
     lr_map = F.map_from_arrays(
         F.lit([r["_b"] for r in rows]), F.lit([r["_lr"] for r in rows])
     )
@@ -618,18 +630,25 @@ _DPM_EPS, _DPM_CLIP = 1.0, 400.0
 
 
 def _dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differentially-private mean release with contribution clipping
-    — the other half of the DP toolkit next to ``dp_lang_counts``'
-    counts: per-language mean document length, computed as
-    Lap-noised(clipped sum) / Lap-noised(count) with the ε budget split
-    evenly (sum sensitivity = the clip bound C, count sensitivity 1).
-    Clipping is what bounds a single document's influence — the release
-    is (ε/2 + ε/2)-DP by basic composition regardless of outliers.
-    Noise is the engine-portable seeded inverse-CDF Laplace of
-    ``dp_lang_counts`` (Knuth-hash uniform of a per-group integer seed;
-    two draws use seed and seed+1) so the DuckDB oracle replays the
-    release exactly. Scale shape: one map-side clip + one hash
-    aggregate to the language grain; noise is dim-grain arithmetic."""
+    """DP-SHAPED clipped-mean release (demo of the mechanism, NOT a
+    private release) — the other half of the toolkit next to
+    ``dp_lang_counts``' counts: per-language mean document length,
+    computed as Lap-noised(clipped sum) / Lap-noised(count) with the ε
+    budget split evenly (sum sensitivity = the clip bound C, count
+    sensitivity 1), the textbook (ε/2 + ε/2) composition SHAPE.
+
+    It is deliberately NOT differentially private as shipped (ADVICE
+    r10): the Laplace noise is a deterministic function of the data
+    (seed = sum(doc_id) per language) so the DuckDB oracle can replay
+    the release exactly, and the row also emits the exact ``true_mean``
+    and ``n_docs`` for test/demo comparison. A real deployment must
+    swap the seed for a cryptographic RNG and drop ``true_mean`` —
+    this query verifies the clipping/budget-split/noise PLUMBING
+    hash-exactly, per the repo's dp_lang_counts oracled-pseudo-noise
+    convention. Noise is the engine-portable seeded inverse-CDF Laplace
+    (Knuth-hash uniform of a per-group integer seed; two draws use seed
+    and seed+1). Scale shape: one map-side clip + one hash aggregate to
+    the language grain; noise is dim-grain arithmetic."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
