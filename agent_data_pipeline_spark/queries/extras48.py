@@ -336,12 +336,114 @@ FROM r
 """
 
 
+# --- holt_winters_daily oracle (round 11) --------------------------------
+#
+# The smoothing recursion is a fixed chain of IEEE +,-,*,/ ops — all
+# correctly rounded in BOTH engines — over integer-exact daily cents,
+# so a DuckDB recursive CTE that executes the SAME op tree in the SAME
+# association produces bit-identical doubles to the Python driver-side
+# recursion. No rounding grid is needed anywhere inside the recursion;
+# the only discipline is mirroring the association exactly:
+#   * season-1/2 means are LEFT-ASSOC chains (Python sum());
+#   * smoothing constants are embedded via repr() so `1 - alpha`
+#     evaluates to the identical double both sides;
+#   * new_trend repeats the new_level expression (SQL cannot reference
+#     a sibling alias) — recomputation of an identical op tree is
+#     bit-identical, not a divergence.
+# The recursion is calendar-bounded (~2,406 rows) on both sides.
+
+
+def _hw_chain(names: list[str]) -> str:
+    expr = names[0]
+    for nm in names[1:]:
+        expr = f"({expr} + {nm})"
+    return expr
+
+
+def _hw_sql() -> str:
+    m = _M
+    oma, omb, omg = repr(1 - _ALPHA), repr(1 - _BETA), repr(1 - _GAMMA)
+
+    def scase(idx: str) -> str:
+        whens = " ".join(f"WHEN {j} THEN w.s{j}" for j in range(m))
+        return f"CASE {idx} % {m} {whens} END"
+
+    scur = scase("w.i")
+    new_level = (
+        f"({_ALPHA!r} * (ys.y - {scur}) + {oma} * (w.level + w.trend))"
+    )
+    new_trend = f"({_BETA!r} * ({new_level} - w.level) + {omb} * w.trend)"
+    new_seasons = ",\n         ".join(
+        f"CASE WHEN w.i % {m} = {j} THEN {_GAMMA!r} * (ys.y - {new_level})"
+        f" + {omg} * w.s{j} ELSE w.s{j} END"
+        for j in range(m)
+    )
+    heads = ",\n         ".join(
+        f"max(CASE WHEN i = {j} THEN y END) AS y{j}" for j in range(2 * m)
+    )
+    mean1 = f"{_hw_chain([f'y{j}' for j in range(m)])} / {float(m)!r}"
+    mean2 = f"{_hw_chain([f'y{j}' for j in range(m, 2 * m)])} / {float(m)!r}"
+    s_init = ",\n         ".join(
+        f"y{j} - mean1 AS s{j}" for j in range(m)
+    )
+    s_fc = scase("(nn.n + h.h - 1)")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), ys AS (
+  SELECT CAST(day AS VARCHAR) AS day_s, day,
+         CAST(row_number() OVER (ORDER BY day) - 1 AS INT) AS i,
+         CAST(cents AS DOUBLE) / 100.0 AS y
+  FROM daily
+), nn AS (
+  SELECT CAST(count(*) AS INT) AS n FROM ys
+), head AS (
+  SELECT {heads}
+  FROM ys WHERE i < {2 * m}
+), init AS (
+  SELECT h.*, {mean1} AS mean1, {mean2} AS mean2 FROM head h
+), walk AS (
+  SELECT 0 AS i, mean1 AS level, (mean2 - mean1) / {float(m)!r} AS trend,
+         {s_init}
+  FROM init
+  UNION ALL
+  SELECT w.i + 1,
+         {new_level},
+         {new_trend},
+         {new_seasons}
+  FROM walk w JOIN ys ON ys.i = w.i
+), outp AS (
+  SELECT ys.day_s AS day, 'fitted' AS kind,
+         floor(ys.y * 100 + 0.5) / 100 AS actual,
+         floor(((w.level + w.trend) + {scur}) * 100 + 0.5) / 100 AS value
+  FROM walk w JOIN ys ON ys.i = w.i CROSS JOIN nn
+  WHERE w.i >= nn.n - 14
+  UNION ALL
+  SELECT strftime(ld.last_day + h.h * INTERVAL 1 DAY, '%Y-%m-%d'),
+         'forecast',
+         CAST(NULL AS DOUBLE),
+         floor((w.level + h.h * w.trend + {s_fc}) * 100 + 0.5) / 100
+  FROM walk w CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
+  CROSS JOIN (SELECT max(day) AS last_day FROM ys) ld
+  WHERE w.i = nn.n
+)
+SELECT day, kind, actual, value FROM outp ORDER BY day
+"""
+
+
+_HW_SQL = _hw_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "holt_winters_daily": QuerySpec(
         _holt_winters_daily,
-        None,
+        _HW_SQL,
         "Additive Holt-Winters (weekly season) over daily revenue: "
-        "last-14 fitted + 7-day forecast; bounded driver-side recursion",
+        "last-14 fitted + 7-day forecast; bounded driver-side recursion "
+        "(oracle: bit-exact recursive-CTE replay of the smoothing chain)",
     ),
     "median_ci_order_stats": QuerySpec(
         _median_ci_order_stats,

@@ -13,9 +13,12 @@
   one equi-join + anti-join per round (the k-core/PageRank iterative
   envelope, localCheckpoint per round, rounds bounded by the graph
   diameter — single digits on co-occurrence graphs), emitting the
-  hop histogram and the unreachable count. Iterative ⇒ rows-only;
-  exact equality with a pure-Python BFS on hand graphs AND the
-  sf0.001 fixture in tests/test_graph.py.
+  hop histogram and the unreachable count. Oracled since round 11
+  via a recursive CTE (the ``dup_components`` closure precedent):
+  BFS distance ≡ min(hop) over the hop-capped walk relation — every
+  quantity is integer-exact, so the driver hash check is exact; the
+  pure-Python BFS equality tests in tests/test_graph.py stay as a
+  third opinion.
 
 Reference parity: no graph surface in the reference (SURVEY.md
 §2.A); declared north-star §2.B additions.
@@ -196,6 +199,52 @@ def _bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hop")
 
 
+# BFS distance in SQL: the walk relation enumerates (node, hop) pairs
+# reachable by SOME path of length hop (UNION-deduped, capped at the
+# engine's max_hops=30 so cycles terminate); the BFS distance is then
+# min(hop) per node — identical to the frontier algorithm's
+# first-reached round. Integer-exact end to end, so the hash match is
+# exact. The walk is |V|·31-bounded regardless of edge count.
+_BFS_SQL = """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS lo, b.p AS hi
+  FROM op a JOIN op b ON a.o = b.o
+  WHERE a.p < b.p
+), sym AS (
+  SELECT lo AS u, hi AS v FROM e
+  UNION ALL
+  SELECT hi AS u, lo AS v FROM e
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT lo AS n FROM e UNION ALL SELECT hi FROM e
+  ) GROUP BY 1
+), hub AS (
+  SELECT n FROM deg ORDER BY d DESC, n LIMIT 1
+), walk(node, hop) AS (
+  SELECT n, 0 FROM hub
+  UNION
+  SELECT s.v, w.hop + 1
+  FROM walk w JOIN sym s ON s.u = w.node
+  WHERE w.hop < 30
+), dist AS (
+  SELECT node, min(hop) AS hop FROM walk GROUP BY node
+), nodes AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+), reach AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_reached FROM dist
+)
+SELECT CAST(d.hop AS INT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_at_hop,
+       CAST(h.n AS BIGINT) AS hub_node,
+       CAST(nodes.n_nodes - reach.n_reached AS BIGINT) AS n_unreachable
+FROM dist d CROSS JOIN hub h CROSS JOIN nodes CROSS JOIN reach
+GROUP BY d.hop, h.n, nodes.n_nodes, reach.n_reached
+ORDER BY hop
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "degree_assortativity": QuerySpec(
         _degree_assortativity,
@@ -205,8 +254,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "bfs_hops_from_hub": QuerySpec(
         _bfs_hops_from_hub,
-        None,
+        _BFS_SQL,
         "BFS hop census from the highest-degree part: frontier "
-        "equi-join + anti-join per round, diameter-bounded",
+        "equi-join + anti-join per round, diameter-bounded "
+        "(oracle: hop-capped recursive-CTE walk, min(hop) per node)",
     ),
 }
