@@ -26,9 +26,12 @@ nearest neighbors, and robust location.
   IRLS: median/MAD seed, then 5 iterations, each ONE distributed
   weighted aggregate over the fact stream (the iterative-fixpoint
   envelope of PageRank/k-core: per-iteration state is 5 scalars per
-  segment, broadcast back). Iterative ⇒ rows-only; pure-Python IRLS
-  equality and outlier-resistance invariants in
-  tests/test_properties.py.
+  segment, broadcast back). Oracled since round 11 via the
+  integer-exact scheme documented at the implementation — cents
+  quantization, order-statistic midpoint seed/MAD, 1e-9 integer
+  weight grid with 128-bit-exact sums — so the driver hash check is
+  exact; pure-Python IRLS equality and outlier-resistance invariants
+  stay in tests/test_properties.py.
 
 Reference parity: no causal-inference/spatial/robust-statistics
 surface in the reference (SURVEY.md §2.A); declared north-star §2.B
@@ -266,11 +269,80 @@ ORDER BY 1
 
 
 # --------------------------------------------------------------------------
-# huber_mean_irls (rows-only: iterative reweighting)
+# huber_mean_irls (oracled since round 11: integer-exact IRLS)
 # --------------------------------------------------------------------------
+#
+# The round-10 playbook (PRF/DP-mean), pushed one step further: the
+# whole fit is restructured so EVERY cross-engine quantity is either an
+# exact integer or a single correctly-rounded IEEE op on identical
+# inputs — no rounding grid needed at any iteration boundary:
+#   * order values are quantized to integer CENTS once at the scan;
+#   * the median seed and MAD are midpoints of two exact order
+#     statistics (statistics.median convention) located WITHOUT a
+#     fact-scale sort — $100-bucket histogram + refine, the
+#     median_ci_order_stats pattern — so they are halves/quarters of
+#     integers, binary-exact in both engines;
+#   * each IRLS iteration quantizes the Huber weight to an integer
+#     1e-9 grid per row (w9 = floor(c/r·1e9+0.5); c/r is one division
+#     on identical inputs, hence identical), then takes INTEGER sums
+#     Σw9·x_c (decimal(38,0) in Spark, HUGEINT in DuckDB — both exact)
+#     and divides once: est = double(Σw9·x_c)/double(Σw9). Integer →
+#     double conversion is correctly rounded in both engines even
+#     above 2^53, so est is bit-identical. Overflow headroom: w9·x_c
+#     ≤ 1e9·5e7 = 5e16 per row fits int64; the sums live in 128-bit.
+# The Spark side keeps the scale shape: per-iteration state is 5
+# scalars per segment broadcast back; the only fact-scale work per
+# iteration is one weighted hash aggregate.
 
 _HUBER_C = 1.345
 _IRLS_ITERS = 5
+_W9 = 1_000_000_000  # per-row weight grid (1e-9 relative quantization)
+
+
+def _rank_midpoint(u: DataFrame, val: str) -> DataFrame:
+    """Per-seg midpoint of the two middle order statistics of ``val``
+    (ranks (n+1)//2 and (n+2)//2 — the statistics.median convention),
+    located via $100-bucket histogram + refine (no fact-scale sort,
+    no per-seg buffering). Returns (seg, med DOUBLE)."""
+    from pyspark.sql.window import Window as W
+
+    stats = u.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    r1 = F.floor((F.col("n") + 1) / 2).cast("long")
+    r2 = F.floor((F.col("n") + 2) / 2).cast("long")
+    targets = stats.select(
+        "seg", r1.alias("r"), F.lit("lo").alias("lbl")
+    ).unionAll(stats.select("seg", r2.alias("r"), F.lit("hi").alias("lbl")))
+    bucketed = u.withColumn("b", F.floor(F.col(val) / 10_000).cast("long"))
+    bcnt = bucketed.groupBy("seg", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = W.partitionBy("seg").orderBy("b").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bcum = bcnt.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    located = targets.join(bcum, "seg").filter(
+        (F.col("cum_before") < F.col("r"))
+        & (F.col("r") <= F.col("cum_before") + F.col("cnt"))
+    )
+    refined = bucketed.join(
+        F.broadcast(located.select("seg", "b", "lbl", "r", "cum_before")),
+        ["seg", "b"],
+    )
+    picked = refined.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("seg", "lbl").orderBy(val)
+        ),
+    ).filter(F.col("rk") == F.col("r") - F.col("cum_before"))
+    return picked.groupBy("seg").agg(
+        (
+            (
+                F.max(F.when(F.col("lbl") == "lo", F.col(val)))
+                + F.max(F.when(F.col("lbl") == "hi", F.col(val)))
+            )
+            / F.lit(2.0)
+        ).alias("med")
+    )
 
 
 def _huber_mean_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,74 +352,155 @@ def _huber_mean_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     u = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"),
-        F.col("o_totalprice").alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("xc"),
     ).localCheckpoint()
-    seed = u.groupBy("seg").agg(
-        F.expr("percentile_approx(x, 0.5, 10000)").alias("m0"),
-        F.avg("x").alias("mean_x"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    mad = (
-        u.join(F.broadcast(seed.select("seg", "m0")), "seg")
-        .groupBy("seg")
-        .agg(
-            F.expr("percentile_approx(abs(x - m0), 0.5, 10000)").alias("mad")
-        )
-    )
-    state = {
-        r["seg"]: (
-            float(r["m0"]),
-            float(r["mean_x"]),
-            int(r["n"]),
-        )
-        for r in bounded_collect(seed, 1_000, "segment value grain")
-    }
-    scale = {
-        r["seg"]: max(1.4826 * float(r["mad"]), 1e-9)
-        for r in bounded_collect(mad, 1_000, "segment value grain")
-    }
-    est = {s: v[0] for s, v in state.items()}
-    for _ in range(_IRLS_ITERS):
-        cond = F.coalesce(
-            *[
-                F.when(F.col("seg") == s, F.lit(m))
-                for s, m in sorted(est.items())
-            ]
-        ) if len(est) > 1 else F.lit(next(iter(est.values())))
-        sc = F.coalesce(
-            *[
-                F.when(F.col("seg") == s, F.lit(v))
-                for s, v in sorted(scale.items())
-            ]
-        ) if len(scale) > 1 else F.lit(next(iter(scale.values())))
-        r = F.abs(F.col("x") - cond) / sc
-        w = F.when(r <= _HUBER_C, 1.0).otherwise(_HUBER_C / r)
-        it = bounded_collect(
-            u.withColumn("w", w)
-            .groupBy("seg")
-            .agg(
-                (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
+    stats = {
+        r["seg"]: (int(r["n"]), int(r["sx"]))
+        for r in bounded_collect(
+            u.groupBy("seg").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("xc").alias("sx"),
             ),
             1_000,
             "segment value grain",
         )
-        est = {row["seg"]: float(row["m"]) for row in it}
+    }
+    m0 = {
+        r["seg"]: float(r["med"])
+        for r in bounded_collect(
+            _rank_midpoint(u, "xc"), 1_000, "segment value grain"
+        )
+    }
+
+    def seg_lit(vals: dict[str, float]):
+        if len(vals) == 1:
+            return F.lit(next(iter(vals.values())))
+        return F.coalesce(
+            *[
+                F.when(F.col("seg") == s, F.lit(v))
+                for s, v in sorted(vals.items())
+            ]
+        )
+
+    dev = u.select("seg", F.abs(F.col("xc") - seg_lit(m0)).alias("dc"))
+    scale = {
+        r["seg"]: max(1.4826 * float(r["med"]), 1e-9)
+        for r in bounded_collect(
+            _rank_midpoint(dev, "dc"), 1_000, "segment value grain"
+        )
+    }
+    est = dict(m0)
+    for _ in range(_IRLS_ITERS):
+        r = F.abs(F.col("xc") - seg_lit(est)) / seg_lit(scale)
+        w9 = (
+            F.when(r <= _HUBER_C, F.lit(_W9).cast("long"))
+            .otherwise(
+                F.floor(F.lit(_HUBER_C) / r * _W9 + 0.5).cast("long")
+            )
+        )
+        it = bounded_collect(
+            u.withColumn("w9", w9)
+            .groupBy("seg")
+            .agg(
+                F.sum(
+                    (F.col("w9") * F.col("xc")).cast("decimal(38,0)")
+                ).alias("swx"),
+                F.sum(F.col("w9").cast("decimal(38,0)")).alias("sw"),
+            ),
+            1_000,
+            "segment value grain",
+        )
+        est = {
+            row["seg"]: float(row["swx"]) / float(row["sw"]) for row in it
+        }
+
+    def f4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
     rows = [
         (
             s,
-            state[s][2],
-            math.floor(state[s][1] * 1e4 + 0.5) / 1e4,
-            math.floor(state[s][0] * 1e4 + 0.5) / 1e4,
-            math.floor(scale[s] * 1e4 + 0.5) / 1e4,
-            math.floor(est[s] * 1e4 + 0.5) / 1e4,
+            stats[s][0],
+            f4(float(stats[s][1]) / float(stats[s][0]) / 100.0),
+            f4(m0[s] / 100.0),
+            f4(scale[s] / 100.0),
+            f4(est[s] / 100.0),
         )
-        for s in sorted(state)
+        for s in sorted(stats)
     ]
     return spark.createDataFrame(
         rows,
         "segment STRING, n BIGINT, mean DOUBLE, median_seed DOUBLE, "
         "mad_scale DOUBLE, huber_mean DOUBLE",
     ).orderBy("segment")
+
+
+def _huber_sql() -> str:
+    # one rank-midpoint block, reused for the seed and the MAD; the
+    # oracle side may sort per segment (DuckDB at oracle scale), the
+    # VALUES are the same exact order statistics the engine locates
+    # via bucket+refine
+    def mid(src: str, vcol: str, out: str) -> str:
+        return f"""(
+  SELECT seg,
+         (max(CASE WHEN rk = (n + 1) // 2 THEN {vcol} END)
+          + max(CASE WHEN rk = (n + 2) // 2 THEN {vcol} END)) / 2.0 AS {out}
+  FROM (SELECT seg, {vcol},
+               row_number() OVER (PARTITION BY seg ORDER BY {vcol}) AS rk,
+               count(*) OVER (PARTITION BY seg) AS n
+        FROM {src})
+  GROUP BY seg
+)"""
+
+    w9 = (
+        f"CASE WHEN abs(u.xc - e.est) / s.scale <= {_HUBER_C} "
+        f"THEN CAST({_W9} AS BIGINT) "
+        f"ELSE CAST(floor({_HUBER_C} / (abs(u.xc - e.est) / s.scale) "
+        f"* {_W9} + 0.5) AS BIGINT) END"
+    )
+    its = ""
+    prev = "seed"
+    for k in range(1, _IRLS_ITERS + 1):
+        its += f""", it{k} AS (
+  SELECT u.seg,
+         CAST(sum({w9} * u.xc) AS DOUBLE)
+           / CAST(sum({w9}) AS DOUBLE) AS est
+  FROM u JOIN {prev} e USING (seg) JOIN sc s USING (seg)
+  GROUP BY u.seg
+)"""
+        prev = f"it{k}"
+    return f"""
+WITH u AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS xc
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), st AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(xc) AS BIGINT) AS sx
+  FROM u GROUP BY seg
+), seed AS (
+  SELECT seg, med AS est FROM {mid("u", "xc", "med")}
+), dev AS (
+  SELECT u.seg, abs(u.xc - e.est) AS dc FROM u JOIN seed e USING (seg)
+), madm AS (
+  SELECT seg, med AS mad FROM {mid("dev", "dc", "med")}
+), sc AS (
+  SELECT seg, greatest(1.4826 * mad, 1e-9) AS scale FROM madm
+){its}
+SELECT st.seg AS segment,
+       st.n AS n,
+       floor(CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE) / 100.0
+             * 10000 + 0.5) / 10000 AS mean,
+       floor(seed.est / 100.0 * 10000 + 0.5) / 10000 AS median_seed,
+       floor(sc.scale / 100.0 * 10000 + 0.5) / 10000 AS mad_scale,
+       floor(it{_IRLS_ITERS}.est / 100.0 * 10000 + 0.5) / 10000
+         AS huber_mean
+FROM st
+JOIN seed USING (seg) JOIN sc USING (seg) JOIN it{_IRLS_ITERS} USING (seg)
+ORDER BY segment
+"""
+
+
+_HUBER_SQL = _huber_sql()
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -365,8 +518,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "huber_mean_irls": QuerySpec(
         _huber_mean_irls,
-        None,
+        _HUBER_SQL,
         "Huber M-estimator of order value per segment via IRLS "
-        "(median/MAD seed, 5 one-aggregate iterations)",
+        "(median/MAD seed, 5 one-aggregate iterations; integer-exact "
+        "cents + 1e-9 weight grid make the oracle hash-exact)",
     ),
 }
