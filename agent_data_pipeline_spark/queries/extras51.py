@@ -54,10 +54,17 @@ def binseg(ys: list[float], min_seg: int = _MIN_SEG,
     """Greedy binary segmentation on a numeric series. Returns
     [(break_index, sse_gain)] in discovery order. A break at index i
     splits [lo, hi) into [lo, i) and [i, hi). Pure function (tested
-    against planted series)."""
+    against planted series).
+
+    Cross-engine portability contract (round 11): when ``ys`` are
+    Python ints (the query passes integer cents), the prefix sums are
+    EXACT big-ints, and every SSE is convert-then-divide —
+    ``float(s2) - float(s*s)/float(m)`` — the precise op sequence the
+    DuckDB oracle executes over HUGEINT prefix sums, so gains and the
+    greedy split sequence are bit-identical across engines."""
     n = len(ys)
-    pre = [0.0] * (n + 1)
-    pre2 = [0.0] * (n + 1)
+    pre = [0] * (n + 1)
+    pre2 = [0] * (n + 1)
     for i, y in enumerate(ys):
         pre[i + 1] = pre[i] + y
         pre2[i + 1] = pre2[i] + y * y
@@ -68,7 +75,12 @@ def binseg(ys: list[float], min_seg: int = _MIN_SEG,
             return 0.0
         s = pre[hi] - pre[lo]
         s2 = pre2[hi] - pre2[lo]
-        return s2 - s * s / m
+        # convert-then-divide: float(s*s) FIRST (exact int product,
+        # one correctly-rounded conversion), then the division —
+        # Python's int/int true division is correctly rounded on the
+        # EXACT rational, which disagrees with engines that round the
+        # operands to double first once s*s exceeds 2^53
+        return float(s2) - float(s * s) / float(m)
 
     breaks: list[tuple[int, float]] = []
     segments = [(0, n)]
@@ -99,7 +111,7 @@ def _binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
-            .cast("double")
+            .cast("long")
             .alias("cents")
         )
         .orderBy("day"),
@@ -107,11 +119,16 @@ def _binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily calendar grain (TPC-H order-date span is ~2,406 days)",
     )
     days = [r["day"] for r in rows]
-    ys = [r["cents"] / 100.0 for r in rows]
+    # integer CENTS series: prefix sums stay exact big-ints, gains are
+    # in cents^2 (the /1e10 in the output restores dollars^2 millions)
+    ys = [int(r["cents"]) for r in rows]
     n = len(ys)
-    total_sse = (
-        sum(y * y for y in ys) - (sum(ys) ** 2) / n if n else 0.0
-    )
+    if n:
+        s_tot = sum(ys)
+        s2_tot = sum(y * y for y in ys)
+        total_sse = float(s2_tot) - float(s_tot * s_tot) / float(n)
+    else:
+        total_sse = 0.0
     found = binseg(ys)
     accepted = True
     if not found:
@@ -125,7 +142,7 @@ def _binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             rank + 1,
             days[i].isoformat(),
-            math.floor(gain / 1e6 * 100 + 0.5) / 100,
+            math.floor(gain / 10000000000.0 * 100 + 0.5) / 100,
             math.floor(gain / total_sse * 1e6 + 0.5) / 1e6
             if total_sse > 0
             else None,
@@ -138,6 +155,100 @@ def _binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "break_rank INT, day STRING, sse_gain_millions DOUBLE, "
         "gain_frac_of_total DOUBLE, accepted BOOLEAN",
     ).orderBy("break_rank")
+
+
+def _binseg_sql() -> str:
+    """Unrolled greedy binary segmentation in SQL: stage k recomputes
+    segments from the boundary set after stage k-1 (lead() over the
+    boundaries), scores every admissible split via HUGEINT-exact
+    prefix sums, picks the best by (gain DESC, lo, i) — the Python
+    first-max iteration order — and accepts iff gain >= frac*parent.
+    A rejected stage leaves the boundary set unchanged, so every later
+    stage deterministically recomputes and re-rejects the same best:
+    the unrolled pipeline is self-terminating exactly like the loop."""
+
+    def sse(plo: str, phi: str, m: str) -> str:
+        return (
+            f"(CAST({phi}.s2 - {plo}.s2 AS DOUBLE) - "
+            f"CAST(({phi}.s - {plo}.s) * ({phi}.s - {plo}.s) AS DOUBLE)"
+            f" / CAST({m} AS DOUBLE))"
+        )
+
+    parent = sse("plo", "phi", "s.hi - s.lo")
+    sse_l = sse("plo", "pi", "pi.k - s.lo")
+    sse_r = sse("pi", "phi", "s.hi - pi.k")
+    stages = ""
+    for k in range(1, _MAX_BREAKS + 1):
+        stages += f""", segs{k} AS (
+  SELECT lo, hi FROM (
+    SELECT b AS lo, lead(b) OVER (ORDER BY b) AS hi FROM bnd{k - 1}
+  ) WHERE hi IS NOT NULL
+), cand{k} AS (
+  SELECT s.lo AS lo, s.hi AS hi, pi.k AS i,
+         {parent} AS parent,
+         (({parent} - {sse_l}) - {sse_r}) AS gain
+  FROM segs{k} s
+  JOIN pre plo ON plo.k = s.lo
+  JOIN pre phi ON phi.k = s.hi
+  JOIN pre pi ON pi.k >= s.lo + {_MIN_SEG} AND pi.k <= s.hi - {_MIN_SEG}
+  WHERE s.hi - s.lo >= {2 * _MIN_SEG} AND {parent} > 0
+), acc{k} AS (
+  SELECT lo, hi, i, parent, gain, gain >= {_GAIN_FRAC!r} * parent AS ok
+  FROM cand{k} ORDER BY gain DESC, lo, i LIMIT 1
+), bnd{k} AS (
+  SELECT b FROM bnd{k - 1}
+  UNION ALL SELECT i FROM acc{k} WHERE ok
+)"""
+    found = "\n  UNION ALL ".join(
+        f"SELECT {k} AS break_rank, i, gain, TRUE AS accepted "
+        f"FROM acc{k} WHERE ok"
+        for k in range(1, _MAX_BREAKS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ys AS (
+  SELECT CAST(day AS VARCHAR) AS day_s,
+         CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i,
+         cents
+  FROM daily
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ys
+), pre AS (
+  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS HUGEINT) AS s,
+         CAST(0 AS HUGEINT) AS s2
+  UNION ALL
+  SELECT i + 1,
+         sum(CAST(cents AS HUGEINT)) OVER (ORDER BY i),
+         sum(CAST(cents AS HUGEINT) * cents) OVER (ORDER BY i)
+  FROM ys
+), tot AS (
+  SELECT CAST(p.s2 AS DOUBLE)
+           - CAST(p.s * p.s AS DOUBLE) / CAST(nn.n AS DOUBLE) AS total
+  FROM pre p CROSS JOIN nn WHERE p.k = nn.n
+), bnd0 AS (
+  SELECT CAST(0 AS BIGINT) AS b UNION ALL SELECT n FROM nn
+){stages}, found AS (
+  {found}
+  UNION ALL SELECT 1, i, gain, FALSE FROM acc1 WHERE NOT ok
+)
+SELECT CAST(f.break_rank AS INT) AS break_rank,
+       y.day_s AS day,
+       floor(f.gain / 10000000000.0 * 100 + 0.5) / 100
+         AS sse_gain_millions,
+       CASE WHEN tot.total > 0
+            THEN floor(f.gain / tot.total * 1000000 + 0.5) / 1000000
+       END AS gain_frac_of_total,
+       f.accepted AS accepted
+FROM found f JOIN ys y ON y.i = f.i CROSS JOIN tot
+ORDER BY break_rank
+"""
+
+
+_BINSEG_SQL = _binseg_sql()
 
 
 # --------------------------------------------------------------------------
@@ -311,9 +422,10 @@ FROM est e CROSS JOIN exact x
 QUERIES: dict[str, QuerySpec] = {
     "binseg_changepoints": QuerySpec(
         _binseg_changepoints,
-        None,
+        _BINSEG_SQL,
         "Multiple changepoints on daily revenue by binary segmentation "
-        "(prefix-sum SSE, bounded driver-side search, <=5 breaks)",
+        "(prefix-sum SSE, bounded driver-side search, <=5 breaks; "
+        "HUGEINT-exact prefix sums make the unrolled oracle hash-exact)",
     ),
     "corpus_datasheet": QuerySpec(
         _corpus_datasheet,
