@@ -94,24 +94,47 @@ ORDER BY p.source
 
 
 # --------------------------------------------------------------------------
-# platt_scaling_irls (rows-only: Newton iterations)
+# platt_scaling_irls (oracled since round 11: grid-exact Newton)
 # --------------------------------------------------------------------------
 
 _NEWTON_ITERS = 8
 
+# Cross-engine portability grid (round 11): every per-row gradient /
+# Hessian / log-loss TERM is snapped to the binary 2^-24 grid before
+# summation. Two effects: (1) a 1-ulp JVM-vs-libm exp()/ln()
+# divergence cannot move a term off its grid point (straddle odds
+# ~1e-16/6e-8 per term); (2) sums of exact multiples of 2^-24 whose
+# running total stays under 2^53·2^-24 ≈ 5.4e8 are EXACT in IEEE
+# arithmetic in ANY summation order — Spark's partition-order sums and
+# DuckDB's sequential sums produce identical doubles with no integer
+# casting. The Newton trajectory is therefore bit-identical across
+# engines, and the pure-Python reference summing the same grid terms
+# is exactly equal, not approximately.
+_QGRID = 16777216  # 2^24
+
+
+def _q(t: float) -> float:
+    return math.floor(t * _QGRID + 0.5) / _QGRID
+
+
+def _qc(col):
+    return F.floor(col * _QGRID + 0.5) / _QGRID
+
 
 def platt_newton_step(a: float, b: float, rows) -> tuple[float, float]:
     """One Newton step from (gradient, Hessian) sufficient sums.
-    ``rows`` yields (z, y) pairs; pure-Python reference used by tests."""
+    ``rows`` yields (z, y) pairs; pure-Python reference used by tests.
+    Terms are snapped to the 2^-24 grid — the same spec the
+    distributed fit executes, so the two are exactly equal."""
     g0 = g1 = h00 = h01 = h11 = 0.0
     for z, y in rows:
         p = 1.0 / (1.0 + math.exp(-(a + b * z)))
         w = p * (1.0 - p)
-        g0 += y - p
-        g1 += (y - p) * z
-        h00 += w
-        h01 += w * z
-        h11 += w * z * z
+        g0 += _q(y - p)
+        g1 += _q((y - p) * z)
+        h00 += _q(w)
+        h01 += _q(w * z)
+        h11 += _q(w * z * z)
     det = h00 * h11 - h01 * h01
     if abs(det) < 1e-12:
         return a, b
@@ -122,16 +145,16 @@ def platt_newton_step(a: float, b: float, rows) -> tuple[float, float]:
 
 def _platt_fit(u: DataFrame, iters: int = _NEWTON_ITERS):
     a, b = 0.0, 0.0
-    n = ll0 = None
+    n = None
     for _ in range(iters):
         p = 1.0 / (1.0 + F.exp(-(F.lit(a) + F.lit(b) * F.col("z"))))
         w = p * (1.0 - p)
         agg = u.agg(
-            F.sum(F.col("y") - p).alias("g0"),
-            F.sum((F.col("y") - p) * F.col("z")).alias("g1"),
-            F.sum(w).alias("h00"),
-            F.sum(w * F.col("z")).alias("h01"),
-            F.sum(w * F.col("z") * F.col("z")).alias("h11"),
+            F.sum(_qc(F.col("y") - p)).alias("g0"),
+            F.sum(_qc((F.col("y") - p) * F.col("z"))).alias("g1"),
+            F.sum(_qc(w)).alias("h00"),
+            F.sum(_qc(w * F.col("z"))).alias("h01"),
+            F.sum(_qc(w * F.col("z") * F.col("z"))).alias("h11"),
             F.count(F.lit(1)).cast("double").alias("n"),
         ).collect()[0]
         det = agg["h00"] * agg["h11"] - agg["h01"] * agg["h01"]
@@ -146,28 +169,43 @@ def _platt_fit(u: DataFrame, iters: int = _NEWTON_ITERS):
 def _platt_scaling_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         (F.col("lang") == "en").cast("double").alias("y"),
-        F.col("n_chars").cast("double").alias("x"),
+        F.col("n_chars").cast("long").alias("x"),
     )
+    # standardization moments from INTEGER sums (exact in any order),
+    # converted then divided — bit-identical across engines, unlike
+    # avg/stddev_samp whose accumulation order is engine-private
     mom = d.agg(
-        F.avg("x").alias("mu"),
-        F.stddev_samp("x").alias("sd"),
-        F.avg("y").alias("base_rate"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("long").alias("npos"),
     ).collect()[0]
+    n_i, sx, sxx, npos = (
+        int(mom["n"]), int(mom["sx"]), int(mom["sxx"]), int(mom["npos"])
+    )
+    mu = float(sx) / float(n_i)
+    var = (
+        float(sxx) - float(sx) * float(sx) / float(n_i)
+    ) / float(n_i - 1)
+    sd = math.sqrt(var)
     u = d.select(
-        "y", ((F.col("x") - mom["mu"]) / mom["sd"]).alias("z")
+        "y", ((F.col("x") - F.lit(mu)) / F.lit(sd)).alias("z")
     ).localCheckpoint()
     a, b, n = _platt_fit(u)
     p = 1.0 / (1.0 + F.exp(-(F.lit(a) + F.lit(b) * F.col("z"))))
     eps = 1e-12
-    ll = u.agg(
-        F.avg(
-            -(
-                F.col("y") * F.log(p + eps)
-                + (1 - F.col("y")) * F.log(1 - p + eps)
+    ll_sum = u.agg(
+        F.sum(
+            _qc(
+                -(
+                    F.col("y") * F.log(p + eps)
+                    + (1 - F.col("y")) * F.log(1 - p + eps)
+                )
             )
-        ).alias("ll")
-    ).collect()[0]["ll"]
-    br = float(mom["base_rate"])
+        ).alias("lls")
+    ).collect()[0]["lls"]
+    ll = float(ll_sum) / float(n_i)
+    br = float(npos) / float(n_i)
     ll_base = -(
         br * math.log(br + 1e-12) + (1 - br) * math.log(1 - br + 1e-12)
     )
@@ -184,6 +222,87 @@ def _platt_scaling_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n BIGINT, platt_a DOUBLE, platt_b DOUBLE, "
         "logloss_baseline DOUBLE, logloss_fit DOUBLE",
     )
+
+
+def _platt_sql() -> str:
+    """Unrolled 8-step Newton in SQL over the same 2^-24-grid terms.
+    ab0 = (0,0); step k recomputes the five sufficient sums from the
+    standardized stream and applies the closed-form 2x2 solve; a
+    near-singular Hessian freezes (a,b), mirroring the loop break."""
+    q = _QGRID
+
+    def Q(expr: str) -> str:
+        return f"floor(({expr}) * {q} + 0.5) / {q}"
+
+    stages = ""
+    for k in range(1, _NEWTON_ITERS + 1):
+        stages += f""", s{k} AS (
+  SELECT sum({Q("y - p")}) AS g0,
+         sum({Q("(y - p) * z")}) AS g1,
+         sum({Q("p * (1 - p)")}) AS h00,
+         sum({Q("p * (1 - p) * z")}) AS h01,
+         sum({Q("p * (1 - p) * z * z")}) AS h11
+  FROM (SELECT u.y, u.z,
+               1.0 / (1.0 + exp(-(ab.a + ab.b * u.z))) AS p
+        FROM u CROSS JOIN ab{k - 1} ab)
+), ab{k} AS (
+  SELECT CASE WHEN abs(s.h00 * s.h11 - s.h01 * s.h01) < 1e-12 THEN ab.a
+              ELSE ab.a + (s.h11 * s.g0 - s.h01 * s.g1)
+                          / (s.h00 * s.h11 - s.h01 * s.h01) END AS a,
+         CASE WHEN abs(s.h00 * s.h11 - s.h01 * s.h01) < 1e-12 THEN ab.b
+              ELSE ab.b + (s.h00 * s.g1 - s.h01 * s.g0)
+                          / (s.h00 * s.h11 - s.h01 * s.h01) END AS b
+  FROM s{k} s CROSS JOIN ab{k - 1} ab
+)"""
+    r6 = (
+        "CASE WHEN {x} >= 0 THEN floor({x} * 1000000 + 0.5) / 1000000 "
+        "ELSE -(floor(-({x}) * 1000000 + 0.5) / 1000000) END"
+    )
+    last = f"ab{_NEWTON_ITERS}"
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(n_chars AS BIGINT) AS x
+  FROM documents
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y) AS BIGINT) AS npos
+  FROM d
+), sc AS (
+  SELECT n, npos,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) AS sd
+  FROM mom
+), u AS (
+  SELECT d.y, (d.x - sc.mu) / sc.sd AS z FROM d CROSS JOIN sc
+), ab0 AS (SELECT 0.0 AS a, 0.0 AS b){stages}, lls AS (
+  SELECT sum({Q(
+        "-(y * ln(p + 1e-12) + (1 - y) * ln(1 - p + 1e-12))"
+    )}) AS s
+  FROM (SELECT u.y, u.z,
+               1.0 / (1.0 + exp(-(ab.a + ab.b * u.z))) AS p
+        FROM u CROSS JOIN {last} ab)
+), base AS (
+  SELECT CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS br, n FROM sc
+)
+SELECT base.n AS n,
+       {r6.format(x="ab.a")} AS platt_a,
+       {r6.format(x="ab.b")} AS platt_b,
+       {r6.format(
+        x="-(base.br * ln(base.br + 1e-12)"
+          " + (1 - base.br) * ln(1 - base.br + 1e-12))"
+    )} AS logloss_baseline,
+       {r6.format(x="lls.s / CAST(base.n AS DOUBLE)")} AS logloss_fit
+FROM {last} ab CROSS JOIN lls CROSS JOIN base
+"""
+
+
+_PLATT_SQL = _platt_sql()
 
 
 # --------------------------------------------------------------------------
@@ -312,9 +431,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "platt_scaling_irls": QuerySpec(
         _platt_scaling_irls,
-        None,
+        _PLATT_SQL,
         "Platt logistic calibration by Newton-IRLS: 8 one-aggregate "
-        "iterations with 2 scalars of state; log-loss vs baseline",
+        "iterations with 2 scalars of state; log-loss vs baseline "
+        "(2^-24 term grid makes the unrolled oracle hash-exact)",
     ),
     "randomized_response_freq": QuerySpec(
         _randomized_response_freq,
