@@ -22,13 +22,14 @@ distance, and mixture modeling.
   shift-invariance ("DTW of a 3-step-shifted copy ≈ 0 while L1
   stays large") invariants in tests/test_timeseries.py.
 * ``gmm2_em_fit`` — two-component 1-D Gaussian mixture on
-  ``n_chars`` by EM: the E-step responsibilities are computed
-  JVM-side from the current 5 scalars, the M-step is ONE distributed
-  aggregate of 7 sufficient sums — 10 iterations in the
-  Platt/Huber/PageRank iterative envelope. Output: weights, means,
-  sigmas, mean log-likelihood. Iterative ⇒ rows-only; a planted
-  two-cluster sample must recover the components in
-  tests/test_classify.py.
+  ``n_chars`` by EM over the bounded value-grain histogram: ONE
+  distributed hash aggregate collapses the facts, then the 10 EM
+  iterations recurse driver-side (the Holt-Winters/binseg bounded
+  envelope). Oracled since round 11: standardized values from
+  integer-exact moments + the Platt 2^-24 term grid make the fit
+  bit-identical across engines, replayed by an unrolled recursive
+  oracle. A planted two-cluster sample must recover the components
+  in tests/test_classify.py.
 
 Reference parity: no transport/DTW/mixture surface in the reference
 (SURVEY.md §2.A); declared north-star §2.B additions.
@@ -201,63 +202,116 @@ def _dtw_priority_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# gmm2_em_fit (rows-only)
+# gmm2_em_fit (oracled since round 11: value-grain histogram EM)
 # --------------------------------------------------------------------------
+#
+# Round-11 rework for hash-exactness AND a better scale shape: the
+# fact stream collapses to the bounded integer n_chars VALUE GRAIN in
+# ONE distributed hash aggregate (the wasserstein_sources spine), and
+# the EM recursion runs driver-side over the collected histogram —
+# replacing 10 fact-scale passes with one. Cross-engine exactness
+# follows the Platt 2^-24 grid discipline: every per-value sufficient-
+# statistic term is snapped to the binary grid before summation, so a
+# 1-ulp libm exp()/ln() divergence cannot move a term off its grid
+# point and grid-multiple sums are order-independent and exact. The
+# fit runs on STANDARDIZED values (z = (x-mu)/sd from integer-exact
+# moments) so the grid terms stay O(1); outputs transform back
+# affinely (mu + sd·mu_z, sd·s_z, ll_z − ln sd) — ops mirrored 1:1 in
+# the unrolled DuckDB oracle.
 
 _EM_ITERS = 10
+_GMM_Q = 16777216  # 2^24 term grid, see queries/extras50.py
+
+
+def _gq(v: float) -> float:
+    return math.floor(v * _GMM_Q + 0.5) / _GMM_Q
+
+
+def _gmm2_em_hist(hist, mu1: float, mu2: float, sd: float,
+                  iters: int = _EM_ITERS):
+    """EM over a (value, count) histogram — pure driver-side floats,
+    op-for-op the DuckDB oracle's unrolled stages."""
+    w2, s1, s2 = 0.5, sd, sd
+    ll = None
+    n = float(sum(c for _, c in hist))
+    for _ in range(iters):
+        l1 = math.log(max(1 - w2, 1e-12)) - math.log(s1)
+        l2 = math.log(max(w2, 1e-12)) - math.log(s2)
+        sr = srx = srxx = s1x = s1xx = lls = 0.0
+        for x, c in hist:
+            dz1 = (x - mu1) / s1
+            dz2 = (x - mu2) / s2
+            c1 = l1 - dz1 * dz1 / 2
+            c2 = l2 - dz2 * dz2 / 2
+            mx = c1 if c1 >= c2 else c2
+            lse = mx + math.log(
+                math.exp(c1 - mx) + math.exp(c2 - mx)
+            )
+            r2 = math.exp(c2 - lse)
+            sr += _gq(c * r2)
+            srx += _gq(c * r2 * x)
+            srxx += _gq(c * r2 * x * x)
+            s1x += _gq(c * (1 - r2) * x)
+            s1xx += _gq(c * (1 - r2) * x * x)
+            lls += _gq(c * lse)
+        n1 = max(n - sr, 1e-9)
+        srm = max(sr, 1e-9)
+        mu1 = s1x / n1
+        mu2 = srx / srm
+        v1 = max(s1xx / n1 - mu1 * mu1, 1e-9)
+        v2 = max(srxx / srm - mu2 * mu2, 1e-9)
+        s1, s2 = math.sqrt(v1), math.sqrt(v2)
+        w2 = srm / n
+        ll = lls / n - 0.5 * math.log(2 * math.pi)
+    return w2, mu1, s1, mu2, s2, ll
 
 
 def _gmm2_fit(u: DataFrame, mu1: float, mu2: float, sd: float,
               iters: int = _EM_ITERS):
-    """EM for a 2-component 1-D GMM; ``u`` has column x. Each
-    iteration = one aggregate of 7 sufficient sums."""
-    w2, s1, s2 = 0.5, sd, sd
-    ll = None
-    for _ in range(iters):
-        c1 = F.lit(math.log(max(1 - w2, 1e-12))) - F.lit(
-            math.log(s1)
-        ) - ((F.col("x") - F.lit(mu1)) / F.lit(s1)) ** 2 / 2
-        c2 = F.lit(math.log(max(w2, 1e-12))) - F.lit(math.log(s2)) - (
-            (F.col("x") - F.lit(mu2)) / F.lit(s2)
-        ) ** 2 / 2
-        mx = F.greatest(c1, c2)
-        lse = mx + F.log(F.exp(c1 - mx) + F.exp(c2 - mx))
-        r2 = F.exp(c2 - lse)
-        agg = u.agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(r2).alias("sr"),
-            F.sum(r2 * F.col("x")).alias("srx"),
-            F.sum(r2 * F.col("x") * F.col("x")).alias("srxx"),
-            F.sum((1 - r2) * F.col("x")).alias("s1x"),
-            F.sum((1 - r2) * F.col("x") * F.col("x")).alias("s1xx"),
-            F.avg(lse).alias("ll"),
-        ).collect()[0]
-        n, sr = agg["n"], agg["sr"]
-        n1 = max(n - sr, 1e-9)
-        sr = max(sr, 1e-9)
-        mu1 = agg["s1x"] / n1
-        mu2 = agg["srx"] / sr
-        v1 = max(agg["s1xx"] / n1 - mu1 * mu1, 1e-9)
-        v2 = max(agg["srxx"] / sr - mu2 * mu2, 1e-9)
-        s1, s2 = math.sqrt(v1), math.sqrt(v2)
-        w2 = sr / n
-        ll = agg["ll"] - 0.5 * math.log(2 * math.pi)
-    return w2, mu1, s1, mu2, s2, ll
+    """EM for a 2-component 1-D GMM; ``u`` has column x. Collapses to
+    the (x, count) histogram once, then recurses driver-side."""
+    hist = [
+        (float(r["x"]), int(r["c"]))
+        for r in bounded_collect(
+            u.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c")),
+            200_000,
+            "bounded value grain (distinct x values)",
+        )
+    ]
+    hist.sort()
+    return _gmm2_em_hist(hist, mu1, mu2, sd, iters=iters)
 
 
 def _gmm2_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        F.col("n_chars").cast("double").alias("x")
+    hist_rows = bounded_collect(
+        t(spark, sf_dir, "documents")
+        .groupBy(F.col("n_chars").cast("long").alias("xi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy("xi"),
+        200_000,
+        "bounded value grain (distinct n_chars values)",
     )
-    seed = d.agg(
-        F.expr("percentile_approx(x, 0.25, 10000)").alias("q1"),
-        F.expr("percentile_approx(x, 0.75, 10000)").alias("q3"),
-        F.stddev_samp("x").alias("sd"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    ).collect()[0]
-    u = d.localCheckpoint()
-    w2, mu1, s1, mu2, s2, ll = _gmm2_fit(
-        u, float(seed["q1"]), float(seed["q3"]), float(seed["sd"])
+    xs = [int(r["xi"]) for r in hist_rows]
+    cs = [int(r["c"]) for r in hist_rows]
+    n = sum(cs)
+    sx = sum(c * x for x, c in zip(xs, cs))
+    sxx = sum(c * x * x for x, c in zip(xs, cs))
+    mu = float(sx) / float(n)
+    sd = math.sqrt(
+        (float(sxx) - float(sx) * float(sx) / float(n)) / float(n - 1)
+    )
+    r1, r3 = max(1, (n + 1) // 4), max(1, (3 * (n + 1)) // 4)
+    q1 = q3 = None
+    cum = 0
+    for x, c in zip(xs, cs):
+        cum += c
+        if q1 is None and cum >= r1:
+            q1 = x
+        if q3 is None and cum >= r3:
+            q3 = x
+    hz = [((x - mu) / sd, c) for x, c in zip(xs, cs)]
+    w2, mu1z, s1z, mu2z, s2z, llz = _gmm2_em_hist(
+        hz, (q1 - mu) / sd, (q3 - mu) / sd, 1.0
     )
 
     def r4(x):
@@ -268,19 +322,121 @@ def _gmm2_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                int(seed["n"]),
+                int(n),
                 r4(1 - w2),
-                r4(mu1),
-                r4(s1),
+                r4(mu + sd * mu1z),
+                r4(sd * s1z),
                 r4(w2),
-                r4(mu2),
-                r4(s2),
-                r4(ll),
+                r4(mu + sd * mu2z),
+                r4(sd * s2z),
+                r4(llz - math.log(sd)),
             )
         ],
         "n BIGINT, weight1 DOUBLE, mu1 DOUBLE, sigma1 DOUBLE, "
         "weight2 DOUBLE, mu2 DOUBLE, sigma2 DOUBLE, mean_loglik DOUBLE",
     )
+
+
+def _gmm2_sql() -> str:
+    q = _GMM_Q
+
+    def Q(expr: str) -> str:
+        return f"floor(({expr}) * {q} + 0.5) / {q}"
+
+    stages = ""
+    for k in range(1, _EM_ITERS + 1):
+        p = f"par{k - 1}"
+        stages += f""", e{k} AS (
+  SELECT sum({Q("c * r2")}) AS sr,
+         sum({Q("c * r2 * x")}) AS srx,
+         sum({Q("c * r2 * x * x")}) AS srxx,
+         sum({Q("c * (1 - r2) * x")}) AS s1x,
+         sum({Q("c * (1 - r2) * x * x")}) AS s1xx,
+         sum({Q("c * lse")}) AS lls
+  FROM (
+    SELECT c, x, lse, exp(c2 - lse) AS r2
+    FROM (
+      SELECT c, x, c2, mx + ln(exp(c1 - mx) + exp(c2 - mx)) AS lse
+      FROM (
+        SELECT c, x, c1, c2, greatest(c1, c2) AS mx
+        FROM (
+          SELECT h.c, h.x,
+                 (ln(greatest(1 - p.w2, 1e-12)) - ln(p.s1))
+                   - ((h.x - p.mu1) / p.s1) * ((h.x - p.mu1) / p.s1) / 2
+                   AS c1,
+                 (ln(greatest(p.w2, 1e-12)) - ln(p.s2))
+                   - ((h.x - p.mu2) / p.s2) * ((h.x - p.mu2) / p.s2) / 2
+                   AS c2
+          FROM hz h CROSS JOIN {p} p
+        )
+      )
+    )
+  )
+), par{k} AS (
+  SELECT e.s1x / greatest(nn.n - e.sr, 1e-9) AS mu1,
+         e.srx / greatest(e.sr, 1e-9) AS mu2,
+         sqrt(greatest(e.s1xx / greatest(nn.n - e.sr, 1e-9)
+              - (e.s1x / greatest(nn.n - e.sr, 1e-9))
+                * (e.s1x / greatest(nn.n - e.sr, 1e-9)), 1e-9)) AS s1,
+         sqrt(greatest(e.srxx / greatest(e.sr, 1e-9)
+              - (e.srx / greatest(e.sr, 1e-9))
+                * (e.srx / greatest(e.sr, 1e-9)), 1e-9)) AS s2,
+         greatest(e.sr, 1e-9) / nn.n AS w2,
+         e.lls / nn.n - 0.5 * ln(2 * pi()) AS ll
+  FROM e{k} e CROSS JOIN nn
+)"""
+    r4 = (
+        "CASE WHEN {x} >= 0 THEN floor(({x}) * 10000 + 0.5) / 10000 "
+        "ELSE -(floor(-({x}) * 10000 + 0.5) / 10000) END"
+    )
+    last = f"par{_EM_ITERS}"
+    return f"""
+WITH hist AS (
+  SELECT CAST(n_chars AS BIGINT) AS xi, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), mom AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * xi) AS HUGEINT) AS sx,
+         CAST(sum(c * xi * xi) AS HUGEINT) AS sxx
+  FROM hist
+), sc AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) AS sd
+  FROM mom
+), cum AS (
+  SELECT xi, sum(c) OVER (ORDER BY xi) AS cumc FROM hist
+), q13 AS (
+  SELECT (SELECT min(xi) FROM cum CROSS JOIN mom
+          WHERE cumc >= greatest(1, (n + 1) // 4)) AS q1,
+         (SELECT min(xi) FROM cum CROSS JOIN mom
+          WHERE cumc >= greatest(1, (3 * (n + 1)) // 4)) AS q3
+), hz AS (
+  SELECT (h.xi - sc.mu) / sc.sd AS x, h.c FROM hist h CROSS JOIN sc
+), nn AS (
+  SELECT CAST(n AS DOUBLE) AS n FROM mom
+), par0 AS (
+  SELECT (q13.q1 - sc.mu) / sc.sd AS mu1,
+         (q13.q3 - sc.mu) / sc.sd AS mu2,
+         1.0 AS s1, 1.0 AS s2, 0.5 AS w2, 0.0 AS ll
+  FROM q13 CROSS JOIN sc
+){stages}
+SELECT sc.n AS n,
+       {r4.format(x="1 - p.w2")} AS weight1,
+       {r4.format(x="sc.mu + sc.sd * p.mu1")} AS mu1,
+       {r4.format(x="sc.sd * p.s1")} AS sigma1,
+       {r4.format(x="p.w2")} AS weight2,
+       {r4.format(x="sc.mu + sc.sd * p.mu2")} AS mu2,
+       {r4.format(x="sc.sd * p.s2")} AS sigma2,
+       {r4.format(x="p.ll - ln(sc.sd)")} AS mean_loglik
+FROM {last} p CROSS JOIN sc
+"""
+
+
+_GMM2_SQL = _gmm2_sql()
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -298,8 +454,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "gmm2_em_fit": QuerySpec(
         _gmm2_em_fit,
-        None,
-        "Two-component 1-D Gaussian mixture on n_chars by EM: 10 "
-        "one-aggregate iterations, JVM-side responsibilities",
+        _GMM2_SQL,
+        "Two-component 1-D Gaussian mixture on n_chars by EM over the "
+        "bounded value-grain histogram (one fact-scale aggregate; "
+        "2^-24 term grid makes the unrolled oracle hash-exact)",
     ),
 }
