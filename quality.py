@@ -455,6 +455,35 @@ def main() -> None:
     out["hybrid_rerank_recall_at_5"] = round(
         sum(len(hgot[q] & exact_top[q]) / 5 for q in range(10)) / 10, 4
     )
+
+    # Composed PRF → hybrid (round 11, VERDICT r10 item 3): same
+    # target, same re-ranker — the only moving part is the lexical
+    # arm's PRF-expanded weighted query set. Compare directly against
+    # hybrid_rerank_recall_at_5 (the 0.90 line). Registry promotion
+    # is gated on this number materially beating it.
+    from agent_data_pipeline_spark.llmdata import retrieval as _ret
+
+    hp = (
+        _ret.hybrid_bm25_ann_rerank(
+            emb,
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            list(range(10)),
+            shortlist_k=50,
+            final_k=5,
+            n_cells=32,
+            n_probe=16,
+            prf_expand=True,
+        )
+        .collect()
+    )
+    pgot: dict[int, set[int]] = {}
+    for r in hp:
+        pgot.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out["hybrid_prf_rerank_recall_at_5"] = round(
+        sum(len(pgot.get(q, set()) & exact_top[q]) / 5 for q in range(10))
+        / 10,
+        4,
+    )
     print(json.dumps(out))
 
 

@@ -261,3 +261,41 @@ def test_hybrid_recovers_lexical_twins(spark, corpus, frames):
     # provenance sanity: the recovered lexical twins really came from
     # the lexical arm alone (2 per query in the exact top-5)
     assert lex_only_hits >= 2 * N_QUERIES - 2
+
+
+def test_prf_fed_hybrid_holds_planted_recall(spark, corpus, frames):
+    """Composed PRF → hybrid pipeline (VERDICT r10 item 3): the
+    lexical arm consumes RM3-expanded weighted queries instead of raw
+    query terms. On this fixture the plain hybrid is already at
+    recall 1.0 (every twin is in the candidate union and the
+    re-ranker is exact), so the composition has no headroom to BEAT —
+    the planted check is that PRF expansion does not POISON the
+    candidate set: the expansion terms come from twin filler tokens
+    (sem*/lex*), which could flood the lexical shortlist with
+    twin-adjacent background; recall must stay at the plain hybrid's
+    floor. The sf-fixture comparison (where plain hybrid measures
+    0.90) lives in quality.py as hybrid_prf_rerank_recall_at_5."""
+    docs_df, emb_df = frames
+    exact = _exact_blend_top5(corpus)
+
+    out = retrieval.hybrid_bm25_ann_rerank(
+        emb_df,
+        docs_df,
+        list(range(N_QUERIES)),
+        shortlist_k=50,
+        final_k=5,
+        n_cells=16,
+        n_probe=8,
+        prf_expand=True,
+    ).collect()
+    got: dict[int, set[int]] = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(range(N_QUERIES))
+    prf_recall = (
+        sum(len(got[q] & exact[q]) / 5 for q in range(N_QUERIES)) / N_QUERIES
+    )
+    assert prf_recall >= 0.95, (
+        f"PRF-fed hybrid recall@5 {prf_recall} fell below the plain "
+        f"hybrid's planted floor — expansion poisoned the shortlist"
+    )
