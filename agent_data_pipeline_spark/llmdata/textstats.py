@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..fns import rnd, spread
+from ..fns import bounded_collect, rnd, spread
 
 _WORD_RE = r"\s+"
 # BPE-ish token split: runs of letters, runs of digits, or single
@@ -205,18 +205,21 @@ def vocab_encode_stats(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     )
-    vocab = (
+    # window-free id assignment (round-11 allowlist burn-down; was a
+    # global row_number over the already-TakeOrdered top-V rows): the
+    # ordered vocab-grain collect IS the rank — ids are enumerated
+    # driver-side and shipped back as a literal broadcast frame
+    vrows = bounded_collect(
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "w")
-        .limit(vocab_size)
-        .select(
-            "w",
-            F.row_number()
-            .over(W.orderBy(F.col("cnt").desc(), "w"))
-            .cast("long")
-            .alias("tok_id"),
-        )
+        .limit(vocab_size),
+        vocab_size,
+        f"top-{vocab_size} vocabulary",
+    )
+    vocab = df.sparkSession.createDataFrame(
+        [(r["w"], i + 1) for i, r in enumerate(vrows)],
+        "w STRING, tok_id LONG",
     )
     enc = toks.join(F.broadcast(vocab), "w", "left")
     return (

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..llmdata import dedup
 from ..llmdata.decomp import pca_explained_variance
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 
 # --------------------------------------------------------------------------
@@ -119,42 +119,46 @@ def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
-    top = (
-        vocab.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 1000)
-        .select(
-            F.log(F.col("rank").cast("double")).alias("x"),
-            F.log(F.col("cnt").cast("double")).alias("y"),
-        )
+    # window-free top-1000 (round-11 allowlist burn-down; was a global
+    # row_number over the vocabulary aggregate): TakeOrderedAndProject
+    # picks the ranks distributed, and the 1000-point log-log OLS runs
+    # driver-side — the 3dp output grain absorbs ln/sum-order noise
+    # exactly as it did between Spark and DuckDB before.
+    import math
+
+    top_rows = bounded_collect(
+        vocab.orderBy(F.col("cnt").desc(), F.col("tok")).limit(1000),
+        1000,
+        "top-1000 vocabulary ranks",
     )
+    n = len(top_rows)
+    sx = sy = sxy = sxx = syy = 0.0
+    for i, r in enumerate(top_rows):
+        x = math.log(float(i + 1))
+        y = math.log(float(r["cnt"]))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+
+    def r3(v: float) -> float:
+        return math.floor(v * 1e3 + 0.5) / 1e3
+
     totals = toks.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct"),
     )
-    mom = top.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    r2num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    )
-    r2den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    )
-    return totals.crossJoin(F.broadcast(mom)).select(
+    return totals.select(
         "n_tokens",
         "n_distinct",
-        F.col("n").alias("n_fit_points"),
-        rnd(slope, 3).alias("zipf_slope"),
-        rnd(r2num / r2den, 3).alias("zipf_r2"),
+        F.lit(n).cast("long").alias("n_fit_points"),
+        F.lit(r3(slope)).alias("zipf_slope"),
+        F.lit(r3(r2)).alias("zipf_r2"),
     )
 
 

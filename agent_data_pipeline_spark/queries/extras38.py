@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..ops import calibrate
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _BOOT_R = 100
 _KNUTH = 2654435761
@@ -81,16 +81,27 @@ def _poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 6
         ).alias("rep_mean")
     )
-    wnd = W.orderBy(F.col("rep_mean").asc(), F.col("rep").asc())
-    ranked = rep_means.withColumn("rk", F.row_number().over(wnd))
+    # 95% percentile CI: ranks 3 and 98 of the 100 sorted replicate
+    # means — picked DRIVER-SIDE over the collected R=100 frame
+    # (round-11 allowlist burn-down; was a global row_number over the
+    # replicate grain). Same (rep_mean asc, rep asc) order the window
+    # used; the replicate grain is R rows at any fact scale.
+    rep_rows = bounded_collect(
+        rep_means, _BOOT_R, f"bootstrap replicate means (R={_BOOT_R})"
+    )
+    ordered = sorted(
+        (float(r["rep_mean"]), int(r["rep"])) for r in rep_rows
+    )
     base = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         rnd(F.avg("o_totalprice"), 6).alias("mean_value"),
     )
-    # 95% percentile CI: ranks 3 and 98 of the 100 sorted replicate means
-    lo = ranked.filter(F.col("rk") == 3).select(F.col("rep_mean").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == 98).select(F.col("rep_mean").alias("ci_hi"))
-    return base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    return base.select(
+        "n",
+        "mean_value",
+        F.lit(ordered[2][0]).alias("ci_lo"),
+        F.lit(ordered[97][0]).alias("ci_hi"),
+    )
 
 
 _POIS_CASE = " ".join(

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _HILL_K = 500
 
@@ -49,27 +49,32 @@ def _hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = o.orderBy(F.col("x").desc(), F.col("o_orderkey")).limit(
         _HILL_K + 1
     )
-    ranked = top.withColumn(
-        "rk",
-        F.row_number().over(W.orderBy(F.col("x").desc(), F.col("o_orderkey"))),
+    # window-free (round-11 allowlist burn-down; was a global
+    # row_number over the already-TakeOrdered K+1 rows): the ordered
+    # collect IS the rank — threshold is row K+1, the Hill mean runs
+    # driver-side over K floats. The 6dp grain absorbs summation-order
+    # noise exactly as it did between the engines before.
+    import math
+
+    rows = bounded_collect(
+        top, _HILL_K + 1, f"top-{_HILL_K + 1} order-value tail"
     )
-    thr = ranked.filter(F.col("rk") == _HILL_K + 1).select(
-        F.col("x").alias("x_thr")
+    x_thr = float(rows[_HILL_K]["x"])
+    inv_alpha = (
+        sum(math.log(float(r["x"]) / x_thr) for r in rows[:_HILL_K])
+        / _HILL_K
     )
-    agg = (
-        ranked.filter(F.col("rk") <= _HILL_K)
-        .crossJoin(F.broadcast(thr))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("k"),
-            F.max("x_thr").alias("threshold"),
-            F.avg(F.log(F.col("x") / F.col("x_thr"))).alias("inv_alpha"),
-        )
-    )
-    return agg.select(
-        "k",
-        rnd("threshold", 2).alias("threshold"),
-        rnd(F.col("inv_alpha"), 6).alias("mean_log_excess"),
-        rnd(1.0 / F.col("inv_alpha"), 4).alias("hill_alpha"),
+    return spark.createDataFrame(
+        [
+            (
+                _HILL_K,
+                math.floor(x_thr * 100 + 0.5) / 100,
+                math.floor(inv_alpha * 1e6 + 0.5) / 1e6,
+                math.floor(1.0 / inv_alpha * 1e4 + 0.5) / 1e4,
+            )
+        ],
+        "k BIGINT, threshold DOUBLE, mean_log_excess DOUBLE, "
+        "hill_alpha DOUBLE",
     )
 
 

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _TOPK = 5
 
@@ -156,22 +156,32 @@ def _event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = tri.groupBy("trigram").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    # window-free top-10 (round-11 allowlist burn-down; was a global
+    # row_number over the trigram grain): TakeOrderedAndProject picks
+    # the 10 rows distributed — no single-partition sort — and the
+    # rank is assigned driver-side over the collected 10-row frame
+    # (the same deterministic (n desc, trigram) order the window used)
     total = counted.agg(F.sum("n").cast("double").alias("tot"))
-    ranked = (
+    top = bounded_collect(
         counted.crossJoin(F.broadcast(total))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(F.col("n").desc(), F.col("trigram"))
-            ),
-        )
-        .filter(F.col("rk") <= 10)
+        .orderBy(F.col("n").desc(), F.col("trigram"))
+        .limit(10),
+        10,
+        "top-10 trigrams",
     )
-    return ranked.select(
-        F.col("rk").cast("int").alias("rank"),
-        "trigram",
-        "n",
-        rnd(F.col("n") / F.col("tot"), 6).alias("share"),
+    import math
+
+    rows = [
+        (
+            i + 1,
+            r["trigram"],
+            int(r["n"]),
+            math.floor(r["n"] / r["tot"] * 1e6 + 0.5) / 1e6,
+        )
+        for i, r in enumerate(top)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, trigram STRING, n BIGINT, share DOUBLE"
     ).orderBy("rank")
 
 

@@ -36,7 +36,6 @@ ALLOWED: dict[str, set[str]] = {
     "best_split_stump": {"global_window", "single_part_sort"},
     "forecast_skill_mase": {"global_window", "single_part_sort"},
     "granger_daily": {"global_window", "single_part_sort"},
-    "hill_tail_index": {"global_window"},
     "randomized_response_freq": {"global_window", "single_part_sort"},
     "wasserstein_sources": {"global_window", "single_part_sort"},
     "kruskal_wallis_h": {"global_window", "single_part_sort"},
@@ -45,14 +44,10 @@ ALLOWED: dict[str, set[str]] = {
     "conformal_intervals": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
     "orphan_audit": {"single_part_sort"},
-    "poisson_bootstrap_ci": {"global_window"},
     "pareto_revenue": {"global_window", "single_part_sort"},
     "share_of_parent": {"single_part_sort"},
     "udf_kit": {"row_python_udf"},
     "udtf_first_words": {"row_python_udf"},
-    "vocab_encode_stats": {"global_window"},
-    "zipf_fit": {"global_window"},
-    "event_trigram_mining": {"global_window"},
 }
 
 
