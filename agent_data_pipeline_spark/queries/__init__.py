@@ -104,6 +104,7 @@ _NEVER_VERIFIED_FRONT = [
     "binseg_changepoints",
     "platt_scaling_irls",
     "gmm2_em_fit",
+    "dtw_priority_series",
     "bfs_hops_from_hub",
     "dsir_resample_census",
     "bm25_prf_topk",

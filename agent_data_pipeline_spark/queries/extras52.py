@@ -18,7 +18,9 @@ distance, and mixture modeling.
   recursion envelope — 10 alignments of ≤350² cells). Output pairs
   carry the Manhattan distance alongside: DTW ≤ L1 by construction
   (the diagonal is one admissible path), and the gap is the
-  alignment slack. Rows-only; identity/symmetry/upper-bound and
+  alignment slack. Oracled since round 11 (the DP is a fixed op DAG
+  of correctly-rounded IEEE ops, replayed bit-exactly by an
+  anti-diagonal recursive CTE); identity/symmetry/upper-bound and
   shift-invariance ("DTW of a 3-step-shifted copy ≈ 0 while L1
   stays large") invariants in tests/test_timeseries.py.
 * ``gmm2_em_fit`` — two-component 1-D Gaussian mixture on
@@ -162,6 +164,12 @@ def dtw_l1(a: list[float], b: list[float]) -> float:
 
 
 def _dtw_priority_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled since round 11: the DTW DP is a fixed op DAG (abs,
+    min, add — all correctly-rounded IEEE ops on identical inputs), so
+    a DuckDB anti-diagonal recursive CTE executing the same DAG over
+    the same cents-exact weekly series is bit-identical to the Python
+    recursion — no rounding grid needed. The Manhattan baseline moves
+    to an integer-cents sum (exact in any order) divided once."""
     weekly = bounded_collect(
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -170,16 +178,19 @@ def _dtw_priority_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
-            .cast("double")
+            .cast("long")
             .alias("cents")
         )
         .orderBy("prio", "wk"),
         5_000,
         "priority × week grain (5 priorities × ~350 weeks)",
     )
-    series: dict[str, list[float]] = {}
+    cents: dict[str, list[int]] = {}
     for r in weekly:
-        series.setdefault(r["prio"], []).append(r["cents"] / 1e6)
+        cents.setdefault(r["prio"], []).append(int(r["cents"]))
+    series = {
+        p: [float(c) / 1000000.0 for c in cs] for p, cs in cents.items()
+    }
     prios = sorted(series)
     out = []
     for i, pa in enumerate(prios):
@@ -187,7 +198,10 @@ def _dtw_priority_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             a, b = series[pa], series[pb]
             d = dtw_l1(a, b)
             k = min(len(a), len(b))
-            l1 = sum(abs(a[j] - b[j]) for j in range(k))
+            s_l1 = sum(
+                abs(cents[pa][j] - cents[pb][j]) for j in range(k)
+            )
+            l1 = float(s_l1) / 1000000.0
             out.append(
                 (
                     pa,
@@ -199,6 +213,75 @@ def _dtw_priority_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "prio_a STRING, prio_b STRING, dtw_l1 DOUBLE, manhattan DOUBLE"
     ).orderBy("prio_a", "prio_b")
+
+
+# The DTW DP as an anti-diagonal recursive CTE: the working set holds
+# the last two diagonals ('new' = diag d-1, 'old' = diag d-2); each
+# level forms candidate targets (one-steps from 'new', diagonal steps
+# from 'old'), min-aggregates them per cell, adds the local |Δy| cost,
+# and passes 'new' through as next level's 'old'. Border cells other
+# than (0,0) never exist — absence IS the +inf of the array DP. All
+# ten priority pairs ride one recursion (cells keyed by pair).
+_DTW_SQL = """
+WITH RECURSIVE weekly AS (
+  SELECT o_orderpriority AS prio,
+         date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), ser AS (
+  SELECT prio,
+         CAST(row_number() OVER (PARTITION BY prio ORDER BY wk)
+              AS BIGINT) AS idx,
+         cents,
+         CAST(cents AS DOUBLE) / 1000000.0 AS y
+  FROM weekly
+), lens AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY prio
+), pairs AS (
+  SELECT a.prio AS pa, a.n AS na, b.prio AS pb, b.n AS nb
+  FROM lens a JOIN lens b ON a.prio < b.prio
+), walk(pa, pb, i, j, v, role) AS (
+  SELECT pa, pb, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0.0 AS DOUBLE), 'new'
+  FROM pairs
+  UNION ALL
+  SELECT * FROM (
+    WITH tgt AS (
+      SELECT pa, pb, i + 1 AS ti, j AS tj, v FROM walk WHERE role = 'new'
+      UNION ALL
+      SELECT pa, pb, i, j + 1, v FROM walk WHERE role = 'new'
+      UNION ALL
+      SELECT pa, pb, i + 1, j + 1, v FROM walk WHERE role = 'old'
+    ), newcells AS (
+      SELECT t.pa, t.pb, t.ti, t.tj, min(t.v) AS mv
+      FROM tgt t JOIN pairs p ON p.pa = t.pa AND p.pb = t.pb
+      WHERE t.ti >= 1 AND t.tj >= 1 AND t.ti <= p.na AND t.tj <= p.nb
+      GROUP BY t.pa, t.pb, t.ti, t.tj
+    )
+    SELECT n.pa, n.pb, n.ti, n.tj, abs(sa.y - sb.y) + n.mv, 'new'
+    FROM newcells n
+    JOIN ser sa ON sa.prio = n.pa AND sa.idx = n.ti
+    JOIN ser sb ON sb.prio = n.pb AND sb.idx = n.tj
+    UNION ALL
+    SELECT pa, pb, i, j, v, 'old' FROM walk WHERE role = 'new'
+  )
+), dtw AS (
+  SELECT w.pa, w.pb, w.v
+  FROM walk w JOIN pairs p ON p.pa = w.pa AND p.pb = w.pb
+  WHERE w.i = p.na AND w.j = p.nb AND w.role = 'new'
+), l1 AS (
+  SELECT a.prio AS pa, b.prio AS pb,
+         CAST(sum(abs(a.cents - b.cents)) AS DOUBLE) / 1000000.0 AS l1
+  FROM ser a JOIN ser b ON a.prio < b.prio AND a.idx = b.idx
+  GROUP BY 1, 2
+)
+SELECT d.pa AS prio_a, d.pb AS prio_b,
+       floor(d.v * 100 + 0.5) / 100 AS dtw_l1,
+       floor(l1.l1 * 100 + 0.5) / 100 AS manhattan
+FROM dtw d JOIN l1 ON l1.pa = d.pa AND l1.pb = d.pb
+ORDER BY prio_a, prio_b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -448,9 +531,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dtw_priority_series": QuerySpec(
         _dtw_priority_series,
-        None,
+        _DTW_SQL,
         "Pairwise DTW (L1) between weekly revenue profiles of the 5 "
-        "priorities; Manhattan distance alongside (DTW <= L1)",
+        "priorities; Manhattan distance alongside (DTW <= L1; "
+        "anti-diagonal recursive-CTE oracle, bit-exact DP)",
     ),
     "gmm2_em_fit": QuerySpec(
         _gmm2_em_fit,
