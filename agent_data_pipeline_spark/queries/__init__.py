@@ -105,6 +105,8 @@ _NEVER_VERIFIED_FRONT = [
     "platt_scaling_irls",
     "gmm2_em_fit",
     "dtw_priority_series",
+    "ljung_box_hw_residuals",
+    "haar_energy_decomposition",
     "bfs_hops_from_hub",
     "dsir_resample_census",
     "bm25_prf_topk",

@@ -360,7 +360,12 @@ def _hw_chain(names: list[str]) -> str:
     return expr
 
 
-def _hw_sql() -> str:
+def _hw_walk_ctes() -> str:
+    """The shared WITH-RECURSIVE body (daily → ys → nn → head → init →
+    walk) that replays the Holt-Winters recursion bit-exactly — reused
+    by the holt_winters_daily oracle here and the
+    ljung_box_hw_residuals oracle (queries/extras59.py), which needs
+    the same fitted values to residualize."""
     m = _M
     oma, omb, omg = repr(1 - _ALPHA), repr(1 - _BETA), repr(1 - _GAMMA)
 
@@ -414,7 +419,19 @@ WITH RECURSIVE daily AS (
          {new_trend},
          {new_seasons}
   FROM walk w JOIN ys ON ys.i = w.i
-), outp AS (
+)"""
+
+
+def _hw_sql() -> str:
+    m = _M
+
+    def scase(idx: str) -> str:
+        whens = " ".join(f"WHEN {j} THEN w.s{j}" for j in range(m))
+        return f"CASE {idx} % {m} {whens} END"
+
+    scur = scase("w.i")
+    s_fc = scase("(nn.n + h.h - 1)")
+    return _hw_walk_ctes() + f""", outp AS (
   SELECT ys.day_s AS day, 'fitted' AS kind,
          floor(ys.y * 100 + 0.5) / 100 AS actual,
          floor(((w.level + w.trend) + {scur}) * 100 + 0.5) / 100 AS value

@@ -9,6 +9,7 @@ residual diagnostics.
   transform runs driver-side (the PACF/Holt-Winters bounded
   recursion envelope). Which time scale carries the variance —
   day-to-day noise vs weekly structure — read off one table.
+  Oracled since round 11 (bit-exact recursive-CTE butterfly).
   Orthogonality ⇒ exact energy conservation, pinned to 1e-9 in
   tests/test_timeseries.py along with a planted single-scale series
   concentrating in its own level.
@@ -17,7 +18,8 @@ residual diagnostics.
   the Holt-Winters fit (``holt_winters_daily``'s recursion): the
   standard "is anything left in the residuals" diagnostic that
   closes the forecasting loop (fit → score → residual whiteness).
-  Driver-side on the bounded series ⇒ rows-only; a planted
+  Oracled since round 11 (the extras48 HW walk CTE residualizes
+  bit-exactly; the ACF sums sit inside the 4dp grain); a planted
   still-seasonal residual series must blow Q up while white noise
   stays small (tests/test_timeseries.py).
 * ``arch_effect_acf`` — volatility clustering (Engle 1982 ARCH
@@ -102,8 +104,57 @@ def _haar_energy_decomposition(
     ).orderBy("level")
 
 
+# Haar oracle (round 11): each butterfly level is a fixed op DAG —
+# (x+y)/sqrt(2) and (x-y)/sqrt(2) over exact pair members, and IEEE
+# addition is commutative, so a 2-row SUM aggregate reproduces the
+# Python pair arithmetic bit-exactly regardless of which member the
+# engine visits first. The recursion carries 'a' (approximation) rows
+# and emits 'd' (detail) rows per level; HAVING count(*)=2 terminates
+# at the lone level-8 approximation (the oracle assumes the fixture's
+# >=256-day span, so the Python left-padding branch never fires).
+# Level energies are ordinary order-dependent double sums absorbed by
+# the 2dp/6dp output grain.
+_HAAR_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), sel AS (
+  SELECT day, cents FROM daily ORDER BY day DESC LIMIT {_HAAR_N}
+), ser AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i,
+         CAST(cents AS DOUBLE) / 1000000.0 AS y
+  FROM sel
+), walk(lvl, i, kind, v) AS (
+  SELECT 0, i, 'a', y FROM ser
+  UNION ALL
+  SELECT w.lvl + 1, w.i // 2, k.kind,
+         sum(CASE WHEN k.kind = 'a' THEN w.v
+                  ELSE CASE WHEN w.i % 2 = 0 THEN w.v ELSE -w.v END
+             END) / sqrt(2.0)
+  FROM walk w CROSS JOIN (VALUES ('a'), ('d')) k(kind)
+  WHERE w.kind = 'a'
+  GROUP BY w.lvl, w.i // 2, k.kind
+  HAVING count(*) = 2
+), lv AS (
+  SELECT 'detail_' || CAST(lvl AS VARCHAR) AS level, sum(v * v) AS e
+  FROM walk WHERE kind = 'd' GROUP BY lvl
+  UNION ALL
+  SELECT 'approx', v * v FROM walk
+  WHERE kind = 'a' AND lvl = {_HAAR_N.bit_length() - 1}
+), tot AS (
+  SELECT sum(y * y) AS total FROM ser
+)
+SELECT level,
+       floor(e / 1.0 * 100 + 0.5) / 100 AS energy,
+       floor(e / total * 1000000 + 0.5) / 1000000 AS energy_frac
+FROM lv CROSS JOIN tot
+ORDER BY level
+"""
+
+
 # --------------------------------------------------------------------------
-# ljung_box_hw_residuals (rows-only)
+# ljung_box_hw_residuals (oracled since round 11)
 # --------------------------------------------------------------------------
 
 _LB_LAGS = 14
@@ -161,6 +212,63 @@ def _ljung_box_hw_residuals(
         "n_resid BIGINT, lags INT, ljung_box_q DOUBLE, "
         "chi2_crit_05 DOUBLE, reject_whiteness BOOLEAN",
     )
+
+
+# Oracled since round 11, unblocked by the extras48 recursive-CTE
+# Holt-Winters replay: fitted values join back to the day series
+# bit-exactly, so the residual stream is identical across engines; the
+# ACF sums themselves are ordinary order-dependent double sums whose
+# divergence (~1e-13 relative) sits far inside the 4dp output grain —
+# the same tolerance class every avg()-based oracle in the repo
+# already carries.
+def _lb_sql() -> str:
+    from .extras48 import _M, _hw_walk_ctes
+
+    burn, lags = 28, _LB_LAGS
+    whens = " ".join(f"WHEN {j} THEN w.s{j}" for j in range(_M))
+    scur = f"CASE w.i % {_M} {whens} END"
+    return _hw_walk_ctes() + f""", fit AS (
+  SELECT ys.i, ys.y, (w.level + w.trend) + {scur} AS f
+  FROM walk w JOIN ys ON ys.i = w.i
+), resid AS (
+  SELECT i - {burn} AS tx, y - f AS r FROM fit WHERE i >= {burn}
+), nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM resid
+), mu AS (
+  SELECT sum(r) / CAST(nr.n AS DOUBLE) AS mu FROM resid CROSS JOIN nr
+  GROUP BY nr.n
+), c0 AS (
+  SELECT sum((r.r - mu.mu) * (r.r - mu.mu)) / CAST(nr.n AS DOUBLE) AS c0
+  FROM resid r CROSS JOIN mu CROSS JOIN nr
+  GROUP BY mu.mu, nr.n
+), cks AS (
+  SELECT kk.k,
+         sum((a.r - mu.mu) * (b.r - mu.mu)) / CAST(nr.n AS DOUBLE) AS ck
+  FROM (SELECT unnest(generate_series(1, {lags})) AS k) kk
+  JOIN resid a ON a.tx >= kk.k
+  JOIN resid b ON b.tx = a.tx - kk.k
+  CROSS JOIN mu CROSS JOIN nr
+  GROUP BY kk.k, mu.mu, nr.n
+), q AS (
+  SELECT sum(
+           (CASE WHEN c0.c0 > 0 THEN ck / c0.c0 ELSE 0.0 END)
+           * (CASE WHEN c0.c0 > 0 THEN ck / c0.c0 ELSE 0.0 END)
+           / (nr.n - cks.k)
+         ) AS q
+  FROM cks CROSS JOIN c0 CROSS JOIN nr
+  GROUP BY c0.c0, nr.n
+)
+SELECT nr.n AS n_resid,
+       CAST({lags} AS INT) AS lags,
+       floor(nr.n * (nr.n + 2) * q.q * 10000 + 0.5) / 10000
+         AS ljung_box_q,
+       23.685 AS chi2_crit_05,
+       nr.n * (nr.n + 2) * q.q > 23.685 AS reject_whiteness
+FROM nr CROSS JOIN q
+"""
+
+
+_LB_SQL = _lb_sql()
 
 
 # --------------------------------------------------------------------------
@@ -231,15 +339,17 @@ FROM j GROUP BY lag ORDER BY lag
 QUERIES: dict[str, QuerySpec] = {
     "haar_energy_decomposition": QuerySpec(
         _haar_energy_decomposition,
-        None,
+        _HAAR_SQL,
         "Haar wavelet energy per scale over the last 256 days of "
-        "revenue (bounded driver-side transform, exact conservation)",
+        "revenue (bounded driver-side transform, exact conservation; "
+        "oracle: bit-exact recursive-CTE butterfly)",
     ),
     "ljung_box_hw_residuals": QuerySpec(
         _ljung_box_hw_residuals,
-        None,
+        _LB_SQL,
         "Ljung-Box Q at 14 lags on Holt-Winters one-step residuals — "
-        "the residual-whiteness diagnostic closing the forecast loop",
+        "the residual-whiteness diagnostic closing the forecast loop "
+        "(oracle: the extras48 bit-exact HW walk CTE + ACF in SQL)",
     ),
     "arch_effect_acf": QuerySpec(
         _arch_effect_acf,
