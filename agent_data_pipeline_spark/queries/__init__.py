@@ -107,6 +107,7 @@ _NEVER_VERIFIED_FRONT = [
     "dtw_priority_series",
     "ljung_box_hw_residuals",
     "haar_energy_decomposition",
+    "raking_ipf",
     "bfs_hops_from_hub",
     "dsir_resample_census",
     "bm25_prf_topk",

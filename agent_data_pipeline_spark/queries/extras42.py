@@ -219,6 +219,13 @@ ORDER BY n.n_name
 """
 
 _IPF_ITERS = 30
+_IPF_Q = 16777216  # 2^-24 mass-term grid (the Platt/GMM discipline)
+
+
+def _ipf_q(v: float) -> float:
+    import math
+
+    return math.floor(v * _IPF_Q + 0.5) / _IPF_Q
 
 
 def ipf_rake(
@@ -231,14 +238,20 @@ def ipf_rake(
     float arithmetic, fixed sweep order). Cells absent from the sample
     carry no weight; a row/col whose sample mass is zero keeps its
     weights unchanged (the margin is unreachable and reported as-is by
-    the caller's invariant checks)."""
+    the caller's invariant checks).
+
+    Oracle-exact since round 11: each cell's mass term w·n snaps to
+    the 2^-24 grid before the margin sum, so the sums are exact
+    multiples summed without order sensitivity (totals stay far below
+    2^53·2^-24) — the DuckDB recursive-CTE replay produces the
+    identical scaling trajectory."""
     w = {k: 1.0 for k in cells}
     for _ in range(iters):
         for axis, targets in ((0, row_targets), (1, col_targets)):
             sums: dict[str, float] = {}
             for (lg, src), n in cells.items():
                 key = lg if axis == 0 else src
-                sums[key] = sums.get(key, 0.0) + w[(lg, src)] * n
+                sums[key] = sums.get(key, 0.0) + _ipf_q(w[(lg, src)] * n)
             for (lg, src), n in cells.items():
                 key = lg if axis == 0 else src
                 if sums.get(key, 0.0) > 0 and key in targets:
@@ -270,8 +283,16 @@ def _raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_t = {r["lang"]: n_sample * r["n"] / n_corpus for r in corpus_lang}
     col_t = {r["source"]: n_sample * r["n"] / n_corpus for r in corpus_src}
     w = ipf_rake(cells, row_t, col_t)
+    import math
+
     out = sorted(
-        (lg, src, int(n), round(w[(lg, src)], 6), round(w[(lg, src)] * n, 4))
+        (
+            lg,
+            src,
+            int(n),
+            math.floor(w[(lg, src)] * 1e6 + 0.5) / 1e6,
+            math.floor(w[(lg, src)] * n * 1e4 + 0.5) / 1e4,
+        )
         for (lg, src), n in cells.items()
     )
     schema = StructType(
@@ -284,6 +305,60 @@ def _raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# IPF as a recursive CTE (round 11): 60 steps alternate the lang and
+# source axes (it%2); each step re-derives the margin sums from the
+# carried weights with every w·n mass term snapped to the 2^-24 grid
+# (exact order-free sums — the Platt/GMM discipline), then scales by
+# target/sum. The scaling ratio and weight chain are single IEEE ops
+# on identical inputs, so the trajectory is bit-identical to the
+# driver-side ipf_rake.
+_IPF_SQL = f"""
+WITH RECURSIVE cells AS (
+  SELECT lang AS lg, source AS src, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE n_chars >= 300 GROUP BY 1, 2
+), ns AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_sample FROM cells
+), nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents
+), rt AS (
+  SELECT lang AS key, (ns.n_sample * CAST(count(*) AS BIGINT)) / nc.n_corpus
+           AS tgt
+  FROM documents CROSS JOIN ns CROSS JOIN nc
+  GROUP BY lang, ns.n_sample, nc.n_corpus
+), ct AS (
+  SELECT source AS key, (ns.n_sample * CAST(count(*) AS BIGINT))
+           / nc.n_corpus AS tgt
+  FROM documents CROSS JOIN ns CROSS JOIN nc
+  GROUP BY source, ns.n_sample, nc.n_corpus
+), walk(it, lg, src, n, w) AS (
+  SELECT 0, lg, src, n, CAST(1.0 AS DOUBLE) FROM cells
+  UNION ALL
+  SELECT * FROM (
+    WITH sums AS (
+      SELECT it, CASE WHEN it % 2 = 0 THEN lg ELSE src END AS key,
+             sum(floor(w * n * {_IPF_Q} + 0.5) / {_IPF_Q}) AS sm
+      FROM walk GROUP BY 1, 2
+    )
+    SELECT w.it + 1, w.lg, w.src, w.n,
+           w.w * CASE WHEN s.sm > 0 AND t.tgt IS NOT NULL
+                      THEN t.tgt / s.sm ELSE 1.0 END
+    FROM walk w
+    JOIN sums s ON s.it = w.it
+      AND s.key = CASE WHEN w.it % 2 = 0 THEN w.lg ELSE w.src END
+    LEFT JOIN (SELECT key, tgt, 0 AS ax FROM rt
+               UNION ALL SELECT key, tgt, 1 FROM ct) t
+      ON t.key = s.key AND t.ax = w.it % 2
+    WHERE w.it < {2 * _IPF_ITERS}
+  )
+)
+SELECT lg AS lang, src AS source, n AS n_sample,
+       floor(w * 1000000 + 0.5) / 1000000 AS weight,
+       floor(w * n * 10000 + 0.5) / 10000 AS w_count
+FROM walk WHERE it = {2 * _IPF_ITERS}
+ORDER BY lang, source
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -301,9 +376,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "raking_ipf": QuerySpec(
         _raking_ipf,
-        None,
+        _IPF_SQL,
         "IPF raking of the quality-filtered sample onto full-corpus "
-        "lang x source margins (bounded driver-side fit; rows-only, "
-        "margin invariants in pytest)",
+        "lang x source margins (bounded driver-side fit; 2^-24 mass "
+        "grid makes the recursive-CTE oracle hash-exact; margin "
+        "invariants in pytest)",
     ),
 }
