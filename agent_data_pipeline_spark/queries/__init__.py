@@ -108,6 +108,7 @@ _NEVER_VERIFIED_FRONT = [
     "ljung_box_hw_residuals",
     "haar_energy_decomposition",
     "raking_ipf",
+    "pacf_lags",
     "bfs_hops_from_hub",
     "dsir_resample_census",
     "bm25_prf_topk",

@@ -425,29 +425,64 @@ def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# pacf_lags (rows-only: Durbin-Levinson recursion)
+# pacf_lags (oracled since round 11: Durbin-Levinson on exact moments)
 # --------------------------------------------------------------------------
+#
+# Oracle-exactness: the lag correlations are computed from INTEGER
+# cents moment sums (128-bit-exact: decimal(38,0) in Spark, HUGEINT
+# in DuckDB) with a fixed convert-then-operate expression tree, so
+# every rho is bit-identical across engines; the Durbin-Levinson
+# recursion is then a fixed chain of +,-,*,/ ops on identical inputs
+# (no transcendentals beyond one sqrt per rho, correctly rounded), so
+# the unrolled SQL replay matches bit for bit.
+
+_PACF_LAGS_N = 12
+
 
 def _pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         t(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("long")
+            .alias("rev")
+        )
     )
-    lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag"))
+    lags = spark.range(1, _PACF_LAGS_N + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
     shifted = daily.select(F.col("d").alias("d2"), F.col("rev").alias("rev2"))
+    x, y = F.col("rev"), F.col("rev2")
     acf_rows = bounded_collect(
         daily.crossJoin(F.broadcast(lags))
         .join(shifted, F.col("d2") == F.date_add(F.col("d"), F.col("lag")))
         .groupBy("lag")
-        .agg(F.corr("rev", "rev2").alias("acf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+        )
         .orderBy("lag"),
-        12,
+        _PACF_LAGS_N,
         "one row per requested lag (range 1..12)",
     )
     import math
 
-    rho = [float(r["acf"]) for r in acf_rows]
+    rho = []
+    for r in acf_rows:
+        n = float(int(r["n"]))
+        sx, sy = float(int(r["sx"])), float(int(r["sy"]))
+        sxy, sxx, syy = (
+            float(r["sxy"]), float(r["sxx"]), float(r["syy"])
+        )
+        rho.append(
+            (n * sxy - sx * sy)
+            / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        )
     # Durbin-Levinson: phi[k][k] is the lag-k PACF.
     m = len(rho)
     pacf: list[float | None] = []
@@ -478,6 +513,99 @@ def _pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(m)
     ]
     return spark.createDataFrame(out, "lag INT, pacf DOUBLE").orderBy("lag")
+
+
+def _pacf_sql() -> str:
+    """Unrolled Durbin-Levinson: par{k} carries (pacf1..k, phi1..k,
+    var); the inner innovation chain is the same left-assoc
+    subtraction sequence the Python loop executes; a repeated phi_kk
+    expression is bit-identical recomputation, not divergence. The
+    var<=0 freeze mirrors the loop's `continue` (NaN compares false
+    in both engines, so NaN propagates identically)."""
+    m = _PACF_LAGS_N
+    rho_cols = ",\n         ".join(
+        f"max(CASE WHEN lag = {k} THEN rho END) AS rho{k}"
+        for k in range(1, m + 1)
+    )
+    stages = ""
+    for k in range(1, m + 1):
+        acc = f"r.rho{k}"
+        for j in range(1, k):
+            acc = f"({acc} - p.phi{j} * r.rho{k - j})"
+        pk = f"({acc} / p.var)"
+        cols = [f"p.pacf{i} AS pacf{i}" for i in range(1, k)]
+        cols.append(
+            f"CASE WHEN p.var <= 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {pk} END AS pacf{k}"
+        )
+        for j in range(1, k):
+            cols.append(
+                f"CASE WHEN p.var <= 0 THEN p.phi{j} "
+                f"ELSE p.phi{j} - {pk} * p.phi{k - j} END AS phi{j}"
+            )
+        cols.append(
+            f"CASE WHEN p.var <= 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {pk} END AS phi{k}"
+        )
+        cols.append(
+            f"CASE WHEN p.var <= 0 THEN p.var "
+            f"ELSE p.var * (1.0 - {pk} * {pk}) END AS var"
+        )
+        body = ",\n         ".join(cols)
+        stages += f""", par{k} AS (
+  SELECT {body}
+  FROM par{k - 1} p CROSS JOIN rho r
+)"""
+    outs = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, CASE WHEN pacf{k} IS NULL OR isnan(pacf{k}) "
+        f"THEN NULL ELSE floor(pacf{k} * 1000000 + 0.5) / 1000000 END "
+        f"AS pacf FROM par{m}"
+        for k in range(1, m + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT unnest(generate_series(1, {m})) AS lag
+), j AS (
+  SELECT l.lag, a.rev AS x, b.rev AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+), mom AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM j GROUP BY lag
+), acf AS (
+  SELECT lag,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+  FROM mom
+), rho AS (
+  SELECT {rho_cols}
+  FROM acf
+), par0 AS (
+  SELECT CAST(1.0 AS DOUBLE) AS var
+){stages}
+SELECT CAST(lag AS INT) AS lag, pacf FROM (
+  {outs}
+) ORDER BY lag
+"""
+
+
+_PACF_SQL = _pacf_sql()
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -514,8 +642,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pacf_lags": QuerySpec(
         _pacf_lags,
-        None,
+        _PACF_SQL,
         "Partial autocorrelation of daily revenue, lags 1..12, by "
-        "Durbin-Levinson on the distributed lag-join ACF",
+        "Durbin-Levinson on the distributed lag-join ACF "
+        "(integer-cents moments make the unrolled oracle hash-exact)",
     ),
 }
