@@ -109,6 +109,7 @@ _NEVER_VERIFIED_FRONT = [
     "haar_energy_decomposition",
     "raking_ipf",
     "pacf_lags",
+    "markov_attribution",
     "bfs_hops_from_hub",
     "dsir_resample_census",
     "bm25_prf_topk",

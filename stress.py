@@ -506,6 +506,29 @@ R9_OPS = [
 # token stream to query terms BEFORE any shuffle and its pair scorer
 # touches only the unioned broadcast shortlists; the audio join decodes
 # payload-local and shuffles scalar loudness features only.
+R11_OPS = [
+    # round-11 oracle conversions (Spark plans mostly unchanged; huber
+    # swaps percentile_approx for bucket-refine medians, gmm2 collapses
+    # ten fact passes to one value-grain agg) + the five window-free
+    # allowlist burn-downs (TakeOrdered + driver rank)
+    "huber_mean_irls",
+    "holt_winters_daily",
+    "binseg_changepoints",
+    "platt_scaling_irls",
+    "gmm2_em_fit",
+    "dtw_priority_series",
+    "ljung_box_hw_residuals",
+    "haar_energy_decomposition",
+    "raking_ipf",
+    "pacf_lags",
+    "bfs_hops_from_hub",
+    "event_trigram_mining",
+    "poisson_bootstrap_ci",
+    "zipf_fit",
+    "hill_tail_index",
+    "vocab_encode_stats",
+]
+
 R10_OPS = [
     "hybrid_bm25_ann_rerank",
     "dsir_importance_weights",
@@ -654,6 +677,7 @@ def main() -> None:
     r8 = base_vs_10x(R8_OPS)
     r9 = base_vs_10x(R9_OPS)
     r10 = base_vs_10x(R10_OPS)
+    r11 = base_vs_10x(R11_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -688,6 +712,7 @@ def main() -> None:
                 "round4_part910_ops_base_vs_10x": r4d,
                 "round5_ops_base_vs_10x": r5,
                 "round6_ops_base_vs_10x": r6,
+                "round11_ops_base_vs_10x": r11,
                 "round7_ops_base_vs_10x": r7,
                 "round7_late_ops_base_vs_10x": r7b,
                 "round8_ops_base_vs_10x": r8,
