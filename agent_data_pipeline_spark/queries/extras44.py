@@ -462,9 +462,13 @@ def _pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(x).alias("sx"),
             F.sum(y).alias("sy"),
-            F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
-            F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
-            F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+            # widen BEFORE multiplying: daily cents reach ~5e9 on the
+            # 10x stress corpus, so a long*long product overflows
+            # int64 under ANSI (the r4 overflow class, caught by the
+            # round-11 stress sweep); decimal x long multiplies exactly
+            F.sum(x.cast("decimal(38,0)") * y).alias("sxy"),
+            F.sum(x.cast("decimal(38,0)") * x).alias("sxx"),
+            F.sum(y.cast("decimal(38,0)") * y).alias("syy"),
         )
         .orderBy("lag"),
         _PACF_LAGS_N,
@@ -580,9 +584,9 @@ WITH daily AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx,
          CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS HUGEINT) AS sxy,
-         CAST(sum(x * x) AS HUGEINT) AS sxx,
-         CAST(sum(y * y) AS HUGEINT) AS syy
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
   FROM j GROUP BY lag
 ), acf AS (
   SELECT lag,
