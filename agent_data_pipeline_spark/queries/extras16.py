@@ -22,7 +22,7 @@ round at 3-4 to absorb partial-aggregation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llmdata import dedup
