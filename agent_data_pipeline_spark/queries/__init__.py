@@ -110,6 +110,7 @@ _NEVER_VERIFIED_FRONT = [
     "raking_ipf",
     "pacf_lags",
     "markov_attribution",
+    "mmr_diverse_topk",
     "bfs_hops_from_hub",
     "dsir_resample_census",
     "bm25_prf_topk",

@@ -1,6 +1,6 @@
-"""Round-7 second wave: three rows-only operators (iterative / decode
-algorithms SQL cannot express), each with a planted-truth or
-recall-floor quality test instead of a DuckDB oracle.
+"""Round-7 second wave: three operators originally declared rows-only
+(iterative / decode algorithms), each with a planted-truth or
+recall-floor quality test; round 11 oracle-converted the MMR entry.
 
 * ``pq_ann_topk`` — Product-Quantization ANN (llmdata/pq.py): the third
   ANN scale path beside SRP-LSH and IVF. 16 codebooks × 16 codes over
@@ -13,8 +13,9 @@ recall-floor quality test instead of a DuckDB oracle.
   (llmdata/similarity.mmr_topk): greedy λ·relevance − (1−λ)·redundancy
   selection over a 50-candidate pool per query. The pool is one
   brute-force partial-top-k corpus pass; the greedy quadratic work is
-  pool²-bounded inside applyInPandas per query. Planted-cluster
-  diversity floor in tests/test_similarity.py.
+  pool²-bounded inside applyInPandas per query. Oracled since round
+  11 (the greedy replays as a recursive CTE over the 6dp similarity
+  grid); planted-cluster diversity floor in tests/test_similarity.py.
 * ``image_dhash_neardup`` — perceptual-hash image dedup
   (llmdata/phash.py): dHash64 over REAL BMP payloads (stdlib codec) via
   one Arrow-batched kernel, then pigeonhole-blocked Hamming pairs —
@@ -68,6 +69,92 @@ def _image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MMR oracle (round 11). Everything the greedy loop compares lives on
+# the 6dp grid BEFORE any comparison: the pool relevances are the
+# engine's rounded cosines (the proven embedding_topk cross-engine
+# contract), the pairwise redundancy matrix is floor(cos*1e6+0.5)/1e6
+# on both sides (numpy normalize-then-matmul vs DuckDB
+# list_cosine_similarity differ ~1e-15, far inside the grid), and the
+# blended score re-floors to the same grid — so selection order and
+# scores are engine-identical. The recursion carries (max_sim,
+# picked_rank, mmr_score) per candidate and picks argmax(score desc,
+# id asc) per query per step, exactly numpy's first-max over
+# id-sorted candidates. Assumes non-zero embedding norms (guaranteed
+# by the fixture and audited by embedding_norm_audit — the kernel's
+# zero-norm fallback has no DuckDB analog).
+_MMR_LAM = 0.7
+_MMR_SQL = f"""
+WITH RECURSIVE sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])))
+               * 1000000 + 0.5) / 1000000 AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), pool AS (
+  SELECT query_id, neighbor_id, cosine_sim AS relevance
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id)
+              AS rn
+    FROM sims
+  ) WHERE rn <= 50
+), pairs AS (
+  SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+         floor((list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                       CAST(e2.embedding AS DOUBLE[])))
+               * 1000000 + 0.5) / 1000000 AS sim
+  FROM pool p1
+  JOIN pool p2 ON p2.query_id = p1.query_id
+  JOIN embeddings e1 ON e1.vec_id = p1.neighbor_id
+  JOIN embeddings e2 ON e2.vec_id = p2.neighbor_id
+), walk(query_id, cand, rel, max_sim, picked_rank, mmr_score, step) AS (
+  SELECT query_id, neighbor_id, relevance, CAST(NULL AS DOUBLE),
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(0 AS BIGINT)
+  FROM pool
+  UNION ALL
+  SELECT * FROM (
+    WITH chosen AS (
+      SELECT query_id, cand AS sel, score AS sel_score FROM (
+        SELECT query_id, cand,
+               floor(({_MMR_LAM!r} * rel
+                      - {1 - _MMR_LAM!r} * coalesce(max_sim, 0.0))
+                     * 1000000 + 0.5) / 1000000 AS score,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY floor(({_MMR_LAM!r} * rel
+                                 - {1 - _MMR_LAM!r}
+                                   * coalesce(max_sim, 0.0))
+                                * 1000000 + 0.5) / 1000000 DESC,
+                          cand) AS rn
+        FROM walk WHERE picked_rank IS NULL
+      ) WHERE rn = 1
+    )
+    SELECT c.query_id, c.cand, c.rel,
+           CASE WHEN ch.sel IS NULL THEN c.max_sim
+                WHEN c.max_sim IS NULL OR pr.sim > c.max_sim THEN pr.sim
+                ELSE c.max_sim END,
+           CASE WHEN c.cand = ch.sel THEN c.step + 1
+                ELSE c.picked_rank END,
+           CASE WHEN c.cand = ch.sel THEN ch.sel_score
+                ELSE c.mmr_score END,
+           c.step + 1
+    FROM walk c
+    LEFT JOIN chosen ch ON ch.query_id = c.query_id
+    LEFT JOIN pairs pr ON pr.query_id = c.query_id AND pr.a = c.cand
+                       AND pr.b = ch.sel
+    WHERE c.step < 10
+  )
+)
+SELECT query_id, cand AS neighbor_id, rel AS relevance,
+       mmr_score,
+       picked_rank AS mmr_rank
+FROM walk
+WHERE step = 10 AND picked_rank IS NOT NULL
+ORDER BY query_id, mmr_rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pq_ann_topk": QuerySpec(
         _pq_ann_topk,
@@ -77,9 +164,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mmr_diverse_topk": QuerySpec(
         _mmr_diverse_topk,
-        None,
-        "MMR diversified top-10 (rows-only: iterative greedy selection; "
-        "planted-cluster diversity floor in pytest)",
+        _MMR_SQL,
+        "MMR diversified top-10 (oracle since round 11: the greedy "
+        "selection replays as a 10-step recursive CTE over the 6dp "
+        "candidate/pair similarity grid; planted-cluster diversity "
+        "floor stays in pytest)",
     ),
     "image_dhash_neardup": QuerySpec(
         _image_dhash_neardup,
