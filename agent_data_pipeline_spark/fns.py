@@ -114,6 +114,35 @@ def bounded_collect(df, max_rows: int, why: str) -> list:
     return rows
 
 
+def assert_grid_headroom(
+    n: float, max_abs_term: float, what: str, grid_bits: int = 24
+) -> None:
+    """Loudly enforce the 2^-grid_bits term-grid exactness precondition
+    (ADVICE r11, the bounded_collect philosophy applied to arithmetic).
+
+    The Platt/GMM/IPF family's cross-engine bit-exactness rests on:
+    sums of exact multiples of 2^-24 are EXACT in IEEE double in ANY
+    summation order while the running total stays under
+    2^53 · 2^-24 = 2^29. The headroom was documented in SCALING.md but
+    nothing mechanically enforced it — a larger corpus would silently
+    turn exact-hash oracles flaky instead of failing loudly. This
+    assert makes the precondition a runtime contract: ``n`` terms each
+    bounded by ``max_abs_term`` keep every running sum under the safe
+    ceiling (with a 2x margin for partial-aggregation double counting
+    headroom across Spark's map-side combiners).
+    """
+    ceiling = float(2 ** (53 - grid_bits))
+    if n * max_abs_term * 2.0 >= ceiling:
+        raise ValueError(
+            f"grid-exactness headroom violated ({what}): "
+            f"n={n:.0f} terms x max|term|<={max_abs_term:.6g} exceeds "
+            f"the 2^{53 - grid_bits} exact-sum ceiling — the 2^-"
+            f"{grid_bits} term grid no longer guarantees order-free "
+            f"sums at this scale; re-derive the grid before trusting "
+            f"the exact-hash oracle"
+        )
+
+
 # --- tracked dim-grain persists (ADVICE r9: persist-leak hygiene) ----
 #
 # Several rank/rollup queries persist a small dim-grain aggregate so a

@@ -1,0 +1,89 @@
+"""Host-load capture for benchmark artifacts.
+
+Round-11 verdict item #1: BENCH_r*.json captured `cpus` but not host load,
+so round-over-round comparisons on this shared box were unfalsifiable — a
++15% swing could be co-tenant contention or a plan regression and nothing
+in the artifact could tell them apart. This module snapshots:
+
+- ``/proc/loadavg`` (1/5/15-min averages + runnable/total threads): the
+  load average is KERNEL-WIDE on a shared host, so it sees co-tenant work
+  even when that work is outside our PID namespace.
+- A count of busy (state R or D) processes VISIBLE in our namespace,
+  excluding this process and its descendants (the Spark JVM etc.).
+
+The pair is the attribution tool: high loadavg with ~zero visible busy
+co-tenant processes proves the contention is co-tenant (outside the
+namespace), not ours. Capture is best-effort — on a non-Linux host every
+field degrades to None rather than failing the bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _visible_busy_procs() -> int | None:
+    """Count R/D-state processes in our namespace, excluding this process
+    and its descendants (one pass over /proc building the ppid map)."""
+    try:
+        pids: list[int] = []
+        ppid: dict[int, int] = {}
+        state: dict[int, str] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            pid = int(entry)
+            try:
+                with open(f"/proc/{pid}/stat", "rb") as fh:
+                    raw = fh.read().decode("ascii", "replace")
+            except OSError:
+                continue  # raced with process exit
+            # fields after the last ')' are unambiguous even if comm has
+            # spaces/parens: " STATE PPID ..."
+            rest = raw.rsplit(")", 1)[-1].split()
+            if len(rest) < 2:
+                continue
+            pids.append(pid)
+            state[pid] = rest[0]
+            ppid[pid] = int(rest[1])
+        me = os.getpid()
+
+        def is_ours(pid: int, _depth: int = 0) -> bool:
+            while pid > 1 and _depth < 64:
+                if pid == me:
+                    return True
+                pid = ppid.get(pid, 0)
+                _depth += 1
+            return False
+
+        return sum(
+            1 for p in pids if state.get(p) in ("R", "D") and not is_ours(p)
+        )
+    except OSError:
+        return None
+
+
+def host_load() -> dict:
+    """One snapshot of host load, shaped for direct JSON embedding."""
+    out: dict = {
+        "load1": None,
+        "load5": None,
+        "load15": None,
+        "runnable": None,
+        "threads": None,
+        "visible_busy_procs": None,
+    }
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+        out["load1"], out["load5"], out["load15"] = (
+            float(parts[0]),
+            float(parts[1]),
+            float(parts[2]),
+        )
+        run, tot = parts[3].split("/")
+        out["runnable"], out["threads"] = int(run), int(tot)
+    except (OSError, ValueError, IndexError):
+        pass
+    out["visible_busy_procs"] = _visible_busy_procs()
+    return out

@@ -621,9 +621,11 @@ def mmr_topk(
 
     Determinism: candidate pool uses the (rounded sim desc, id) total
     order; inside the greedy loop scores round to 6 dp and ties break
-    by lowest neighbor_id. Iterative greedy selection is not
-    SQL-expressible ⇒ rows-only driver check; planted-diversity
-    quality floor in tests + QUALITY snapshot.
+    by lowest neighbor_id. Because every compared quantity lives on
+    the 6dp grid before comparison, the greedy selection replays
+    exactly as a k-step recursive CTE — `mmr_diverse_topk` is
+    hash-oracled against that replay (queries/extras36.py), plus a
+    planted-diversity quality floor in tests + QUALITY snapshot.
 
     Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank).
     """

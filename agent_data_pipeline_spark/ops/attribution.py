@@ -102,12 +102,19 @@ def removal_effects(counts: dict[tuple[str, str], int]) -> dict:
             continue
         p_wo = _solve_p_conv(_without_channel(counts, ch))
         removal[ch] = max(0.0, 1.0 - p_wo / p_full)
-    tot = sum(removal.values())
+    # Normalize over 6dp-snapped INTEGER micro-units, not raw doubles:
+    # a raw-double sum is order-dependent at the last ulp, and the SQL
+    # oracle's sum() carries no ordering guarantee — an integer sum is
+    # order-free on both engines, so the share is one bit-exact division
+    # (ADVICE r11). removal[ch] >= 0 by construction, so floor(x*1e6+.5)
+    # is exactly _r6's grid cell.
+    units = {ch: math.floor(removal[ch] * 1e6 + 0.5) for ch in channels}
+    tot_u = sum(units.values())
     share = {
-        ch: (removal[ch] / tot if tot > 0 else 0.0) for ch in channels
+        ch: (units[ch] / tot_u if tot_u > 0 else 0.0) for ch in channels
     }
     return {
         "p_conv": _r6(p_full),
-        "removal": {ch: _r6(v) for ch, v in removal.items()},
+        "removal": {ch: units[ch] / 1e6 for ch in channels},
         "share": {ch: _r6(v) for ch, v in share.items()},
     }

@@ -25,7 +25,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fns import bounded_collect, rnd  # noqa: F401  (re-exported for query modules)
+from ..fns import (  # noqa: F401  (re-exported for query modules)
+    assert_grid_headroom,
+    bounded_collect,
+    rnd,
+)
 
 
 @dataclass(frozen=True)

@@ -91,6 +91,14 @@ def _poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = sorted(
         (float(r["rep_mean"]), int(r["rep"])) for r in rep_rows
     )
+    if len(ordered) < 98:
+        # loud (ADVICE r11): fewer replicate means than the CI ranks
+        # need means the replicate generator itself is broken — an
+        # IndexError here would misattribute it to the driver pick
+        raise ValueError(
+            f"bootstrap CI needs {_BOOT_R} replicate means, "
+            f"got {len(ordered)}"
+        )
     base = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         rnd(F.avg("o_totalprice"), 6).alias("mean_value"),

@@ -45,7 +45,7 @@ from pyspark.sql.types import (
 )
 
 from ..fns import spread
-from .core import QuerySpec, bounded_collect, rnd, t
+from .core import QuerySpec, assert_grid_headroom, bounded_collect, rnd, t
 
 _KNUTH = 2654435761
 
@@ -246,12 +246,22 @@ def ipf_rake(
     2^53·2^-24) — the DuckDB recursive-CTE replay produces the
     identical scaling trajectory."""
     w = {k: 1.0 for k in cells}
+    from ..fns import assert_grid_headroom
+
     for _ in range(iters):
         for axis, targets in ((0, row_targets), (1, col_targets)):
             sums: dict[str, float] = {}
             for (lg, src), n in cells.items():
                 key = lg if axis == 0 else src
                 sums[key] = sums.get(key, 0.0) + _ipf_q(w[(lg, src)] * n)
+            # mechanical 2^-24 headroom contract (ADVICE r11): checked
+            # on the OBSERVED margin masses each sweep — the tightest
+            # possible bound, and it fails loudly the first sweep a
+            # larger corpus would de-exactify the grid sums
+            if sums:
+                assert_grid_headroom(
+                    1.0, max(sums.values()), "ipf margin mass sums"
+                )
             for (lg, src), n in cells.items():
                 key = lg if axis == 0 else src
                 if sums.get(key, 0.0) > 0 and key in targets:

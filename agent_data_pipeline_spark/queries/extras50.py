@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, assert_grid_headroom, rnd, t
 
 _GATE = 300
 
@@ -179,6 +179,8 @@ def _platt_scaling_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum("y").cast("long").alias("npos"),
+        F.max("x").alias("xmax"),
+        F.min("x").alias("xmin"),
     ).collect()[0]
     n_i, sx, sxx, npos = (
         int(mom["n"]), int(mom["sx"]), int(mom["sxx"]), int(mom["npos"])
@@ -188,6 +190,20 @@ def _platt_scaling_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(sxx) - float(sx) * float(sx) / float(n_i)
     ) / float(n_i - 1)
     sd = math.sqrt(var)
+    # mechanical 2^-24 headroom contract (ADVICE r11): the five Newton
+    # sufficient sums have |term| <= max(1, |z|max, 0.25*z^2max); the
+    # log-loss sum has |term| <= -ln(eps) ~ 27.64. Enforce both before
+    # fitting so a corpus that outgrows the exact-sum ceiling fails
+    # loudly instead of silently de-exactifying the oracle.
+    zmax = max(
+        abs(float(mom["xmax"]) - mu), abs(float(mom["xmin"]) - mu)
+    ) / sd
+    assert_grid_headroom(
+        float(n_i),
+        max(1.0, zmax, 0.25 * zmax * zmax),
+        "platt Newton gradient/Hessian sums",
+    )
+    assert_grid_headroom(float(n_i), 27.7, "platt log-loss sum")
     u = d.select(
         "y", ((F.col("x") - F.lit(mu)) / F.lit(sd)).alias("z")
     ).localCheckpoint()

@@ -233,7 +233,11 @@ WITH daily AS (
   SELECT CAST(0 AS BIGINT) AS b UNION ALL SELECT n FROM nn
 ){stages}, found AS (
   {found}
-  UNION ALL SELECT 1, i, gain, FALSE FROM acc1 WHERE NOT ok
+  UNION ALL SELECT 1, i, gain, FALSE FROM acc1
+  -- gain >= 0 mirrors the Python fallback: binseg(gain_frac=0.0) still
+  -- rejects a negative best gain, so a near-stationary series must
+  -- yield 0 rows on BOTH engines (ADVICE r11)
+  WHERE NOT ok AND gain >= 0
 )
 SELECT CAST(f.break_rank AS INT) AS break_rank,
        y.day_s AS day,

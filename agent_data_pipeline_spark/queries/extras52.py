@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, bounded_collect, rnd, t
+from .core import QuerySpec, assert_grid_headroom, bounded_collect, rnd, t
 
 
 def _wasserstein_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +317,14 @@ def _gmm2_em_hist(hist, mu1: float, mu2: float, sd: float,
     w2, s1, s2 = 0.5, sd, sd
     ll = None
     n = float(sum(c for _, c in hist))
+    # mechanical 2^-24 headroom contract (ADVICE r11): every grid term
+    # is c-weighted, so the running sums are bounded by n * per-unit
+    # bound; |r2*x^2| <= x^2max, |lse| <= x^2max/2 + O(log) terms
+    if hist:
+        xmax = max(abs(x) for x, _ in hist)
+        assert_grid_headroom(
+            n, max(1.0, xmax * xmax + 30.0), "gmm2 EM sufficient sums"
+        )
     for _ in range(iters):
         l1 = math.log(max(1 - w2, 1e-12)) - math.log(s1)
         l2 = math.log(max(w2, 1e-12)) - math.log(s2)

@@ -59,6 +59,13 @@ def _hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = bounded_collect(
         top, _HILL_K + 1, f"top-{_HILL_K + 1} order-value tail"
     )
+    if len(rows) <= _HILL_K:
+        # loud, like stream_dsir_gate's empty-model guard: the old
+        # distributed plan degraded silently here; an undersized input
+        # means the fixture contract is broken, not "alpha = whatever"
+        raise ValueError(
+            f"hill_tail_index needs > {_HILL_K} orders, got {len(rows)}"
+        )
     x_thr = float(rows[_HILL_K]["x"])
     inv_alpha = (
         sum(math.log(float(r["x"]) / x_thr) for r in rows[:_HILL_K])

@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from agent_data_pipeline_spark.fns import release_persists
+from agent_data_pipeline_spark.hostinfo import host_load
 from agent_data_pipeline_spark.queries import REGISTRY
 from agent_data_pipeline_spark.session import get_spark
 
@@ -80,6 +81,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # host-load snapshot BEFORE any Spark work: /proc/loadavg is kernel-wide
+    # on this shared box, so it records co-tenant contention the artifact
+    # previously couldn't prove (round-11 verdict item #1). A second
+    # snapshot lands after the timed passes.
+    load_start = host_load()
     spark = get_spark(app_name="agent_data_pipeline_spark-bench")
 
     # Warm up the JVM (codegen, parquet reader, Arrow) and prime file
@@ -108,6 +114,10 @@ def main() -> None:
     # plan+exec total (back-compat with earlier BENCH_r*.json).
     samples: dict[str, list[tuple[float, float]]] = {name: [] for name in HEADLINE}
     n_passes = 3
+    # per-pass load samples: a co-tenant burst in the middle of the run is
+    # invisible at the endpoints — sampling after each pass bounds when it
+    # happened (round-11 verdict item #1, falsifiable bench)
+    load_passes: list[dict] = []
     for p in range(n_passes):
         shift = (p * len(HEADLINE)) // n_passes
         order = HEADLINE[shift:] + HEADLINE[:shift]
@@ -118,6 +128,7 @@ def main() -> None:
             mid = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples[name].append((mid - start, time.perf_counter() - mid))
+        load_passes.append(host_load())
     # Release AFTER all passes, not between queries: cross-pass cache
     # reuse for the persisting queries (hypertable_rollup,
     # gapfill_interpolate) has been the measurement semantics since
@@ -125,6 +136,7 @@ def main() -> None:
     # methodology reasons, not plan reasons. End-of-run release still
     # caps session accumulation (ADVICE r9).
     release_persists()
+    load_end = host_load()
     timings = {
         name: round(min(pl + ex for pl, ex in ts), 3)
         for name, ts in samples.items()
@@ -165,6 +177,9 @@ def main() -> None:
                     "sf": sf,
                     "runs_per_query": n_passes,
                     "policy": "min_interleaved",
+                    "load_start": load_start,
+                    "load_end": load_end,
+                    "load_passes": load_passes,
                 },
                 fh,
                 indent=1,
@@ -173,6 +188,22 @@ def main() -> None:
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
 
+    # compact load form for the size-bounded stdout line:
+    # [load1, load5, load15, visible_busy_co_tenant_procs]
+    load_compact = {
+        "start": [
+            load_start["load1"],
+            load_start["load5"],
+            load_start["load15"],
+            load_start["visible_busy_procs"],
+        ],
+        "end": [
+            load_end["load1"],
+            load_end["load5"],
+            load_end["load15"],
+            load_end["visible_busy_procs"],
+        ],
+    }
     line = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -183,6 +214,7 @@ def main() -> None:
             "sf": sf,
             "runs_per_query": n_passes,
             "policy": "min_interleaved",
+            "load": load_compact,
             "queries": {k: round(v, 2) for k, v in timings.items()},
         },
         separators=(",", ":"),
@@ -198,6 +230,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": n_passes,
                 "policy": "min_interleaved",
+                "load": load_compact,
             },
             separators=(",", ":"),
         )

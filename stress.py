@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from agent_data_pipeline_spark.fns import release_persists
+from agent_data_pipeline_spark.hostinfo import host_load
 from agent_data_pipeline_spark.queries import REGISTRY
 from agent_data_pipeline_spark.session import get_spark
 from bench import HEADLINE
@@ -635,6 +636,9 @@ def _sweep(spark, names: list[str], sf_dir: str, n_passes: int = 2) -> dict[str,
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/spark_graft_stress10x")
+    # host-load snapshot before any Spark work (round-11 verdict item #1:
+    # make contention-vs-regression adjudicable from the artifact alone)
+    load_start = host_load()
     spark = get_spark(app_name="agent_data_pipeline_spark-stress")
 
     marker = os.path.join(dst, "_GENERATED")
@@ -724,6 +728,8 @@ def main() -> None:
                 "sf": "sf0.1 x10 key-remapped",
                 "runs_per_query": 2,
                 "policy": "min",
+                "load_start": load_start,
+                "load_end": host_load(),
             }
         )
     )
