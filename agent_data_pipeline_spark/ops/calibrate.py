@@ -15,9 +15,14 @@ exact weighted PAV over the bounded bin table inside ONE
 binned empirical rates — deterministic, and the per-bin pooling is the
 monotone-projection optimum for squared loss (PAV's guarantee).
 
-Iterative pooling is not SQL-expressible ⇒ rows-only registry check;
-the monotonicity + pool-mean invariants and a planted-recovery test
-live in tests/test_classify.py.
+The STACK form of the pooling is not SQL-expressible, but the isotonic
+fit has a minimax closed form (ŷ_i = max_{j≤i} min_{k≥i} of the run
+average, Ayer et al. 1955) that IS — and because IEEE rounding is
+monotone, min/max over the correctly-rounded run averages equals the
+correctly-rounded block rate the stack computes. The registry query is
+therefore hash-oracled since round 12 (queries/extras38.py
+_ISOTONIC_SQL); the monotonicity + pool-mean invariants and a
+planted-recovery test live in tests/test_classify.py.
 
 Reference parity: the reference has no model-calibration surface
 (SURVEY.md §2.A); north-star §2.B.

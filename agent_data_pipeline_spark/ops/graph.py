@@ -18,15 +18,29 @@ rides the same plan as the inflow groupBy, so an iteration costs zero
 extra driver-side actions (round 4 collected the scalar per iteration:
 8 extra job submissions per call; folded per the round-4 verdict).
 
-Determinism: fixed iteration count, fixed damping; float sums are
-shuffle-order dependent at the last ulp, so consumers round before
-comparing (the registry query rounds to 6dp).
+Determinism: fixed iteration count, fixed damping. Since round 12 the
+per-edge shares and per-iteration ranks snap to the binary 2^-40 grid
+(the Platt/GMM 2^-24 discipline, finer because rank mass is <= 1):
+sums of exact 2^-40 multiples whose running totals stay under
+2^53·2^-40 = 2^13 are EXACT in any summation order, so the whole power
+iteration is bit-identical across shuffle orders AND engines — the
+DuckDB oracle replays it as 6 unrolled join+agg stages. The snap moves
+values by <= ~1e-10 over a damped run, far beneath the 6dp output
+grain and the 1e-9 test tolerances.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# 2^40 snap grid for shares/ranks (see module docstring). Mass <= 1 so
+# scaled values stay far below 2^52 and the power-of-two scale is exact.
+PR_GRID = float(2**40)
+
+
+def _snap(col):
+    return F.floor(col * F.lit(PR_GRID) + F.lit(0.5)) / F.lit(PR_GRID)
 
 
 def pagerank(
@@ -76,7 +90,12 @@ def pagerank(
     # iterations, checkpoint once so each round replans from here
     flow_edges = e.join(out_deg, "src").localCheckpoint()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    import math
+
+    ranks = nodes.withColumn(
+        "rank",
+        F.lit(math.floor(1.0 / n_nodes * PR_GRID + 0.5) / PR_GRID),
+    )
     teleport = (1.0 - damping) / n_nodes
     for i in range(iters):
         # dangling nodes (no out-edges) leak their whole rank: aggregate
@@ -91,7 +110,9 @@ def pagerank(
         )
         inflow = (
             flow_edges.join(ranks, flow_edges["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("share"))
+            .select(
+                "dst", _snap(F.col("rank") / F.col("deg")).alias("share")
+            )
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )
@@ -100,7 +121,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (
+                _snap(
                     F.lit(teleport)
                     + F.lit(damping)
                     * (

@@ -18,8 +18,9 @@
 * ``isotonic_calibration`` — PAV isotonic calibration of the quality
   score against a binary label (n_chars >= 300, ~51% positive) on a 1000-bin grid
   (ops/calibrate.py): the monotone-projection optimum of the binned
-  empirical rates. Iterative pooling ⇒ rows-only; monotonicity,
-  pool-mean and planted-recovery invariants in tests/test_classify.py.
+  empirical rates. Oracled since round 12 via the minimax closed form
+  (see _ISOTONIC_SQL); monotonicity, pool-mean and planted-recovery
+  invariants in tests/test_classify.py.
 
 Reference parity: no statistics/calibration surface in the reference
 (SURVEY.md §2.A); declared north-star §2.B.
@@ -194,6 +195,87 @@ def _isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+# Oracle (round 12): PAV via its minimax characterization. The isotonic
+# fit has the closed form ŷ_i = max_{j≤i} min_{k≥i} avg(j,k) where
+# avg(j,k) = Σpos[j..k] / Σn[j..k] over the CONTIGUOUS run of non-empty
+# bins (Ayer et al. 1955; Robertson-Wright-Dykstra 1988, public
+# methods). Exactness across engines: the run sums are exact integers
+# (prefix-sum differences), each avg is ONE correctly-rounded double
+# division, and IEEE rounding is MONOTONE (x ≤ y ⇒ fl(x) ≤ fl(y)), so
+# min/max over the rounded doubles equals the rounded min/max of the
+# rationals — i.e. exactly fl(block rate), the same double the stack
+# PAV's final s/w division produces. Cost: the oracle is O(B²) pairs
+# with B ≤ 1000 bins (corpus-size-independent), windowed twice; the
+# ENGINE side keeps the O(B) stack PAV inside one bounded group.
+_ISOTONIC_SQL = """
+WITH s AS (
+  SELECT n_chars,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(lower(text), '\\s+') AS ltoks
+  FROM documents
+), c AS (
+  SELECT n_chars, n_chars_calc,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(ltoks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x)))
+           AS BIGINT) AS n_stop
+  FROM s
+), scored AS (
+  SELECT n_chars,
+         floor((0.4 * least(n_chars_calc / 200.0, 1.0)
+             + 0.3 * least(CASE WHEN n_tokens > 0
+                                THEN n_stop / CAST(n_tokens AS DOUBLE)
+                                ELSE 0.0 END * 4, 1.0)
+             + 0.3 * CASE WHEN n_tokens > 0
+                          THEN n_distinct_tokens / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+           AS quality_score
+  FROM c
+), binned AS (
+  SELECT greatest(CAST(0 AS BIGINT),
+                  least(CAST(floor(quality_score * 1000) AS BIGINT),
+                        CAST(999 AS BIGINT))) AS bin,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+  FROM scored
+), agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT)
+           AS n_pos
+  FROM binned GROUP BY bin
+), seq AS (
+  SELECT bin, n, n_pos,
+         row_number() OVER (ORDER BY bin) AS i,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cw,
+         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cs
+  FROM agg
+), pairs AS (
+  SELECT a.i AS j, b.i AS k,
+         CAST(b.cs - a.cs + a.n_pos AS DOUBLE)
+           / CAST(b.cw - a.cw + a.n AS DOUBLE) AS avgjk
+  FROM seq a JOIN seq b ON b.i >= a.i
+), suffmin AS (
+  SELECT j, k AS i,
+         min(avgjk) OVER (PARTITION BY j ORDER BY k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pairs
+), iso AS (
+  SELECT i,
+         max(m) OVER (PARTITION BY i ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS yhat,
+         row_number() OVER (PARTITION BY i ORDER BY j DESC) AS rn
+  FROM suffmin
+  WHERE j <= i
+)
+SELECT q.bin, q.n,
+       floor(CAST(q.n_pos AS DOUBLE) / CAST(q.n AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS pos_rate,
+       floor(o.yhat * 1000000 + 0.5) / 1000000 AS calibrated
+FROM seq q JOIN iso o ON o.i = q.i AND o.rn = 1
+ORDER BY q.bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "poisson_bootstrap_ci": QuerySpec(
         _poisson_bootstrap_ci,
@@ -208,8 +290,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "isotonic_calibration": QuerySpec(
         _isotonic_calibration,
-        None,
+        _ISOTONIC_SQL,
         "PAV isotonic calibration of quality score on a 1000-bin grid "
-        "(rows-only: iterative pooling; invariants in pytest)",
+        "(oracled r12: minimax closed form over bounded bin pairs; "
+        "monotone IEEE rounding makes min/max of rounded run-averages "
+        "bit-equal to the stack PAV's block rates)",
     ),
 }

@@ -39,7 +39,8 @@ autocorrelation.
   collapse) by synchronous peeling (Matula & Beck 1983;
   ops/graph.k_core): one degree aggregate + two anti-joins per
   round, localCheckpoint per round, rounds bounded by degeneracy
-  depth. Iterative fixpoint ⇒ rows-only;
+  depth. Oracled since round 12: the peel is integer/set-exact, so
+  nested recursive CTEs replay it bit-exactly (see _k_core_sql);
   exact-vs-pure-Python-reference and in-core-degree invariants in
   tests/test_graph.py.
 * ``pacf_lags`` — partial autocorrelation of daily revenue for lags
@@ -424,6 +425,100 @@ def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def _k_core_sql() -> str:
+    """Recursive-CTE replay of the synchronous peel (oracled r12, the
+    bfs_hops_from_hub precedent): all arithmetic is integer/set work,
+    so no rounding grid is needed — the only float is the degree
+    percentile, replayed with Spark's exact Percentile interpolation
+    ((hi-idx)*v_lo + (idx-lo)*v_hi) rather than quantile_cont, whose
+    formula DuckDB doesn't document as identical. Each peel seeds from
+    the previous core (the nesting optimization the engine uses); a
+    NULL-marker row carries the round counter through a full-collapse
+    round so `rounds` stays exact; the recursion self-terminates when
+    a round drops nothing. Empty seeds (early-exit nesting) naturally
+    yield (0 nodes, 0 edges, 0 rounds), matching the engine's
+    short-circuit rows."""
+
+    def peel(name: str, src: str, klabel: str) -> str:
+        return f""", {name} AS (
+  SELECT 0 AS rnd, lo, hi FROM {src}
+  UNION ALL
+  (WITH prev AS (SELECT * FROM {name}),
+        cur AS (SELECT lo, hi FROM prev WHERE lo IS NOT NULL),
+        dg AS (SELECT n, count(*) AS d
+               FROM (SELECT lo AS n FROM cur UNION ALL SELECT hi FROM cur)
+               GROUP BY n),
+        bad AS (SELECT n FROM dg
+                WHERE d < (SELECT k FROM ks WHERE label = '{klabel}')),
+        mrnd AS (SELECT max(rnd) AS m FROM prev)
+   SELECT m.m + 1, c.lo, c.hi
+   FROM cur c CROSS JOIN mrnd m
+   WHERE EXISTS (SELECT 1 FROM bad)
+     AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.n = c.lo)
+     AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.n = c.hi)
+   UNION ALL
+   SELECT m.m + 1, NULL, NULL FROM mrnd m
+   WHERE EXISTS (SELECT 1 FROM bad))
+), {name}_core AS (
+  SELECT lo, hi FROM {name}
+  WHERE lo IS NOT NULL
+    AND rnd = (SELECT max(rnd) FROM {name})
+), {name}_stats AS (
+  SELECT (SELECT CAST(coalesce(max(rnd), 0) AS INT) FROM {name})
+           AS rounds,
+         (SELECT CAST(count(*) AS BIGINT) FROM {name}_core) AS n_edges,
+         (SELECT CAST(count(DISTINCT n) AS BIGINT)
+          FROM (SELECT lo AS n FROM {name}_core
+                UNION ALL SELECT hi FROM {name}_core)) AS n_nodes
+)"""
+
+    return f"""
+WITH RECURSIVE op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS lo, b.p AS hi
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), deg0 AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
+  GROUP BY n
+), degs AS MATERIALIZED (
+  SELECT d, row_number() OVER (ORDER BY d) - 1 AS i FROM deg0
+), nd AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM deg0
+), ks AS MATERIALIZED (
+  SELECT x.label,
+         CAST(floor(CASE WHEN x.lo_i = x.hi_i THEN CAST(dlo.d AS DOUBLE)
+                    ELSE (x.hi_i - x.idx) * CAST(dlo.d AS DOUBLE)
+                         + (x.idx - x.lo_i) * CAST(dhi.d AS DOUBLE) END)
+              AS INT) + 1 AS k
+  FROM (
+    SELECT t.label, t.p * (nd.n - 1) AS idx,
+           CAST(floor(t.p * (nd.n - 1)) AS BIGINT) AS lo_i,
+           CAST(ceil(t.p * (nd.n - 1)) AS BIGINT) AS hi_i
+    FROM (VALUES ('p02', 0.02), ('p05', 0.05), ('p10', 0.10))
+      t(label, p)
+    CROSS JOIN nd
+  ) x
+  JOIN degs dlo ON dlo.i = x.lo_i
+  JOIN degs dhi ON dhi.i = x.hi_i
+){peel("peel1", "e0", "p02")}{peel("peel2", "peel1_core", "p05")}{
+    peel("peel3", "peel2_core", "p10")}
+SELECT 'p02' AS k_label, (SELECT k FROM ks WHERE label = 'p02') AS k,
+       s.n_nodes AS n_core_nodes, s.n_edges AS n_core_edges, s.rounds
+FROM peel1_stats s
+UNION ALL
+SELECT 'p05', (SELECT k FROM ks WHERE label = 'p05'),
+       s.n_nodes, s.n_edges, s.rounds
+FROM peel2_stats s
+UNION ALL
+SELECT 'p10', (SELECT k FROM ks WHERE label = 'p10'),
+       s.n_nodes, s.n_edges, s.rounds
+FROM peel3_stats s
+ORDER BY k
+"""
+
+
 # --------------------------------------------------------------------------
 # pacf_lags (oracled since round 11: Durbin-Levinson on exact moments)
 # --------------------------------------------------------------------------
@@ -640,9 +735,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "k_core_decomposition": QuerySpec(
         _k_core_decomposition,
-        None,
+        _k_core_sql(),
         "k-cores of the co-purchase graph at degree-quantile-adaptive "
-        "k by synchronous peeling (degree agg + anti-joins per round)",
+        "k by synchronous peeling (oracled r12: integer-exact peel "
+        "replayed by nested recursive CTEs; Spark-formula percentile)",
     ),
     "pacf_lags": QuerySpec(
         _pacf_lags,

@@ -273,9 +273,13 @@ FROM b GROUP BY lang, bucket
 def _pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier->customer trade graph (edges derived
     from lineitem x orders; supplier nodes offset by 10^6 to disjoint
-    the id spaces): top-20 authority scores. Iterative fixed-point =>
-    not SQL-expressible; rows-only driver check, exactness on a
-    hand-solved graph asserted in tests/test_graph.py."""
+    the id spaces): top-20 authority scores. Oracled since round 12:
+    ops/graph.pagerank snaps per-edge shares and per-iteration ranks to
+    the 2^-40 grid, making every float sum order-free and the whole
+    power iteration bit-identical across engines — the oracle unrolls
+    the 6 iterations as join+agg stages over the same distinct edge
+    list. Exactness on a hand-solved graph stays asserted in
+    tests/test_graph.py."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     edges = (
@@ -291,6 +295,59 @@ def _pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", rnd(F.col("rank"), 6).alias("rank"))
     )
+
+
+def _pagerank_sql(iters: int = 6) -> str:
+    """Unrolled power-iteration replay of ops/graph.pagerank: same
+    distinct edge list, same 2^-40 share/rank snaps, same update
+    expression op-for-op (teleport + d*(inflow + dangling/N)). Stage
+    count is fixed (6), each stage one join + one agg over the bounded
+    node/edge tables — oracle-side cost is iteration-count-linear."""
+    g = 2**40
+
+    def sn(e: str) -> str:
+        return f"floor(({e}) * {g} + 0.5) / {g}"
+
+    stages = ""
+    for k in range(1, iters + 1):
+        stages += f""", dang{k - 1} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm
+  FROM r{k - 1} r LEFT JOIN deg ON deg.src = r.node
+  WHERE deg.src IS NULL
+), infl{k - 1} AS (
+  SELECT e.dst, sum({sn("r.rank / deg.deg")}) AS inflow
+  FROM e JOIN deg ON deg.src = e.src JOIN r{k - 1} r ON r.node = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT n.node,
+         {sn("c.tele + 0.85 * (coalesce(i.inflow, 0.0) + g.dm / c.nd)")}
+           AS rank
+  FROM nodes n CROSS JOIN consts c CROSS JOIN dang{k - 1} g
+  LEFT JOIN infl{k - 1} i ON i.dst = n.node
+)"""
+
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+), consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         (1.0 - 0.85) / CAST(count(*) AS DOUBLE) AS tele
+  FROM nodes
+), r0 AS (
+  SELECT node, {sn("1.0 / c.nd")} AS rank
+  FROM nodes CROSS JOIN consts c
+){stages}, top AS (
+  SELECT node, rank FROM r{iters} ORDER BY rank DESC, node LIMIT 20
+)
+SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank
+FROM top
+ORDER BY rank DESC, node
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -316,6 +373,10 @@ QUERIES: dict[str, QuerySpec] = {
         "CCNet perplexity-tercile bucketing per language",
     ),
     "pagerank_entities": QuerySpec(
-        _pagerank_entities, None, "PageRank over derived trade graph (iterative)"
+        _pagerank_entities,
+        _pagerank_sql(),
+        "PageRank over derived trade graph (oracled r12: 2^-40 "
+        "share/rank grid makes the power iteration order-free; "
+        "6-stage unrolled SQL replay)",
     ),
 }
