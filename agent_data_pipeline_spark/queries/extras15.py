@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 
 # --------------------------------------------------------------------------
@@ -200,7 +200,14 @@ def _orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem→part) runs against a dimension with every 97th key
     withheld, so the audit demonstrably detects orphans rather than
     vacuously passing. Every parent side is dim-scale (broadcast); the
-    child side is scanned once per edge with only its key column."""
+    child side is scanned once per edge with only its key column.
+
+    Window/sort-free since round 12 (allowlist burn-down): the edge
+    census is STRUCTURALLY 6 rows (one per FK edge — a code constant,
+    not a data bound), so the final ordering happens driver-side over
+    the collected union instead of planning a global Sort; the
+    distributed work (6 anti-join counts in one unioned plan, one job)
+    is unchanged."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -233,7 +240,14 @@ def _orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = edges[0]
     for e in edges[1:]:
         out = out.unionAll(e)
-    return out.orderBy("edge")
+    rows = sorted(
+        bounded_collect(out, len(edges), "one row per audited FK edge"),
+        key=lambda r: r["edge"],
+    )
+    return spark.createDataFrame(
+        [(r["edge"], int(r["n_child"]), int(r["n_orphans"])) for r in rows],
+        "edge STRING, n_child BIGINT, n_orphans BIGINT",
+    )
 
 
 _ORPHAN_SQL = """

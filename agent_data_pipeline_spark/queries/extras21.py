@@ -194,7 +194,14 @@ GROUP BY source ORDER BY source
 def _share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI hierarchy shares: nation revenue as a share of its region and
     of the grand total (exact cents; shares are single divisions of
-    exact integers, rounded at 6). Dims broadcast; one fact rollup."""
+    exact integers, rounded at 6). Dims broadcast; one fact rollup.
+
+    Window-free since round 12 (allowlist burn-down): the region and
+    grand totals are ordinary aggregates of the 25-row nation-grain
+    rollup, broadcast back — same exact integer sums the partition-by
+    windows computed, without the Exchange SinglePartition the global
+    window forced. The oracle keeps its window form (DuckDB windows
+    are engine-local there; integer sums make them value-identical)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
@@ -213,19 +220,24 @@ def _share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    wr = Window.partitionBy("r_name")
-    wg = Window.partitionBy()
-    return rev.select(
-        "r_name",
-        "n_name",
-        "cents",
-        rnd(F.col("cents") / F.sum("cents").over(wr), 6).alias(
-            "share_of_region"
-        ),
-        rnd(F.col("cents") / F.sum("cents").over(wg), 6).alias(
-            "share_of_total"
-        ),
-    ).orderBy("r_name", "n_name")
+    reg = rev.groupBy("r_name").agg(F.sum("cents").alias("reg_cents"))
+    tot = rev.agg(F.sum("cents").alias("tot_cents"))
+    return (
+        rev.join(F.broadcast(reg), "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "cents",
+            rnd(F.col("cents") / F.col("reg_cents"), 6).alias(
+                "share_of_region"
+            ),
+            rnd(F.col("cents") / F.col("tot_cents"), 6).alias(
+                "share_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
 
 
 _SHARE_SQL = """

@@ -25,9 +25,10 @@ analyses a data platform runs around releases, all DuckDB-oracled.
   comparisons correction any metrics platform needs once it tests 25
   segments at once. The normal-tail p-value uses the Abramowitz &
   Stegun 7.1.26 erf polynomial — identical arithmetic on both engines
-  (|approx error| ≤ 1.5e-7, far above the 6-dp rounding grain). The
-  rank window runs over the 25-row nation grain (bounded; adjudicated
-  in PLAN_AUDIT.md).
+  (|approx error| ≤ 1.5e-7, far above the 6-dp rounding grain).
+  Window-free since round 12: the z/p stats stay distributed; the BH
+  step-up ranking runs driver-side over the collected 25-row nation
+  frame.
 
 Reference parity: the reference has no statistics surface at all
 (SURVEY.md §2.A); all four belong to the declared north-star §2.B
@@ -38,9 +39,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _CUPED_CUTOFF = "2024-01-16"
 
@@ -281,28 +282,32 @@ def _fdr_bh_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two-sided p from the ROUNDED z so the erf input is engine-identical
     p = rnd(_erfc_as(F.abs(F.col("z")) / F.lit(2.0**0.5)), 6)
-    ranked = zed.select("nation", "n", "z", p.alias("p")).withColumn(
-        "bh_rank",
-        F.row_number().over(W.orderBy(F.col("p").asc(), F.col("nation").asc())).cast("long"),
+    # Window-free since round 12 (allowlist burn-down; was a global
+    # row_number over the nation grain): the z/p statistics stay
+    # distributed (the fact-scale work); the BH step-up ranking runs
+    # driver-side over the collected 25-row nation frame — sort by the
+    # same (p, nation) key, same p <= rank*q/m comparison on the same
+    # 6dp-rounded doubles.
+    stat_rows = bounded_collect(
+        zed.select("nation", "n", "z", p.alias("p")),
+        1_000,
+        "nation grain (25 rows)",
     )
-    m = ranked.agg(F.count(F.lit(1)).alias("m"))
-    flagged = ranked.crossJoin(F.broadcast(m)).withColumn(
-        "passes", F.col("p") <= F.col("bh_rank") * _BH_Q / F.col("m")
+    ordered = sorted(
+        ((float(r["p"]), r["nation"], int(r["n"]), float(r["z"])) for r in stat_rows),
     )
-    kstar = flagged.agg(
-        F.max(F.when(F.col("passes"), F.col("bh_rank")).otherwise(0)).alias("kstar")
-    )
-    return (
-        flagged.crossJoin(F.broadcast(kstar))
-        .select(
-            "nation",
-            "n",
-            "z",
-            "p",
-            "bh_rank",
-            (F.col("bh_rank") <= F.col("kstar")).alias("rejected"),
-        )
-        .orderBy("bh_rank")
+    m = len(ordered)
+    kstar = 0
+    for i, (pv, _nat, _n, _z) in enumerate(ordered, start=1):
+        if pv <= i * _BH_Q / m:
+            kstar = i
+    return spark.createDataFrame(
+        [
+            (nat, n_i, z_v, pv, i, i <= kstar)
+            for i, (pv, nat, n_i, z_v) in enumerate(ordered, start=1)
+        ],
+        "nation STRING, n BIGINT, z DOUBLE, p DOUBLE, bh_rank BIGINT, "
+        "rejected BOOLEAN",
     )
 
 

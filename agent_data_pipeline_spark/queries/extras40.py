@@ -48,12 +48,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..llmdata import textstats
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _KNUTH = 2654435761
 
 
 def _mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free since round 12 (allowlist burn-down; was a global
+    cumulative-count window over the value grain): ONE distributed
+    hash aggregate collapses the facts to the bounded l_quantity
+    value grain (integer domain, ≤ ~50 rows at any fact scale); the
+    tie-averaged ranks and sufficient sums run driver-side over the
+    collected grain. Exactness: every rank term is a multiple of 0.5
+    with running sums far below 2^52, so the driver-side sums are
+    bit-equal to the window form's in any order; the z expression
+    mirrors the oracle op-for-op."""
+    import math
+
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "N")
     )
@@ -65,57 +76,37 @@ def _mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n2_v"),
     )
-    wnd = (
-        W.orderBy("l_quantity")
-        .rowsBetween(W.unboundedPreceding, -1)
+    rows = bounded_collect(
+        grain.orderBy("l_quantity"),
+        600,
+        "l_quantity value grain (integer domain 1..50)",
     )
-    ranked = grain.withColumn("cnt", F.col("n1_v") + F.col("n2_v")).withColumn(
-        "cum_before", F.coalesce(F.sum("cnt").over(wnd), F.lit(0))
+    n1 = n2 = tie_t = 0
+    cum = 0
+    r1 = 0.0
+    for r in rows:
+        a, b = int(r["n1_v"]), int(r["n2_v"])
+        cnt = a + b
+        avg_rank = cum + (cnt + 1) / 2.0
+        r1 += a * avg_rank
+        tie_t += cnt * cnt * cnt - cnt
+        n1 += a
+        n2 += b
+        cum += cnt
+    u = r1 - n1 * (n1 + 1) / 2.0
+    auc = u / (n1 * n2)
+    z = (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / math.sqrt(
+        n1 * n2 / 12.0
+        * ((n1 + n2 + 1) - tie_t / ((n1 + n2) * (n1 + n2 - 1.0)))
     )
-    # tie-averaged rank of every row sharing this value
-    ranked = ranked.withColumn(
-        "avg_rank", F.col("cum_before") + (F.col("cnt") + 1) / 2.0
-    )
-    agg = ranked.agg(
-        F.sum("n1_v").cast("long").alias("n1"),
-        F.sum("n2_v").cast("long").alias("n2"),
-        F.sum(F.col("n1_v") * F.col("avg_rank")).alias("r1"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
-            "tie_t"
-        ),
-    )
-    return agg.select(
-        "n1",
-        "n2",
-        rnd(F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0, 2).alias(
-            "u_stat"
-        ),
-        rnd(
-            (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0)
-            / (F.col("n1") * F.col("n2")),
-            6,
-        ).alias("auc"),
-        rnd(
-            (
-                F.col("r1")
-                - F.col("n1") * (F.col("n1") + 1) / 2.0
-                - F.col("n1") * F.col("n2") / 2.0
-            )
-            / F.sqrt(
-                F.col("n1")
-                * F.col("n2")
-                / 12.0
-                * (
-                    (F.col("n1") + F.col("n2") + 1)
-                    - F.col("tie_t")
-                    / (
-                        (F.col("n1") + F.col("n2"))
-                        * (F.col("n1") + F.col("n2") - 1.0)
-                    )
-                )
-            ),
-            6,
-        ).alias("z_score"),
+
+    def fl(x: float, s: float) -> float:
+        return math.floor(x * s + 0.5) / s
+
+    return spark.createDataFrame(
+        [(n1, n2, fl(u, 100), fl(auc, 1e6), fl(z, 1e6))],
+        "n1 BIGINT, n2 BIGINT, u_stat DOUBLE, auc DOUBLE, "
+        "z_score DOUBLE",
     )
 
 

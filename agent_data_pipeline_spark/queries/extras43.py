@@ -20,9 +20,9 @@ string-similarity record linkage.
 * ``kruskal_wallis_h`` — Kruskal–Wallis H (1952) across the 20
   document sources on ``n_chars``, with the tie-correction factor
   C = 1 − Σ(t³−t)/(N³−N). Ranks come from the VALUE-grain cumulative
-  histogram (the `mann_whitney_u` pattern): the only global window
-  runs over distinct ``n_chars`` values (domain-bounded, ~10³), never
-  corpus rows; per-source rank sums are a value-grain equi-join away.
+  histogram (the `mann_whitney_u` pattern); window-free since round
+  12: one distributed aggregate to the (source × n_chars) grain
+  (domain-bounded, ≤ ~6×550 rows), ranks and H driver-side.
 * ``cramers_v_assoc`` — χ² association between ``lang`` and
   ``source`` with Cramér's V and the Bergsma (2013) bias-corrected
   V. The expected-count grid is a full marginal cross join (|langs| ×
@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 
 # --------------------------------------------------------------------------
@@ -238,49 +238,60 @@ FROM z
 # --------------------------------------------------------------------------
 
 def _kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free since round 12 (allowlist burn-down; was a global
+    cumulative window over the n_chars value grain): ONE distributed
+    aggregate collapses facts to the (source × n_chars) grain (≤ ~6 ×
+    550 rows at any fact scale — the quantile_normalize class); the
+    tie-averaged ranks and H statistic run driver-side. Exactness:
+    rank terms are 0.5-grain multiples and tie terms integer-valued
+    doubles with totals far below 2^53, so the driver sums are
+    bit-equal to the window form's; the remaining 6-term double sum
+    (rr) sits ~1e-14 relative from any engine order, 8 orders below
+    the 6dp output grain (the same argument that kept the window form
+    hash-green)."""
+    import math
+
     d = t(spark, sf_dir, "documents").select("source", "n_chars")
-    grain = d.groupBy("n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("tv")
+    per_sv_rows = bounded_collect(
+        d.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sv"))
+        .orderBy("source", "n_chars"),
+        20_000,
+        "source × n_chars value grain",
     )
-    wnd = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
-    ranks = grain.withColumn(
-        "avg_rank",
-        F.coalesce(F.sum("tv").over(wnd), F.lit(0)) + (F.col("tv") + 1) / 2.0,
-    )
-    per_sv = d.groupBy("source", "n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("c_sv")
-    )
-    rs = (
-        per_sv.join(ranks.select("n_chars", "avg_rank"), "n_chars")
-        .groupBy("source")
-        .agg(
-            F.sum("c_sv").cast("double").alias("n_s"),
-            F.sum(F.col("c_sv") * F.col("avg_rank")).alias("r_s"),
-        )
-    )
-    ties = grain.agg(
-        F.sum(
-            F.col("tv").cast("double") * F.col("tv") * F.col("tv")
-            - F.col("tv")
-        ).alias("tie_t")
-    )
-    agg = rs.agg(
-        F.sum("n_s").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(F.col("r_s") * F.col("r_s") / F.col("n_s")).alias("rr"),
-    ).crossJoin(F.broadcast(ties))
-    h = 12.0 / (F.col("n") * (F.col("n") + 1)) * F.col("rr") - 3 * (
-        F.col("n") + 1
-    )
-    cc = 1 - F.col("tie_t") / (
-        F.col("n") * F.col("n") * F.col("n") - F.col("n")
-    )
-    return agg.select(
-        F.col("n").cast("long").alias("n_total"),
-        F.col("k").alias("n_groups"),
-        rnd(h, 6).alias("h_stat"),
-        rnd(cc, 6).alias("tie_correction"),
-        rnd(h / cc, 6).alias("h_adjusted"),
+    # value grain: total count per n_chars (summed from the collected
+    # per-source cells — integer arithmetic, no second distributed pass)
+    tv: dict[int, int] = {}
+    for r in per_sv_rows:
+        v = int(r["n_chars"])
+        tv[v] = tv.get(v, 0) + int(r["c_sv"])
+    cum = 0
+    avg_rank: dict[int, float] = {}
+    tie_t = 0.0
+    for v in sorted(tv):
+        c = tv[v]
+        avg_rank[v] = cum + (c + 1) / 2.0
+        tie_t += float(c) * c * c - c
+        cum += c
+    n_s: dict[str, int] = {}
+    r_s: dict[str, float] = {}
+    for r in per_sv_rows:
+        s, v, c = r["source"], int(r["n_chars"]), int(r["c_sv"])
+        n_s[s] = n_s.get(s, 0) + c
+        r_s[s] = r_s.get(s, 0.0) + c * avg_rank[v]
+    n = float(sum(n_s.values()))
+    k = len(n_s)
+    rr = sum(r_s[s] * r_s[s] / float(n_s[s]) for s in sorted(n_s))
+    h = 12.0 / (n * (n + 1)) * rr - 3 * (n + 1)
+    cc = 1 - tie_t / (n * n * n - n)
+
+    def fl(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return spark.createDataFrame(
+        [(int(n), k, fl(h), fl(cc), fl(h / cc))],
+        "n_total BIGINT, n_groups BIGINT, h_stat DOUBLE, "
+        "tie_correction DOUBLE, h_adjusted DOUBLE",
     )
 
 

@@ -530,6 +530,22 @@ R11_OPS = [
     "vocab_encode_stats",
 ]
 
+R12_OPS = [
+    # round-12 oracle conversions (isotonic/k-core Spark plans
+    # unchanged; pagerank gains per-iteration 2^-40 snaps) + the five
+    # window-free allowlist burn-downs (driver-side rank/BH/census
+    # over bounded collected grains) + the markov share rework
+    "isotonic_calibration",
+    "pagerank_entities",
+    "k_core_decomposition",
+    "orphan_audit",
+    "share_of_parent",
+    "mann_whitney_u",
+    "kruskal_wallis_h",
+    "fdr_bh_tests",
+    "markov_attribution",
+]
+
 R10_OPS = [
     "hybrid_bm25_ann_rerank",
     "dsir_importance_weights",
@@ -682,6 +698,7 @@ def main() -> None:
     r9 = base_vs_10x(R9_OPS)
     r10 = base_vs_10x(R10_OPS)
     r11 = base_vs_10x(R11_OPS)
+    r12 = base_vs_10x(R12_OPS)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -717,6 +734,7 @@ def main() -> None:
                 "round5_ops_base_vs_10x": r5,
                 "round6_ops_base_vs_10x": r6,
                 "round11_ops_base_vs_10x": r11,
+                "round12_ops_base_vs_10x": r12,
                 "round7_ops_base_vs_10x": r7,
                 "round7_late_ops_base_vs_10x": r7b,
                 "round8_ops_base_vs_10x": r8,

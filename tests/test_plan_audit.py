@@ -29,7 +29,6 @@ SF = "/root/testdata/sf0.01"
 ALLOWED: dict[str, set[str]] = {
     "concurrency_peaks": {"global_window", "single_part_sort"},
     "cosine_neardup_pairs": {"bnlj_non_cross"},
-    "fdr_bh_tests": {"global_window", "single_part_sort"},
     "gini_lorenz_approx": {"global_window", "single_part_sort"},
     "kmeans_clusters": {"global_window", "single_part_sort"},
     "ks_drift_test": {"global_window", "single_part_sort"},
@@ -38,14 +37,10 @@ ALLOWED: dict[str, set[str]] = {
     "granger_daily": {"global_window", "single_part_sort"},
     "randomized_response_freq": {"global_window", "single_part_sort"},
     "wasserstein_sources": {"global_window", "single_part_sort"},
-    "kruskal_wallis_h": {"global_window", "single_part_sort"},
-    "mann_whitney_u": {"global_window", "single_part_sort"},
     "quantile_normalize_scores": {"global_window", "single_part_sort"},
     "conformal_intervals": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
-    "orphan_audit": {"single_part_sort"},
     "pareto_revenue": {"global_window", "single_part_sort"},
-    "share_of_parent": {"single_part_sort"},
     "udf_kit": {"row_python_udf"},
     "udtf_first_words": {"row_python_udf"},
 }
