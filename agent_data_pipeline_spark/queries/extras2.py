@@ -166,11 +166,19 @@ def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = KMeans(k=8, seed=42, maxIter=10).fit(vecs)
     pred = model.transform(vecs)
     sizes = pred.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_vecs"))
-    from pyspark.sql import Window
+    # window-free since round 12 (allowlist burn-down; was a global
+    # rank window): the size table is k=8 rows by construction — rank
+    # driver-side over the collected frame
+    from ..fns import bounded_collect
 
-    w = Window.orderBy(F.col("n_vecs").desc(), F.col("prediction"))
-    return sizes.select(
-        F.row_number().over(w).alias("size_rank"), F.col("n_vecs").cast("long").alias("n_vecs")
+    ranked = sorted(
+        ((int(r["n_vecs"]), int(r["prediction"])) for r in
+         bounded_collect(sizes, 8, "k=8 cluster-size rows")),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return spark.createDataFrame(
+        [(i + 1, n) for i, (n, _pred) in enumerate(ranked)],
+        "size_rank INT, n_vecs BIGINT",
     )
 
 

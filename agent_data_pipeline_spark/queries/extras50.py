@@ -333,8 +333,24 @@ def _randomized_response_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("lang").alias("true_lang")
     )
     langs = d.select(F.col("true_lang").alias("noise_lang")).distinct()
+    # window-free since round 12 (allowlist burn-down; was a global
+    # row_number over the distinct-language table): the language domain
+    # is bounded, so the replacement ranks are enumerated driver-side
+    # over the collected distinct table and shipped back as a literal
+    # broadcast frame (the vocab_encode_stats pattern) — same
+    # alphabetical order, same rk values, oracle unchanged.
+    from ..fns import bounded_collect
+
+    lang_sorted = sorted(
+        r["noise_lang"]
+        for r in bounded_collect(langs, 10_000, "distinct language domain")
+    )
+    k_val = float(len(lang_sorted))
+    ordered = spark.createDataFrame(
+        [(lang, i) for i, lang in enumerate(lang_sorted)],
+        "noise_lang STRING, rk LONG",
+    )
     k = F.col("k_langs")
-    kcnt = langs.agg(F.count(F.lit(1)).cast("double").alias("k_langs"))
     # deterministic md5 uniforms: u1 decides truth-vs-noise, u2 picks
     # the replacement rank among the alphabetically ordered languages
     u1 = (
@@ -347,12 +363,8 @@ def _randomized_response_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    ordered = langs.select(
-        "noise_lang",
-        (F.row_number().over(W.orderBy("noise_lang")) - 1).alias("rk"),
-    )
     with_noise = (
-        d.crossJoin(F.broadcast(kcnt))
+        d.withColumn("k_langs", F.lit(k_val))
         .withColumn("keep", u1 < _RR_P)
         .withColumn("pick_rk", pick % k.cast("long"))
     )

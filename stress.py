@@ -544,6 +544,8 @@ R12_OPS = [
     "kruskal_wallis_h",
     "fdr_bh_tests",
     "markov_attribution",
+    "kmeans_clusters",
+    "randomized_response_freq",
 ]
 
 R10_OPS = [
