@@ -171,42 +171,48 @@ def _gini_lorenz_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("decile_cents"),
     )
-    tot = deciles.agg(
-        F.sum("n_customers").alias("n"), F.sum("decile_cents").alias("total_cents")
-    )
-    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        deciles.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n_customers",
-            "decile_cents",
-            (F.sum("n_customers").over(wd) / F.col("n")).alias("cum_pop"),
-            (F.sum("decile_cents").over(wd) / F.col("total_cents")).alias(
-                "cum_share_raw"
-            ),
+    # Window-free since round 12 (allowlist burn-down; was cumulative +
+    # lag windows over the ≤10-row decile frame): the Lorenz curve and
+    # trapezoidal Gini run driver-side over the collected decile table
+    # — integer counts/cents, so the cumulative sums are exact and the
+    # shares are single divisions, as the windows computed them.
+    import math
+
+    from ..fns import bounded_collect
+
+    rows = sorted(
+        (
+            (int(r["decile"]), int(r["n_customers"]), int(r["decile_cents"]))
+            for r in bounded_collect(deciles, 10, "10-row decile frame")
         )
     )
-    wl = Window.orderBy("decile")
-    trapezoid = (
-        F.col("cum_pop") - F.coalesce(F.lag("cum_pop").over(wl), F.lit(0.0))
-    ) * (
-        F.col("cum_share_raw")
-        + F.coalesce(F.lag("cum_share_raw").over(wl), F.lit(0.0))
-    )
-    gini_tbl = curve.withColumn("trap", trapezoid).agg(
-        (F.lit(1.0) - F.sum("trap")).alias("gini_raw")
-    )
-    return (
-        curve.crossJoin(F.broadcast(gini_tbl))
-        .select(
-            "decile",
-            "n_customers",
-            "decile_cents",
-            rnd(F.col("cum_share_raw"), 6).alias("cum_share"),
-            rnd(F.col("gini_raw"), 6).alias("gini"),
-        )
-        .orderBy("decile")
+    n = sum(r[1] for r in rows)
+    total_cents = sum(r[2] for r in rows)
+    out = []
+    cpop = csh = 0
+    prev_pop = prev_share = 0.0
+    trap_sum = 0.0
+    curve = []
+    for dec, nc, cents in rows:
+        cpop += nc
+        csh += cents
+        cum_pop = cpop / n
+        cum_share = csh / total_cents
+        trap_sum += (cum_pop - prev_pop) * (cum_share + prev_share)
+        prev_pop, prev_share = cum_pop, cum_share
+        curve.append((dec, nc, cents, cum_share))
+    gini = 1.0 - trap_sum
+
+    def fl6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    out = [
+        (dec, nc, cents, fl6(cs), fl6(gini)) for dec, nc, cents, cs in curve
+    ]
+    return spark.createDataFrame(
+        out,
+        "decile BIGINT, n_customers BIGINT, decile_cents BIGINT, "
+        "cum_share DOUBLE, gini DOUBLE",
     )
 
 

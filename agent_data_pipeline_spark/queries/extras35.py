@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 # three fixed odd 31-bit multipliers (Knuth-style); the token hash is
 # the first 8 md5 hex digits as an unsigned 32-bit int — portable to
@@ -157,34 +157,37 @@ def _ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_a").cast("long")).alias("na"),
         F.sum((~F.col("is_a")).cast("long")).alias("nb"),
     )
-    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = hist.select(
-        "bin",
-        F.sum("na").over(w).alias("ca"),
-        F.sum("nb").over(w).alias("cb"),
+    # Window-free since round 12 (allowlist burn-down; was a global
+    # ECDF cumsum over the 1000-bin histogram): the histogram is a
+    # fixed-width bin spine (≤1000 rows at ANY corpus size), so the
+    # cumulative scan, sup-norm and critical value run driver-side.
+    # Exactness: cumulative counts are exact integers, each ECDF diff
+    # is two exact-int divisions, and max over doubles is order-free.
+    import math
+
+    rows = bounded_collect(
+        hist.orderBy("bin"), 1_000, "fixed 1000-bin score histogram"
     )
-    totals = hist.agg(
-        F.sum("na").cast("long").alias("n_a"), F.sum("nb").cast("long").alias("n_b")
-    )
-    d = (
-        cum.crossJoin(F.broadcast(totals))
-        .select(
-            "n_a",
-            "n_b",
-            F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")).alias(
-                "diff"
-            ),
-        )
-        .groupBy("n_a", "n_b")
-        .agg(rnd(F.max("diff"), 6).alias("ks_d"))
-    )
-    crit = 1.3581 * F.sqrt((F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b")))
-    return d.select(
-        "n_a",
-        "n_b",
-        "ks_d",
-        rnd(crit, 6).alias("crit_05"),
-        (F.col("ks_d") > rnd(crit, 6)).alias("drift_flag"),
+    n_a = sum(int(r["na"]) for r in rows)
+    n_b = sum(int(r["nb"]) for r in rows)
+    ca = cb = 0
+    d_max = 0.0
+    for r in rows:
+        ca += int(r["na"])
+        cb += int(r["nb"])
+        diff = abs(ca / n_a - cb / n_b)
+        if diff > d_max:
+            d_max = diff
+
+    def fl6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ks_d = fl6(d_max)
+    crit = fl6(1.3581 * math.sqrt((n_a + n_b) / (n_a * n_b)))
+    return spark.createDataFrame(
+        [(n_a, n_b, ks_d, crit, ks_d > crit)],
+        "n_a BIGINT, n_b BIGINT, ks_d DOUBLE, crit_05 DOUBLE, "
+        "drift_flag BOOLEAN",
     )
 
 

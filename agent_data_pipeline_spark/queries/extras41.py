@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 
 def _cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,29 +329,35 @@ def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_QN_GRID),
         ).alias("g"),
     )
-    pooled = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("cp"))
-    wp = W.orderBy("n_chars")
-    fullp = W.orderBy("n_chars").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    # Window-free pooled inverse-CDF since round 12 (allowlist
+    # burn-down; was a global cumsum over the pooled value grain): the
+    # pooled histogram is domain-bounded (≤ ~550 distinct n_chars
+    # values at any corpus size), so the grid-cell → value mapping is
+    # computed driver-side over the collected histogram and shipped
+    # back as a literal broadcast frame (it was broadcast-joined
+    # already). Same floor(cum·G/n) arithmetic — Python's int/int
+    # division is the same IEEE double as Spark's long/long.
+    import math
+
+    pooled_rows = bounded_collect(
+        d.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("cp"))
+        .orderBy("n_chars"),
+        20_000,
+        "pooled n_chars value grain",
     )
-    inv = pooled.select(
-        "n_chars",
-        F.coalesce(
-            F.sum("cp").over(wp.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-        ).alias("cumb"),
-        (F.coalesce(
-            F.sum("cp").over(wp.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-        ) + F.col("cp")).alias("cum"),
-        F.sum("cp").over(fullp).alias("n"),
-    ).select(
-        "n_chars",
-        (F.floor(F.col("cumb") * _QN_GRID / F.col("n")) + 1).alias("lo"),
-        F.floor(F.col("cum") * _QN_GRID / F.col("n")).alias("hi"),
-    ).filter(F.col("hi") >= F.col("lo"))
-    grid = inv.select(
-        F.explode(F.sequence("lo", "hi")).alias("g"),
-        F.col("n_chars").alias("qnorm"),
-    )
+    n_tot = sum(int(r["cp"]) for r in pooled_rows)
+    grid_rows: list[tuple[int, int]] = []
+    cumb = 0
+    for r in pooled_rows:
+        cp = int(r["cp"])
+        cum = cumb + cp
+        lo = math.floor(cumb * _QN_GRID / n_tot) + 1
+        hi = math.floor(cum * _QN_GRID / n_tot)
+        for g in range(lo, hi + 1):
+            grid_rows.append((g, int(r["n_chars"])))
+        cumb = cum
+    grid = spark.createDataFrame(grid_rows, "g LONG, qnorm BIGINT")
     return (
         d.join(src, ["source", "n_chars"])
         .join(F.broadcast(grid), "g")

@@ -51,11 +51,23 @@ from .core import QuerySpec, assert_grid_headroom, bounded_collect, rnd, t
 def _wasserstein_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("source", "n_chars")
     vals = d.select(F.col("n_chars").alias("v")).distinct()
-    # Δv spine: gap to the next distinct value (domain-bounded window)
-    spine = vals.withColumn(
-        "dv",
-        F.lead("v").over(W.orderBy("v")).cast("double") - F.col("v"),
-    ).filter(F.col("dv").isNotNull())
+    # Δv spine: gap to the next distinct value. Window-free since
+    # round 12 (allowlist burn-down; was a global lead window over the
+    # distinct-value table): the value grain is domain-bounded
+    # (≤ ~550 rows at any corpus size — the quantile_normalize class),
+    # so the spine is built driver-side over the collected distinct
+    # values and shipped back as a literal broadcast frame. dv stays
+    # integer-difference-exact cast to double, as the lead form was.
+    vs = sorted(
+        int(r["v"])
+        for r in bounded_collect(
+            vals, 20_000, "distinct n_chars value grain"
+        )
+    )
+    spine = spark.createDataFrame(
+        [(v, float(nxt - v)) for v, nxt in zip(vs, vs[1:])],
+        "v LONG, dv DOUBLE",
+    )
     pool = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("double").alias("cp")
     )

@@ -119,51 +119,57 @@ def _best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("c"),
         F.sum("y").alias("p"),
     )
-    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    cum = grain.select(
-        "v",
-        F.sum("c").over(wv).alias("nl"),
-        F.sum("p").over(wv).alias("pl"),
-    )
-    tot = grain.agg(
-        F.sum("c").alias("n"), F.sum("p").alias("pos")
-    )
-    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    # Window-free since round 12 (allowlist burn-down; was a global
+    # cumsum over the value grain): ONE distributed aggregate collapses
+    # the corpus to the bounded n_chars value grain (≤ ~550 rows — the
+    # quantile_normalize class); the cumulative split scan, entropy
+    # gains and 9dp-quantized argmax run driver-side. Exactness: counts
+    # are integer-valued doubles (cumsums exact), entropies use libm ln
+    # — the same library DuckDB's oracle calls (the JVM path this
+    # replaces already hash-matched through the 9dp pre-rank grain).
+    import math
 
-    def ent(p, n):
+    rows = bounded_collect(
+        grain.orderBy("v"), 20_000, "n_chars value grain"
+    )
+
+    def ent(p: float, n: float) -> float:
         q = p / n
         return -(
-            F.when(q > 0, q * F.log(q)).otherwise(0.0)
-            + F.when(q < 1, (1 - q) * F.log(1 - q)).otherwise(0.0)
+            (q * math.log(q) if q > 0 else 0.0)
+            + ((1 - q) * math.log(1 - q) if q < 1 else 0.0)
         )
 
-    nr = F.col("n") - F.col("nl")
-    pr = F.col("pos") - F.col("pl")
-    h0 = ent(F.col("pos"), F.col("n"))
-    hsplit = (F.col("nl") / F.col("n")) * ent(F.col("pl"), F.col("nl")) + (
-        nr / F.col("n")
-    ) * ent(pr, nr)
-    gain9 = F.floor((h0 - hsplit) * 1e9 + 0.5) / 1e9
-    scored = j.select(
-        "v",
-        "nl",
-        "pl",
-        gain9.alias("g9"),
-        (F.col("pl") / F.col("nl")).alias("left_rate"),
-        (pr / nr).alias("right_rate"),
-        F.col("n"),
-    )
-    return (
-        scored.orderBy(F.col("g9").desc(), F.col("v").asc())
-        .limit(1)
-        .select(
-            F.col("v").cast("long").alias("best_threshold"),
-            F.col("n").cast("long").alias("n_docs"),
-            F.col("nl").cast("long").alias("n_left"),
-            rnd("g9", 6).alias("info_gain_nats"),
-            rnd("left_rate", 6).alias("left_en_rate"),
-            rnd("right_rate", 6).alias("right_en_rate"),
+    n = float(sum(int(r["c"]) for r in rows))
+    pos = float(sum(int(r["p"]) for r in rows))
+    h0 = ent(pos, n)
+    best = None
+    nl = pl = 0.0
+    for r in rows:
+        nl += float(r["c"])
+        pl += float(r["p"])
+        if nl >= n:
+            continue
+        nr, pr = n - nl, pos - pl
+        hsplit = (nl / n) * ent(pl, nl) + (nr / n) * ent(pr, nr)
+        g9 = math.floor((h0 - hsplit) * 1e9 + 0.5) / 1e9
+        key = (-g9, int(r["v"]))
+        if best is None or key < best[0]:
+            best = (key, int(r["v"]), nl, pl, g9, pl / nl, pr / nr)
+    if best is None:
+        raise ValueError(
+            "best_split_stump needs >= 2 distinct n_chars values"
         )
+
+    def fl6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    _key, v_b, nl_b, pl_b, g9_b, lr, rr = best
+    return spark.createDataFrame(
+        [(v_b, int(n), int(nl_b), fl6(g9_b), fl6(lr), fl6(rr))],
+        "best_threshold BIGINT, n_docs BIGINT, n_left BIGINT, "
+        "info_gain_nats DOUBLE, left_en_rate DOUBLE, "
+        "right_en_rate DOUBLE",
     )
 
 

@@ -546,6 +546,11 @@ R12_OPS = [
     "markov_attribution",
     "kmeans_clusters",
     "randomized_response_freq",
+    "wasserstein_sources",
+    "best_split_stump",
+    "ks_drift_test",
+    "quantile_normalize_scores",
+    "gini_lorenz_approx",
 ]
 
 R10_OPS = [

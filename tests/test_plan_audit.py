@@ -29,13 +29,8 @@ SF = "/root/testdata/sf0.01"
 ALLOWED: dict[str, set[str]] = {
     "concurrency_peaks": {"global_window", "single_part_sort"},
     "cosine_neardup_pairs": {"bnlj_non_cross"},
-    "gini_lorenz_approx": {"global_window", "single_part_sort"},
-    "ks_drift_test": {"global_window", "single_part_sort"},
-    "best_split_stump": {"global_window", "single_part_sort"},
     "forecast_skill_mase": {"global_window", "single_part_sort"},
     "granger_daily": {"global_window", "single_part_sort"},
-    "wasserstein_sources": {"global_window", "single_part_sort"},
-    "quantile_normalize_scores": {"global_window", "single_part_sort"},
     "conformal_intervals": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
     "pareto_revenue": {"global_window", "single_part_sort"},

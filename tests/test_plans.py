@@ -938,16 +938,12 @@ def test_rfm_approx_no_window_at_all(spark):
 
 
 def test_gini_approx_windows_decile_grain_only(spark):
-    """The approx Lorenz/Gini sibling may window only over the ≤10-row
-    decile frame: every windowspec must reference the decile column,
-    never the raw per-customer cents rank."""
-    import re as _re
-
+    """The approx Lorenz/Gini sibling must plan NO window at all since
+    the round-12 rework (the Lorenz curve runs driver-side over the
+    collected ≤10-row decile frame) — and in particular never a raw
+    per-customer cents rank."""
     plan = plan_of(spark, "gini_lorenz_approx")
-    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, plan[:1200]
-    for s in specs:
-        assert "decile#" in s, s
+    assert "windowspecdefinition" not in plan, plan[:1200]
     assert "row_number" not in plan, plan[:1200]
     # note: a bare "ntile" substring check would false-positive on
     # "percentile_approx" — match the window function call form
