@@ -343,10 +343,12 @@ def _concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering ambiguity), then a running sum ordered by day gives the
     concurrent-interval count, and a per-year max finishes. Half-open
     intervals mean an interval ending on day d never overlaps one
-    starting on day d. All integers. The running sum is a global
-    ordered window over ~2·|days| collapsed rows — boundary-count
-    scale, not row scale (a year of daily data is <1k rows regardless
-    of input size)."""
+    starting on day d. All integers. Window-free since round 12
+    (allowlist burn-down): the collapsed boundary table is calendar-
+    bounded (~2·|days| rows — <1k per year regardless of input
+    size), so the running sum and per-year max run driver-side over
+    the collected boundaries; exact integer arithmetic, values
+    unchanged."""
     o = t(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     starts = o.select(d.alias("day"), F.lit(1).alias("delta"))
@@ -356,12 +358,23 @@ def _concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("delta").alias("net"))
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    running = net.withColumn("conc", F.sum("net").over(w))
-    return (
-        running.groupBy(F.year("day").cast("long").alias("y"))
-        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
-        .orderBy("y")
+    from ..fns import bounded_collect
+
+    rows = sorted(
+        (r["day"], int(r["net"]))
+        for r in bounded_collect(
+            net, 50_000, "calendar boundary grain (~2 rows per day)"
+        )
+    )
+    conc = 0
+    peaks: dict[int, int] = {}
+    for day, delta in rows:
+        conc += delta
+        y = day.year
+        if y not in peaks or conc > peaks[y]:
+            peaks[y] = conc
+    return spark.createDataFrame(
+        sorted(peaks.items()), "y LONG, peak_concurrency BIGINT"
     )
 
 

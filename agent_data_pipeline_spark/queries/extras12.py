@@ -130,23 +130,40 @@ def _pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bagg = bucketed.groupBy("b").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("s")
     )
-    wb = Window.orderBy(F.col("b").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    # Window-free since round 12 (allowlist burn-down; was a global
+    # bucket-desc cumulative): the bucket histogram is value-domain
+    # bounded (≤ max customer revenue / $1000 rows at any fact scale),
+    # so the top-down cumulative and the 80% crossing search run
+    # driver-side over the collected histogram — the same exact
+    # integer cum*10 vs total*8 comparisons, zero float boundaries.
+    from ..fns import bounded_collect
+
+    tot_row = tot.collect()[0]
+    total_i = int(tot_row["total"])
+    brows = sorted(
+        (
+            (int(r["b"]), int(r["cnt"]), int(r["s"]))
+            for r in bounded_collect(
+                bagg, 200_000, "revenue-bucket value grain ($1000 wide)"
+            )
+        ),
+        key=lambda x: -x[0],
     )
-    cum = bagg.withColumn(
-        "cum_cnt_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
-    ).withColumn(
-        "cum_s_before", F.coalesce(F.sum("s").over(wb), F.lit(0))
-    )
-    crossing = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(
-            (F.col("cum_s_before") * 10 < F.col("total") * 8)
-            & (F.col("total") * 8 <= (F.col("cum_s_before") + F.col("s")) * 10)
+    cum_cnt = cum_s = 0
+    b_star = None
+    for b, cnt, s_ in brows:
+        if cum_s * 10 < total_i * 8 <= (cum_s + s_) * 10:
+            b_star = (b, cum_cnt, cum_s)
+            break
+        cum_cnt += cnt
+        cum_s += s_
+    if b_star is None:
+        raise ValueError(
+            "pareto crossing bucket not found — empty revenue table?"
         )
-        .select(
-            F.col("b").alias("b_star"), "cum_cnt_before", "cum_s_before"
-        )
+    crossing = spark.createDataFrame(
+        [b_star],
+        "b_star LONG, cum_cnt_before LONG, cum_s_before LONG",
     )
     w_in = Window.partitionBy("b").orderBy(
         F.col("cents").desc(), F.col("cust")

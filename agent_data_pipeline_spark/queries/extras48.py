@@ -245,43 +245,64 @@ ORDER BY 1
 # --------------------------------------------------------------------------
 
 def _granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_series(spark, sf_dir)
-    wd = W.orderBy("day")
-    lagged = daily.select(
-        F.col("cents").alias("w"),
-        F.lag("cents").over(wd).alias("u"),
-        F.lag("n_orders").over(wd).alias("v"),
-    ).filter(F.col("u").isNotNull())
-    g = lagged.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
-        F.sum("w").alias("sw"),
-        F.sum(F.col("u") * F.col("u")).alias("suu"),
-        F.sum(F.col("v") * F.col("v")).alias("svv"),
-        F.sum(F.col("u") * F.col("v")).alias("suv"),
-        F.sum(F.col("u") * F.col("w")).alias("suw"),
-        F.sum(F.col("v") * F.col("w")).alias("svw"),
-        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    # Window-free since round 12 (allowlist burn-down; was a lag window
+    # over the single daily series): the series is calendar-bounded
+    # (~2,400 rows at ANY fact scale), so the lag-1 pairing and the ten
+    # sufficient sums run driver-side. The integer-cents inputs are
+    # exact; the u*u-class products exceed the 2^53 exact-sum range, so
+    # sums carry last-ulp order sensitivity exactly as the distributed
+    # form's did — the sequential Python sum matches the oracle's scan
+    # order at least as closely as Spark's partial-aggregate tree did
+    # (which already hash-matched through the 6dp output grain).
+    import math
+
+    daily_rows = sorted(
+        (r["day"], int(r["cents"]), int(r["n_orders"]))
+        for r in bounded_collect(
+            _daily_series(spark, sf_dir),
+            5_000,
+            "daily calendar grain (~2,400 days)",
+        )
     )
-    cuu = F.col("suu") - F.col("su") * F.col("su") / F.col("n")
-    cvv = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
-    cuv = F.col("suv") - F.col("su") * F.col("sv") / F.col("n")
-    cuw = F.col("suw") - F.col("su") * F.col("sw") / F.col("n")
-    cvw = F.col("svw") - F.col("sv") * F.col("sw") / F.col("n")
-    cww = F.col("sww") - F.col("sw") * F.col("sw") / F.col("n")
+    n = 0
+    su = sv = sw = suu = svv = suv = suw = svw = sww = 0.0
+    for i in range(1, len(daily_rows)):
+        w = float(daily_rows[i][1])
+        u = float(daily_rows[i - 1][1])
+        v = float(daily_rows[i - 1][2])
+        n += 1
+        su += u
+        sv += v
+        sw += w
+        suu += u * u
+        svv += v * v
+        suv += u * v
+        suw += u * w
+        svw += v * w
+        sww += w * w
+    nf = float(n)
+    cuu = suu - su * su / nf
+    cvv = svv - sv * sv / nf
+    cuv = suv - su * sv / nf
+    cuw = suw - su * sw / nf
+    cvw = svw - sv * sw / nf
+    cww = sww - sw * sw / nf
     det = cuu * cvv - cuv * cuv
     b = (cvv * cuw - cuv * cvw) / det
     c2 = (cuu * cvw - cuv * cuw) / det
     rss_f = cww - b * cuw - c2 * cvw
     rss_r = cww - cuw * cuw / cuu
-    fstat = (rss_r - rss_f) / (rss_f / (F.col("n") - 3))
-    return g.select(
-        F.col("n").cast("long").alias("n_days"),
-        rnd(b, 6).alias("beta_rev_lag"),
-        rnd(c2 / 100.0, 6).alias("beta_count_lag_dollars"),
-        rnd(fstat, 6).alias("f_stat"),
-        (F.col("n") - 3).cast("long").alias("df2"),
+    fstat = (rss_r - rss_f) / (rss_f / (nf - 3))
+
+    def fl6(x: float) -> float:
+        return (
+            math.floor(x * 1e6 + 0.5) / 1e6
+        )
+
+    return spark.createDataFrame(
+        [(n, fl6(b), fl6(c2 / 100.0), fl6(fstat), n - 3)],
+        "n_days BIGINT, beta_rev_lag DOUBLE, "
+        "beta_count_lag_dollars DOUBLE, f_stat DOUBLE, df2 BIGINT",
     )
 
 

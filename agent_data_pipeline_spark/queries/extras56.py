@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, bounded_collect, rnd, t
 
 _TEST_DAYS = 28
 
@@ -48,42 +48,56 @@ def _forecast_skill_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
-    wd = W.orderBy("day")
-    lagged = daily.select(
-        "day",
-        "y",
-        F.lag("y", 1).over(wd).alias("y1"),
-        F.lag("y", 7).over(wd).alias("y7"),
-        F.row_number().over(W.orderBy(F.col("day").desc())).alias("rk_desc"),
+    # Window-free since round 12 (allowlist burn-down; was lag/rank
+    # windows over the single daily series): the series is calendar-
+    # bounded (~2,400 rows at ANY fact scale), so the lags, holdout
+    # split and MAE sums run driver-side over the collected series.
+    # Exactness: y is integer cents (exact as double), every |y−yk|
+    # is an exact integer, and the MAEs are exact-int sums divided
+    # once — bit-equal to the window form's avg() in any order.
+    import math
+
+    rows = sorted(
+        (r["day"], int(r["y"]))
+        for r in bounded_collect(
+            daily, 5_000, "daily calendar grain (~2,400 days)"
+        )
     )
-    test = lagged.filter(
-        (F.col("rk_desc") <= _TEST_DAYS)
-        & F.col("y1").isNotNull()
-        & F.col("y7").isNotNull()
-    )
-    train = lagged.filter(
-        (F.col("rk_desc") > _TEST_DAYS) & F.col("y1").isNotNull()
-    )
-    scale = train.agg(
-        F.avg(F.abs(F.col("y") - F.col("y1"))).alias("scale"),
-        F.count(F.lit(1)).cast("long").alias("n_train"),
-    )
-    errs = test.agg(
-        F.count(F.lit(1)).cast("long").alias("n_test"),
-        F.avg(F.abs(F.col("y") - F.col("y1"))).alias("mae_naive"),
-        F.avg(F.abs(F.col("y") - F.col("y7"))).alias("mae_snaive"),
-    )
-    j = errs.crossJoin(F.broadcast(scale))
-    return j.select(
-        "n_train",
-        "n_test",
-        rnd(F.col("mae_naive") / 100.0, 2).alias("mae_naive_dollars"),
-        rnd(F.col("mae_snaive") / 100.0, 2).alias("mae_snaive_dollars"),
-        rnd(F.col("mae_naive") / F.col("scale"), 6).alias("mase_naive"),
-        rnd(F.col("mae_snaive") / F.col("scale"), 6).alias("mase_snaive"),
-        rnd(
-            1 - F.col("mae_snaive") / F.col("mae_naive"), 6
-        ).alias("snaive_skill_vs_naive"),
+    ys = [y for _d, y in rows]
+    n = len(ys)
+    test_lo = n - _TEST_DAYS  # rk_desc <= _TEST_DAYS  <=>  idx >= n-28
+    sum_tr = n_tr = 0
+    sum_na = sum_sn = n_te = 0
+    for i in range(n):
+        if i >= 1 and i < test_lo:
+            sum_tr += abs(ys[i] - ys[i - 1])
+            n_tr += 1
+        if i >= 7 and i >= test_lo:
+            sum_na += abs(ys[i] - ys[i - 1])
+            sum_sn += abs(ys[i] - ys[i - 7])
+            n_te += 1
+    scale = sum_tr / n_tr
+    mae_naive = sum_na / n_te
+    mae_snaive = sum_sn / n_te
+
+    def fl(x: float, s: float) -> float:
+        return math.floor(x * s + 0.5) / s
+
+    return spark.createDataFrame(
+        [
+            (
+                n_tr,
+                n_te,
+                fl(mae_naive / 100.0, 100),
+                fl(mae_snaive / 100.0, 100),
+                fl(mae_naive / scale, 1e6),
+                fl(mae_snaive / scale, 1e6),
+                fl(1 - mae_snaive / mae_naive, 1e6),
+            )
+        ],
+        "n_train BIGINT, n_test BIGINT, mae_naive_dollars DOUBLE, "
+        "mae_snaive_dollars DOUBLE, mase_naive DOUBLE, "
+        "mase_snaive DOUBLE, snaive_skill_vs_naive DOUBLE",
     )
 
 

@@ -551,6 +551,10 @@ R12_OPS = [
     "ks_drift_test",
     "quantile_normalize_scores",
     "gini_lorenz_approx",
+    "pareto_revenue",
+    "concurrency_peaks",
+    "forecast_skill_mase",
+    "granger_daily",
 ]
 
 R10_OPS = [

@@ -27,13 +27,9 @@ SF = "/root/testdata/sf0.01"
 # FEWER patterns than listed here (a fix is an improvement — tighten the
 # entry), but never more, and never a new query.
 ALLOWED: dict[str, set[str]] = {
-    "concurrency_peaks": {"global_window", "single_part_sort"},
     "cosine_neardup_pairs": {"bnlj_non_cross"},
-    "forecast_skill_mase": {"global_window", "single_part_sort"},
-    "granger_daily": {"global_window", "single_part_sort"},
     "conformal_intervals": {"global_window", "single_part_sort"},
     "ntile_quartiles": {"global_window", "single_part_sort"},
-    "pareto_revenue": {"global_window", "single_part_sort"},
     "udf_kit": {"row_python_udf"},
     "udtf_first_words": {"row_python_udf"},
 }
