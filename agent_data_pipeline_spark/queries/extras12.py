@@ -139,6 +139,10 @@ def _pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fns import bounded_collect
 
     tot_row = tot.collect()[0]
+    if tot_row["total"] is None:
+        raise ValueError(
+            "pareto_revenue needs a non-empty orders table"
+        )
     total_i = int(tot_row["total"])
     brows = sorted(
         (
