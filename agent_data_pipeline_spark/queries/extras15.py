@@ -194,20 +194,12 @@ LIMIT 10
 # --------------------------------------------------------------------------
 
 
-def _orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: for each foreign-key edge, count
-    child rows whose parent key is absent (anti-join). One edge
-    (lineitem→part) runs against a dimension with every 97th key
-    withheld, so the audit demonstrably detects orphans rather than
-    vacuously passing. Every parent side is dim-scale (broadcast); the
-    child side is scanned once per edge with only its key column.
-
-    Window/sort-free since round 12 (allowlist burn-down): the edge
-    census is STRUCTURALLY 6 rows (one per FK edge — a code constant,
-    not a data bound), so the final ordering happens driver-side over
-    the collected union instead of planning a global Sort; the
-    distributed work (6 anti-join counts in one unioned plan, one job)
-    is unchanged."""
+def orphan_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of the orphan audit: the 6 FK-edge anti-join
+    counts as one unioned plan (one job). Exposed so the plan test can
+    keep pinning the broadcast-anti shape after the round-12 rework
+    moved the final 6-row ordering driver-side (the returned query
+    frame is a LocalRelation and no longer carries the joins)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -240,8 +232,27 @@ def _orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = edges[0]
     for e in edges[1:]:
         out = out.unionAll(e)
+    return out
+
+
+def _orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for each foreign-key edge, count
+    child rows whose parent key is absent (anti-join). One edge
+    (lineitem→part) runs against a dimension with every 97th key
+    withheld, so the audit demonstrably detects orphans rather than
+    vacuously passing. Every parent side is dim-scale (broadcast); the
+    child side is scanned once per edge with only its key column.
+
+    Window/sort-free since round 12 (allowlist burn-down): the edge
+    census is STRUCTURALLY 6 rows (one per FK edge — a code constant,
+    not a data bound), so the final ordering happens driver-side over
+    the collected union instead of planning a global Sort; the
+    distributed work (orphan_edges_frame: 6 anti-join counts in one
+    unioned plan, one job — plan shape pinned in tests/test_plans.py)
+    is unchanged."""
+    out = orphan_edges_frame(spark, sf_dir)
     rows = sorted(
-        bounded_collect(out, len(edges), "one row per audited FK edge"),
+        bounded_collect(out, 6, "one row per audited FK edge"),
         key=lambda r: r["edge"],
     )
     return spark.createDataFrame(

@@ -570,8 +570,22 @@ def test_sequence_gaps_key_only_scan_one_window_each(spark):
 
 def test_orphan_audit_all_edges_broadcast_anti(spark):
     """Every FK edge checks via a broadcast anti-join on the dim side —
-    a sort-merge anti over a fact table is the at-scale regression."""
-    plan = plan_of(spark, "orphan_audit")
+    a sort-merge anti over a fact table is the at-scale regression.
+    Since the round-12 rework the registry query returns a driver-built
+    6-row LocalRelation, so the pin targets the exposed distributed
+    half (orphan_edges_frame) that the query collects from."""
+    from agent_data_pipeline_spark.queries.extras15 import (
+        orphan_edges_frame,
+    )
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = (
+        orphan_edges_frame(spark, SF)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
     assert _nodes(plan, "BroadcastHashJoin") >= 5, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:1200]
 
