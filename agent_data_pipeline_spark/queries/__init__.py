@@ -94,70 +94,41 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 24 front entries green, so as of round 7 every registry query has a
 # driver row; the round-7 front below leads with the new additions.
 _NEVER_VERIFIED_FRONT = [
-    # Round-11 rotation. Standing rule (round-8 verdict item 1):
-    # any query whose IMPLEMENTATION changed this round jumps the
-    # queue so the driver hard-checks the new code path the same
-    # round. Head: the six round-11 oracle conversions, the ADVICE
-    # hardening wave, and the five window-free allowlist reworks.
-    "huber_mean_irls",
-    "holt_winters_daily",
+    # Round-12 rotation. Standing rule (round-8 verdict item 1): any
+    # query whose IMPLEMENTATION or ORACLE changed this round jumps
+    # the queue so the driver hard-checks the new code path the same
+    # round. Head: the three round-12 oracle conversions, the ADVICE
+    # r11 hardening wave, and the sixteen window-free allowlist
+    # burn-downs. Backfill (round-10 verdict item 2, stalest-first):
+    # the continuation of the round-11 backfill order — entries whose
+    # most recent driver row is oldest, in the same relative order,
+    # minus everything CORRECTNESS_r11 re-greened.
+    "isotonic_calibration",
+    "pagerank_entities",
+    "k_core_decomposition",
+    "markov_attribution",
     "binseg_changepoints",
+    "hill_tail_index",
+    "poisson_bootstrap_ci",
     "platt_scaling_irls",
     "gmm2_em_fit",
-    "dtw_priority_series",
-    "ljung_box_hw_residuals",
-    "haar_energy_decomposition",
     "raking_ipf",
-    "pacf_lags",
-    "markov_attribution",
-    "mmr_diverse_topk",
-    "bfs_hops_from_hub",
-    "dsir_resample_census",
-    "bm25_prf_topk",
-    "stream_dsir_gate",
-    "hybrid_bm25_ann_rerank",
-    "bm25_multiquery_topk",
-    "event_trigram_mining",
-    "poisson_bootstrap_ci",
-    "zipf_fit",
-    "hill_tail_index",
-    "vocab_encode_stats",
-    # Backfill policy (round-10 verdict item 2, re-pointed this
-    # round): the remaining sample slots prefer the STALEST-
-    # verified entries — ordered by the round of each query's most
-    # recent driver row (recomputed from CORRECTNESS_r01..r10),
-    # oldest first, name-asc within a round. The driver samples the
-    # first N=50 registry entries, so each round re-greens the ~34
-    # oldest rows after the changed head; queries beyond this list
-    # follow in module order and rotate in as the tail drains.
-    # last driver-verified in round 1
-    "above_nation_avg",
-    "anti_join_idle",
-    "approx_stats",
-    "argmax_orders",
-    "bool_agg_kit",
-    "brand_revenue",
-    "cogrouped_customer_orders",
-    "count_distinct_by_flag",
-    "covar_regr_by_flag",
-    "cross_join_small",
-    "cube_orders",
-    "dedup_first_line",
-    "distinct_pairs",
-    "except_keys",
-    "freq_items_hh",
-    "full_outer_join",
-    "global_summary",
-    "grouped_zscore",
-    "grouping_sets",
-    "hll_sketch_users",
-    "intersect_keys",
-    "lag_lead_gaps",
-    "left_join_counts",
-    "listagg_nations",
-    "merge_upsert_orders",
-    "moment_bit_aggs",
-    "moving_avg",
+    "share_of_parent",
+    "orphan_audit",
+    "mann_whitney_u",
+    "kruskal_wallis_h",
+    "fdr_bh_tests",
+    "kmeans_clusters",
+    "randomized_response_freq",
+    "wasserstein_sources",
+    "best_split_stump",
+    "ks_drift_test",
+    "quantile_normalize_scores",
+    "gini_lorenz_approx",
+    "pareto_revenue",
+    "concurrency_peaks",
+    "forecast_skill_mase",
+    "granger_daily",
     "ntile_quartiles",
     "percentile_by_group",
     "pivot_status",
@@ -181,7 +152,6 @@ _NEVER_VERIFIED_FRONT = [
     "union_all_sources",
     "unpivot_metrics",
     "window_value_fns",
-    # last driver-verified in round 2
     "ann_ivf_topk",
     "ann_lsh_topk",
     "asof_purchases",
@@ -201,7 +171,6 @@ _NEVER_VERIFIED_FRONT = [
     "hash_split_summary",
     "jaccard_pairs",
     "jsonl_roundtrip",
-    "kmeans_clusters",
     "lang_quality_summary",
     "media_features",
     "minhash_lsh_pairs",
@@ -226,7 +195,6 @@ _NEVER_VERIFIED_FRONT = [
     "vector_centroids",
     "vocab_top20",
     "weighted_mix_summary",
-    # last driver-verified in round 3
     "arrow_udf_kit",
     "bucketed_join_agg",
     "csv_roundtrip",
@@ -251,7 +219,6 @@ _NEVER_VERIFIED_FRONT = [
     "tumbling_hourly",
     "variant_kit",
     "zorder_interleave",
-    # last driver-verified in round 4
     "approx_quantile_kit",
     "asof_nearest_clicks",
     "bigram_top_terms",
@@ -260,7 +227,6 @@ _NEVER_VERIFIED_FRONT = [
     "ccnet_quality_buckets",
     "chisq_lang_source",
     "compression_ratio_stats",
-    "concurrency_peaks",
     "copurchase_pairs",
     "counter_deltas",
     "dup_span_stats",
