@@ -425,7 +425,7 @@ def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
-def _k_core_sql() -> str:
+def _k_core_sql(edges_sql: str | None = None) -> str:
     """Recursive-CTE replay of the synchronous peel (oracled r12, the
     bfs_hops_from_hub precedent): all arithmetic is integer/set work,
     so no rounding grid is needed — the only float is the degree
@@ -472,13 +472,18 @@ def _k_core_sql() -> str:
                 UNION ALL SELECT hi FROM {name}_core)) AS n_nodes
 )"""
 
-    return f"""
-WITH RECURSIVE op AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-), e0 AS MATERIALIZED (
+    if edges_sql is None:
+        # default: the co-purchase graph (the registry oracle); tests
+        # override with arbitrary canonical (lo < hi) edge lists for
+        # the randomized cross-engine differential
+        edges_sql = """
   SELECT DISTINCT a.p AS lo, b.p AS hi
-  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-), deg0 AS MATERIALIZED (
+  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+    ON a.o = b.o AND a.p < b.p
+"""
+    return f"""
+WITH RECURSIVE e0 AS MATERIALIZED ({edges_sql}), deg0 AS MATERIALIZED (
   SELECT n, CAST(count(*) AS BIGINT) AS d
   FROM (SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
   GROUP BY n

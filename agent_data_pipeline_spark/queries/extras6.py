@@ -297,16 +297,27 @@ def _pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(iters: int = 6) -> str:
+def _pagerank_sql(iters: int = 6, edges_sql: str | None = None) -> str:
     """Unrolled power-iteration replay of ops/graph.pagerank: same
     distinct edge list, same 2^-40 share/rank snaps, same update
     expression op-for-op (teleport + d*(inflow + dangling/N)). Stage
     count is fixed (6), each stage one join + one agg over the bounded
-    node/edge tables — oracle-side cost is iteration-count-linear."""
+    node/edge tables — oracle-side cost is iteration-count-linear.
+
+    ``edges_sql`` overrides the edge source (must yield DISTINCT
+    (src, dst)) so the randomized cross-engine differential in
+    tests/test_round12_oracles.py can replay arbitrary graphs; the
+    registry oracle uses the trade-graph default."""
     g = 2**40
 
     def sn(e: str) -> str:
         return f"floor(({e}) * {g} + 0.5) / {g}"
+
+    if edges_sql is None:
+        edges_sql = """
+  SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
 
     stages = ""
     for k in range(1, iters + 1):
@@ -327,10 +338,7 @@ def _pagerank_sql(iters: int = 6) -> str:
 )"""
 
     return f"""
-WITH e AS (
-  SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), nodes AS (
+WITH e AS ({edges_sql}), nodes AS (
   SELECT src AS node FROM e UNION SELECT dst FROM e
 ), deg AS (
   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
