@@ -555,6 +555,8 @@ R12_OPS = [
     "concurrency_peaks",
     "forecast_skill_mase",
     "granger_daily",
+    "winnowing_fingerprints",
+    "unicode_nfc_audit",
 ]
 
 R10_OPS = [
