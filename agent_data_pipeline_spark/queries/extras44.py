@@ -353,7 +353,7 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
-# k_core_decomposition (rows-only: iterative fixpoint)
+# k_core_decomposition (oracle-converted r12: nested recursive-CTE peel)
 # --------------------------------------------------------------------------
 
 def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
