@@ -97,6 +97,17 @@ def pagerank(
         F.lit(math.floor(1.0 / n_nodes * PR_GRID + 0.5) / PR_GRID),
     )
     teleport = (1.0 - damping) / n_nodes
+    # The rank/degree/inflow frames are NODE-grain while flow_edges is
+    # EDGE-grain; with node-grain sides broadcast (exact decision —
+    # n_nodes is already counted), the edge list is scanned map-side
+    # and NEVER shuffled: the only per-iteration shuffle left is the
+    # map-combined groupBy(dst) partial aggregate, whose shuffle volume
+    # is dst-grain, not edge-grain. Without the hints every iteration
+    # re-shuffled the full edge list on src (checkpoint-backed frames
+    # report default size stats, so nothing auto-broadcast) — measured
+    # 3.44x wall at 10x data in STRESS_r12.
+    small = n_nodes <= _BROADCAST_NODE_CAP
+    out_deg_j = F.broadcast(out_deg) if small else out_deg
     for i in range(iters):
         # dangling nodes (no out-edges) leak their whole rank: aggregate
         # that mass lazily to a ONE-ROW frame and broadcast-cross-join it
@@ -105,19 +116,21 @@ def pagerank(
         # localCheckpoint every `checkpoint_every` rounds is the only
         # action; between checkpoints the iterations fuse into one job).
         dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            ranks.join(out_deg_j, ranks["node"] == out_deg_j["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
         )
+        ranks_j = F.broadcast(ranks) if small else ranks
         inflow = (
-            flow_edges.join(ranks, flow_edges["src"] == ranks["node"])
+            flow_edges.join(ranks_j, flow_edges["src"] == ranks_j["node"])
             .select(
                 "dst", _snap(F.col("rank") / F.col("deg")).alias("share")
             )
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
         )
+        inflow_j = F.broadcast(inflow) if small else inflow
         ranks = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            nodes.join(inflow_j, nodes["node"] == inflow_j["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -194,6 +207,15 @@ def triangle_count(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     )
 
 
+# Node-grain peel/survivor lists at or below this many rows ride
+# broadcast joins against the static edge list (a few MB of longs);
+# above it (a mass-collapse round on a billion-node graph) the join
+# falls back to a shuffle rather than OOMing the driver. The counts
+# that gate this are ones k_core computes anyway, so the decision is
+# exact, not estimated.
+_BROADCAST_NODE_CAP = 8_000_000
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -208,12 +230,34 @@ def k_core(
     is order-independent, so the result is deterministic regardless of
     partitioning.
 
-    Distributed shape (the PageRank envelope): one degree aggregate +
-    two anti-joins per round, ``localCheckpoint`` per round to keep
-    the plan linear; the number of rounds is bounded by the graph's
-    degeneracy ordering depth (single digits on co-occurrence graphs),
-    never by node count. Returns (surviving undirected edge list,
-    rounds run).
+    Distributed shape (delta-degree peel, round-13 rework): the edge
+    list is canonicalized and ``localCheckpoint``-ed ONCE and never
+    rewritten; per round the engine touches only NODE-GRAIN frames —
+    filter current degrees for the peel set, join the static edge list
+    to that (small, AQE-broadcastable) peel set to count each
+    survivor's lost neighbors, and subtract. The round-12 formulation
+    instead re-aggregated degrees from — and re-materialized — the
+    full EDGE list every round (one O(E) shuffle + one O(E)
+    checkpoint write per round), which measured 4.13x wall at 10x
+    data (STRESS_r12); moving the per-round shuffle + materialization
+    from edge grain to node grain is what removes that term. The
+    number of rounds is bounded by the graph's degeneracy ordering
+    depth (single digits on co-occurrence graphs), never by node
+    count, and is invariant to partitioning. Returns (surviving
+    undirected edge list, rounds run).
+
+    Equivalence to the edge-rewrite peel (what keeps the DuckDB
+    recursive-CTE oracle unchanged): a surviving node's in-subgraph
+    degree equals its initial degree minus one for each incident edge
+    whose OTHER endpoint was peeled — and each such edge is subtracted
+    exactly once, in the round its other endpoint dies. Nodes whose
+    degree hits 0 are dropped from the table in the same update
+    (``d > 0``) WITHOUT counting a peel round, exactly as they vanish
+    from an edge-derived degree table; ``d`` can never go negative
+    because every edge to a peeled neighbor is, by construction, still
+    counted in ``d``. The final core is the static edge list
+    semi-joined to surviving nodes on both endpoints (an edge dies iff
+    an endpoint dies).
 
     Edge list is canonicalized (lo < hi, deduplicated) first; degree
     counts each neighbor once.
@@ -227,25 +271,54 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    deg = (
+        e.select(F.col("lo").alias("n"))
+        .unionAll(e.select(F.col("hi").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
     rounds = 0
     for _ in range(max_iters):
-        deg = (
-            e.select(F.col("lo").alias("n"))
-            .unionAll(e.select(F.col("hi").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        # localCheckpoint the (small) peel list: it feeds one count and
-        # TWO anti-joins — un-materialized, the degree aggregate would
-        # recompute three times per round.
+        # localCheckpoint the (node-grain, usually tiny) peel list: it
+        # feeds one count, two equi-joins and one anti-join. The count
+        # we need anyway for the fixpoint test doubles as an EXACT
+        # broadcast decision: checkpoint-backed frames report default
+        # (huge) size stats, so without the hint every join against
+        # `bad` plans as a sort-merge join that shuffles the full edge
+        # list per round — the cost this rework exists to remove.
         bad = deg.filter(F.col("d") < k).select("n").localCheckpoint()
         n_bad = bad.count()
         if n_bad == 0:
             break
-        e = (
-            e.join(bad, e.lo == bad.n, "left_anti")
-            .join(bad, e.hi == bad.n, "left_anti")
+        bad_j = F.broadcast(bad) if n_bad <= _BROADCAST_NODE_CAP else bad
+        lost = (
+            e.join(bad_j, e.lo == bad.n, "inner")
+            .select(F.col("hi").alias("m"))
+            .unionAll(
+                e.join(bad_j, e.hi == bad.n, "inner")
+                .select(F.col("lo").alias("m"))
+            )
+            .groupBy("m")
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        deg = (
+            deg.join(bad_j, deg.n == bad.n, "left_anti")
+            .join(lost, deg.n == lost.m, "left")
+            .select(
+                deg.n, (deg.d - F.coalesce(F.col("lost"), F.lit(0))).alias("d")
+            )
+            .filter(F.col("d") > 0)
             .localCheckpoint()
         )
         rounds += 1
-    return e, rounds
+    n_alive = deg.count()
+    alive_lo = deg.select(F.col("n").alias("_alo"))
+    alive_hi = deg.select(F.col("n").alias("_ahi"))
+    if n_alive <= _BROADCAST_NODE_CAP:
+        alive_lo, alive_hi = F.broadcast(alive_lo), F.broadcast(alive_hi)
+    core = (
+        e.join(alive_lo, e.lo == F.col("_alo"), "left_semi")
+        .join(alive_hi, F.col("hi") == F.col("_ahi"), "left_semi")
+    )
+    return core, rounds

@@ -559,6 +559,17 @@ R12_OPS = [
     "unicode_nfc_audit",
 ]
 
+R13_OPS = [
+    # round-13 graph-op scale rework: k-core switched to the
+    # delta-degree peel (static edge list, node-grain per-round state,
+    # exact-count-gated broadcasts), pagerank's node-grain sides gained
+    # the same exact-count broadcast gate so the edge list never
+    # shuffles. STRESS_r12 ratios were 4.13 / 3.44; the rework targets
+    # <= ~2.5 for both.
+    "k_core_decomposition",
+    "pagerank_entities",
+]
+
 R10_OPS = [
     "hybrid_bm25_ann_rerank",
     "dsir_importance_weights",
@@ -621,6 +632,30 @@ def bloom_ab_probe(spark, sf_dir: str) -> dict:
         out["join_rows"] = plain["n"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
+def graph_round_probe(spark, src: str, dst: str) -> dict:
+    """Round-12 verdict item #1: pin how graph-op iteration counts grow
+    with scale. k_core_decomposition's own output carries a `rounds`
+    column per k-label, so the probe is one collect per scale. The 10x
+    corpus is key-remapped — 10 DISJOINT copies of the base co-purchase
+    graph with an identical degree distribution — so the percentile-
+    anchored k values and the peel-round counts must be IDENTICAL at
+    10x; any wall growth is therefore per-round cost, which the
+    delta-degree peel bounds at two static-edge-list scans plus
+    node-grain shuffles per round. pagerank's iteration count is
+    statically fixed by the query (6), recorded for completeness."""
+    out: dict = {"pagerank_iters_fixed": 6}
+    for label, d in (("base", src), ("x10", dst)):
+        rows = REGISTRY["k_core_decomposition"].spark(spark, d).collect()
+        out[label] = {
+            r["k_label"]: {"k": r["k"], "rounds": r["rounds"]} for r in rows
+        }
+    out["rounds_equal_at_10x"] = all(
+        out["base"][lbl]["rounds"] == out["x10"][lbl]["rounds"]
+        for lbl in out["base"]
+    )
     return out
 
 
@@ -712,6 +747,8 @@ def main() -> None:
     r10 = base_vs_10x(R10_OPS)
     r11 = base_vs_10x(R11_OPS)
     r12 = base_vs_10x(R12_OPS)
+    r13 = base_vs_10x(R13_OPS)
+    graph_rounds = graph_round_probe(spark, src, dst)
     pg_jobs = {
         "base": pagerank_job_probe(spark, src),
         "x10": pagerank_job_probe(spark, dst),
@@ -748,6 +785,8 @@ def main() -> None:
                 "round6_ops_base_vs_10x": r6,
                 "round11_ops_base_vs_10x": r11,
                 "round12_ops_base_vs_10x": r12,
+                "round13_ops_base_vs_10x": r13,
+                "graph_round_probe": graph_rounds,
                 "round7_ops_base_vs_10x": r7,
                 "round7_late_ops_base_vs_10x": r7b,
                 "round8_ops_base_vs_10x": r8,
