@@ -71,6 +71,7 @@ from . import (
     extras63,
     extras64,
     extras65,
+    extras66,
     llmdata_q,
     relational,
     scalars,
@@ -95,7 +96,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 24 front entries green, so as of round 7 every registry query has a
 # driver row; the round-7 front below leads with the new additions.
 _NEVER_VERIFIED_FRONT = [
-    # Round-12 late wave: brand-new queries lead (never driver-checked).
+    # Round-13 wave: brand-new queries lead (never driver-checked) —
+    # the incremental-dedup store + streaming near-dup gate (round-12
+    # verdict items #2/#3), then the two reworked graph ops so the
+    # driver hard-checks the delta-degree peel / broadcast-gated
+    # pagerank the same round they changed.
+    "incremental_dedup_census",
+    "stream_neardup_gate",
+    # Round-12 late wave (r12-verified; continue rotation below).
     "winnowing_fingerprints",
     "unicode_nfc_audit",
     # Round-12 rotation. Standing rule (round-8 verdict item 1): any
@@ -246,7 +254,7 @@ _NEVER_VERIFIED_FRONT = [
     "mad_outliers",
 ]
 _merged: dict[str, QuerySpec] = {}
-for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, extras61, extras62, extras63, extras64, extras65, temporal, llmdata_q, extras2, relational):
+for mod in (scalars, extras, extras3, extras4, extras5, extras6, extras7, extras8, extras9, extras10, extras11, extras12, extras13, extras14, extras15, extras16, extras17, extras18, extras19, extras20, extras21, extras22, extras23, extras24, extras25, extras26, extras27, extras28, extras29, extras30, extras31, extras32, extras33, extras34, extras35, extras36, extras37, extras38, extras39, extras40, extras41, extras42, extras43, extras44, extras45, extras46, extras47, extras48, extras49, extras50, extras51, extras52, extras53, extras54, extras55, extras56, extras57, extras58, extras59, extras60, extras61, extras62, extras63, extras64, extras65, extras66, temporal, llmdata_q, extras2, relational):
     overlap = _merged.keys() & mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")

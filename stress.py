@@ -568,6 +568,13 @@ R13_OPS = [
     # <= ~2.5 for both.
     "k_core_decomposition",
     "pagerank_entities",
+    # round-13 additions: the incremental store census (digest-grain
+    # joins + store IO — expect ~data ratio) and the streaming
+    # near-dup gate (stateless band hashing is map-side; the 10x
+    # corpus makes every doc a 10-way exact dup, so the flag-rate
+    # census is the duplicate-heavy worst case by construction).
+    "incremental_dedup_census",
+    "stream_neardup_gate",
 ]
 
 R10_OPS = [
