@@ -244,7 +244,9 @@ def k_core(
     number of rounds is bounded by the graph's degeneracy ordering
     depth (single digits on co-occurrence graphs), never by node
     count, and is invariant to partitioning. Returns (surviving
-    undirected edge list, rounds run).
+    undirected edge list, rounds run, surviving node count — every
+    alive node has degree > 0, so the count of the final degree table
+    IS the core's node count, saving callers a distinct-count job).
 
     Equivalence to the edge-rewrite peel (what keeps the DuckDB
     recursive-CTE oracle unchanged): a surviving node's in-subgraph
@@ -309,8 +311,15 @@ def k_core(
                 deg.n, (deg.d - F.coalesce(F.col("lost"), F.lit(0))).alias("d")
             )
             .filter(F.col("d") > 0)
-            .localCheckpoint()
         )
+        # Checkpoint the node-grain degree table every OTHER round:
+        # each round's `bad` checkpoint already materializes a filter
+        # over the current deg, and an un-checkpointed round adds only
+        # two node-grain joins to the lineage (bad and lost are
+        # checkpoint-backed), so alternating halves the per-round job
+        # count without any exponential-plan risk.
+        if rounds % 2 == 1:
+            deg = deg.localCheckpoint()
         rounds += 1
     n_alive = deg.count()
     alive_lo = deg.select(F.col("n").alias("_alo"))
@@ -321,4 +330,4 @@ def k_core(
         e.join(alive_lo, e.lo == F.col("_alo"), "left_semi")
         .join(alive_hi, F.col("hi") == F.col("_ahi"), "left_semi")
     )
-    return core, rounds
+    return core, rounds, n_alive

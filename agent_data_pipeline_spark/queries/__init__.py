@@ -108,6 +108,7 @@ _NEVER_VERIFIED_FRONT = [
     # every entry's driver-check age is r4 or newer.
     "incremental_dedup_census",
     "stream_neardup_gate",
+    "incremental_neardup_census",
     "pagerank_entities",
     "k_core_decomposition",
     "window_value_fns",

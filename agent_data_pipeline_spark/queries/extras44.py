@@ -401,15 +401,12 @@ def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1").alias("lo"), F.col("p2").alias("hi")
     )
     for label, k in sorted(ks, key=lambda x: x[1]):
-        core, rounds = k_core(frontier, k, a="lo", b="hi")
+        # n_nodes comes straight from the peel's final degree table
+        # (every alive node has in-core degree > 0), saving the
+        # distinct-endpoint count the round-12 version ran per peel.
+        core, rounds, n_nodes = k_core(frontier, k, a="lo", b="hi")
         stats = core.agg(F.count(F.lit(1)).alias("n_edges")).collect()[0]
         n_edges = int(stats["n_edges"])
-        n_nodes = (
-            core.select(F.col("lo").alias("n"))
-            .unionAll(core.select(F.col("hi").alias("n")))
-            .distinct()
-            .count()
-        )
         rows.append((label, k, n_nodes, n_edges, rounds))
         if n_edges == 0:
             # every higher k is empty too (nesting); record directly

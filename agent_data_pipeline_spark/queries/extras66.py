@@ -230,6 +230,69 @@ def _stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_neardup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental hygiene composition, batch mode: a new
+    crawl checked against BOTH persisted stores — the exact digest
+    store first (the cheap linear gate), then the MinHash band store
+    for survivors. Statuses: ``exact_dup_of_store`` (digest already
+    stored), ``neardup_of_store`` (digest new, but >= 1 band key
+    collides — a near-duplicate re-crawl), ``new`` (neither). The
+    batch plants all three deterministically: fresh pages, exact
+    re-crawls (same text, new id), near re-crawls (3-token edit
+    suffix). Census is status-grain: docs + distinct digests."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 3 != 0)
+
+    ep = inc.store_path(sf_dir, "nd_exact")
+    inc.write_store(inc.exact_fingerprint_store(prior), ep)
+    exact_store = inc.read_store(spark, ep)
+    bp = inc.store_path(sf_dir, "nd_bands")
+    inc.write_store(
+        inc.portable_band_keys(prior).select("band_key", "band").distinct(), bp
+    )
+    band_store = inc.read_store(spark, bp).withColumn("_bhit", F.lit(1))
+
+    fresh = docs.filter(F.col("doc_id") % 3 == 0)
+    exact_recrawl = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near_recrawl = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev3 minor update")).alias("text"),
+    )
+    batch = fresh.unionByName(exact_recrawl).unionByName(near_recrawl)
+
+    banded = inc.portable_band_keys(batch, keep_empty=True)
+    near_flag = (
+        banded.join(band_store, ["band", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("_bhit", F.lit(0))).alias("_near"))
+    )
+    fp = batch.select("doc_id", F.md5("text").alias("fingerprint"))
+    ex = exact_store.select(
+        F.col("fingerprint").alias("_sfp"), F.lit(1).alias("_ex")
+    )
+    labeled = (
+        fp.join(ex, fp["fingerprint"] == F.col("_sfp"), "left")
+        .join(near_flag, "doc_id")
+        .select(
+            "fingerprint",
+            F.when(F.col("_ex").isNotNull(), F.lit("exact_dup_of_store"))
+            .when(F.col("_near") == 1, F.lit("neardup_of_store"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+    return (
+        labeled.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_fps"),
+        )
+        .orderBy("status")
+    )
+
+
 def _minhash_sql_block(src: str, idc: str, out: str) -> str:
     """Shared SQL: per-doc 12 portable min-hashes -> 3 band-key rows.
     min() over the exploded gram rows == Spark's array_min over the
@@ -294,6 +357,40 @@ ORDER BY source
 """
 
 
+_INCREMENTAL_NEARDUP_SQL = f"""
+WITH ref AS (
+  SELECT doc_id, text AS textcol FROM documents WHERE doc_id % 3 <> 0
+), exact_store AS (
+  SELECT DISTINCT md5(textcol) AS sfp FROM ref
+), {_minhash_sql_block("ref", "doc_id", "ref")},
+ref_keys AS (
+  SELECT DISTINCT band, band_key FROM ref_bands
+), strm AS (
+  SELECT doc_id AS sid, text AS textcol FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' rev3 minor update' FROM documents
+  WHERE doc_id % 7 = 3
+), {_minhash_sql_block("strm", "sid", "s")},
+near AS (
+  SELECT DISTINCT s_bands.sid
+  FROM s_bands JOIN ref_keys USING (band, band_key)
+), labeled AS (
+  SELECT md5(t.textcol) AS fp,
+         CASE WHEN e.sfp IS NOT NULL THEN 'exact_dup_of_store'
+              WHEN n.sid IS NOT NULL THEN 'neardup_of_store'
+              ELSE 'new' END AS status
+  FROM strm t
+  LEFT JOIN exact_store e ON md5(t.textcol) = e.sfp
+  LEFT JOIN near n ON t.sid = n.sid
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_fps
+FROM labeled GROUP BY status ORDER BY status
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "incremental_dedup_census": QuerySpec(
         _incremental_dedup_census,
@@ -308,5 +405,12 @@ QUERIES: dict[str, QuerySpec] = {
         "Streaming banded-MinHash near-dup gate (md5-portable hashes): "
         "stream-static join against persisted reference band keys, "
         "per-source flag census after drain",
+    ),
+    "incremental_neardup_census": QuerySpec(
+        _incremental_neardup_census,
+        _INCREMENTAL_NEARDUP_SQL,
+        "Batch crawl vs BOTH persisted stores: exact digest gate "
+        "first, MinHash band store for survivors; "
+        "exact/neardup/new census",
     ),
 }

@@ -575,6 +575,7 @@ R13_OPS = [
     # census is the duplicate-heavy worst case by construction).
     "incremental_dedup_census",
     "stream_neardup_gate",
+    "incremental_neardup_census",
 ]
 
 R10_OPS = [

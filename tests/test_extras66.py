@@ -169,7 +169,12 @@ def test_gate_recall_floor_on_fixture(spark, sf_smoke):
 
 
 @pytest.mark.parametrize(
-    "name", ["incremental_dedup_census", "stream_neardup_gate"]
+    "name",
+    [
+        "incremental_dedup_census",
+        "stream_neardup_gate",
+        "incremental_neardup_census",
+    ],
 )
 def test_round13_queries_cross_scale_oracle(spark, sf_smoke, name):
     run_check(spark, name, REGISTRY[name], sf_smoke)

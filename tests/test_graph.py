@@ -122,7 +122,7 @@ def _reference_k_core(edges, k):
 
 def _core_edges(spark, edges, k):
     df = spark.createDataFrame(edges, "src long, dst long")
-    core, _rounds = k_core(df, k)
+    core, _rounds, _n_alive = k_core(df, k)
     return {(r["lo"], r["hi"]) for r in core.collect()}
 
 
