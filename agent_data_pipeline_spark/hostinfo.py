@@ -87,3 +87,55 @@ def host_load() -> dict:
         pass
     out["visible_busy_procs"] = _visible_busy_procs()
     return out
+
+
+def cpu_probe(reps: int = 7) -> dict:
+    """Absolute machine-speed calibration for bench artifacts.
+
+    Round-13 finding: in-container loadavg can read ~0 while the
+    headline runs ~30% slow — proven by re-running the PRIOR round's
+    exact tree under the same window and watching its headline inflate
+    identically. Probing separated the cause: single-core interpreter
+    speed was IDENTICAL across windows while multithreaded-BLAS wall
+    swung 27x minutes apart — i.e. hypervisor co-tenants steal PARALLEL
+    capacity (what a 32-thread Spark stage needs), not clock. The two
+    numbers attribute exactly that split:
+
+    - ``python_ms``: best-of-``reps`` for a fixed pure-Python loop —
+      single-core dispatch rate (frequency / steal on one core).
+      Stable python_ms + inflated headline ⇒ parallel-capacity theft.
+    - ``matmul_ms`` / ``matmul_max_ms``: best/worst-of-``reps`` for a
+      fixed 384x384 float64 matmul (numpy BLAS, multithreaded) —
+      effective multi-core throughput; a wide min..max spread within
+      one probe IS the co-tenant burstiness, recorded in-artifact.
+
+    Deterministic inputs (arange, not random) so the work is
+    bit-identical every round.
+    """
+    import time
+
+    out: dict = {"matmul_ms": None, "matmul_max_ms": None, "python_ms": None}
+    try:
+        import numpy as np
+
+        n = 384
+        a = (np.arange(n * n, dtype=np.float64) % 97).reshape(n, n) / 97.0
+        b = (np.arange(n * n, dtype=np.float64) % 89).reshape(n, n) / 89.0
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            (a @ b).sum()
+            ts.append(time.perf_counter() - t0)
+        out["matmul_ms"] = round(min(ts) * 1000, 3)
+        out["matmul_max_ms"] = round(max(ts) * 1000, 3)
+    except Exception:
+        pass
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(200_000):
+            s += i ^ (i >> 3)
+        best = min(best, time.perf_counter() - t0)
+    out["python_ms"] = round(best * 1000, 3)
+    return out

@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from agent_data_pipeline_spark.fns import release_persists
-from agent_data_pipeline_spark.hostinfo import host_load
+from agent_data_pipeline_spark.hostinfo import cpu_probe, host_load
 from agent_data_pipeline_spark.queries import REGISTRY
 from agent_data_pipeline_spark.session import get_spark
 
@@ -86,6 +86,9 @@ def main() -> None:
     # previously couldn't prove (round-11 verdict item #1). A second
     # snapshot lands after the timed passes.
     load_start = host_load()
+    # absolute single-core speed calibration (round-13: in-container
+    # loadavg can read ~0 while the HOST runs ~30% slow — this pins it)
+    cpu = cpu_probe()
     spark = get_spark(app_name="agent_data_pipeline_spark-bench")
 
     # Warm up the JVM (codegen, parquet reader, Arrow) and prime file
@@ -180,6 +183,7 @@ def main() -> None:
                     "load_start": load_start,
                     "load_end": load_end,
                     "load_passes": load_passes,
+                    "cpu_probe": cpu,
                 },
                 fh,
                 indent=1,
@@ -215,6 +219,7 @@ def main() -> None:
             "runs_per_query": n_passes,
             "policy": "min_interleaved",
             "load": load_compact,
+            "cpu": cpu,
             "queries": {k: round(v, 2) for k, v in timings.items()},
         },
         separators=(",", ":"),
@@ -231,6 +236,7 @@ def main() -> None:
                 "runs_per_query": n_passes,
                 "policy": "min_interleaved",
                 "load": load_compact,
+                "cpu": cpu,
             },
             separators=(",", ":"),
         )

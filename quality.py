@@ -484,6 +484,35 @@ def main() -> None:
         / 10,
         4,
     )
+
+    # Round-13 near-dup gate (md5-portable banded MinHash, 12/3x4):
+    # recall of the gate's planted re-crawls whose original IS in the
+    # reference band store (doc_id % 5 == 1 and % 3 != 0, 2-token edit
+    # suffix) — the quality number behind stream_neardup_gate /
+    # incremental_neardup_census; tests/test_extras66.py floors it at
+    # 0.90 on sf0.001.
+    from agent_data_pipeline_spark.llmdata import incremental as _inc
+
+    _alldocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _ref = _alldocs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    _refkeys = (
+        _inc.portable_band_keys(_ref).select("band", "band_key").distinct()
+    )
+    _planted = _alldocs.filter(
+        (F.col("doc_id") % 5 == 1) & (F.col("doc_id") % 3 != 0)
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev2 edit")).alias("text"),
+    )
+    _n_planted = _planted.count()
+    _n_flagged = (
+        _inc.portable_band_keys(_planted)
+        .join(_refkeys, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    out["neardup_gate_planted_recall"] = round(_n_flagged / _n_planted, 4)
     print(json.dumps(out))
 
 

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from agent_data_pipeline_spark.fns import release_persists
-from agent_data_pipeline_spark.hostinfo import host_load
+from agent_data_pipeline_spark.hostinfo import cpu_probe, host_load
 from agent_data_pipeline_spark.queries import REGISTRY
 from agent_data_pipeline_spark.session import get_spark
 from bench import HEADLINE
@@ -711,6 +711,7 @@ def main() -> None:
     # host-load snapshot before any Spark work (round-11 verdict item #1:
     # make contention-vs-regression adjudicable from the artifact alone)
     load_start = host_load()
+    cpu = cpu_probe()
     spark = get_spark(app_name="agent_data_pipeline_spark-stress")
 
     marker = os.path.join(dst, "_GENERATED")
@@ -808,6 +809,7 @@ def main() -> None:
                 "policy": "min",
                 "load_start": load_start,
                 "load_end": host_load(),
+                "cpu_probe": cpu,
             }
         )
     )
