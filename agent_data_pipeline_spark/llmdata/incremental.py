@@ -198,11 +198,17 @@ def portable_band_keys(
     Built entirely from array transforms (split -> shingle -> 12
     seeded min-hashes -> band keys), so it runs unchanged on a
     streaming DataFrame and replays exactly in SQL as min() over the
-    exploded gram rows. The gram array is materialized behind ONE
-    repartition (CollapseProject barrier + per-row-work spreader, the
-    dedup.shingles lesson); every downstream lambda then references
-    the materialized attribute, so the 12 hash passes each scan the
-    array once instead of re-tokenizing.
+    exploded gram rows. Two exchanges bracket the gram construction:
+    the input is SPREAD first (higher-order-function evaluation is
+    interpreted, and a one-split parquet source would otherwise build
+    every gram array single-threaded in the scan stage — measured 10x
+    the whole operator's parallel cost), then the gram array rides a
+    second repartition that acts as the CollapseProject barrier (the
+    dedup.shingles lesson), so every downstream hash lambda references
+    the materialized attribute instead of re-tokenizing. On a
+    well-split batch source the first exchange is a no-op (fns.spread);
+    the second carries ~2 KB gram arrays per doc — the price of the
+    barrier, linear in corpus size.
 
     Docs with fewer than ``shingle_n`` tokens have no shingles: with
     ``keep_empty=False`` they produce no rows (the store side); with
@@ -224,10 +230,16 @@ def portable_band_keys(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = df.withColumn("_grams", grams).repartition(
-        partitions
-        or df.sparkSession.sparkContext.defaultParallelism
+    n_parts = (
+        partitions or df.sparkSession.sparkContext.defaultParallelism
     )
+    if df.isStreaming:
+        base = df.repartition(n_parts)
+    else:
+        from ..fns import spread
+
+        base = spread(df, min_partitions=n_parts)
+    g = base.withColumn("_grams", grams).repartition(n_parts)
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -250,13 +262,23 @@ def portable_band_keys(
         "_bands",
         F.when(F.size("_grams") >= 1, band_structs),
     )
-    explode = F.posexplode_outer if keep_empty else F.posexplode
+    # ALWAYS the outer explode, even when empty docs are dropped:
+    # non-outer posexplode triggers InferFiltersFromGenerate, which
+    # infers `size(_bands) > 0` and pushes a filter containing the
+    # ENTIRE inlined band computation below the repartition exchange —
+    # re-running every hash single-threaded on the pre-shuffle input
+    # (measured 103 s vs 3 s on a one-file parquet source). The rule
+    # skips outer generates; dropping the NULL-band rows afterwards
+    # filters on the GENERATED attribute, which cannot be pushed below
+    # the Generate, so the barrier holds and semantics are identical.
     out = with_bands.select(
         *[c for c in df.columns],
-        explode("_bands").alias("_i", "_b"),
-    )
-    return out.select(
+        F.posexplode_outer("_bands").alias("_i", "_b"),
+    ).select(
         *[c for c in df.columns],
         F.col("_b.band").alias("band"),
         F.col("_b.band_key").alias("band_key"),
     )
+    if not keep_empty:
+        out = out.filter(F.col("band").isNotNull())
+    return out
