@@ -18,6 +18,12 @@ at-scale anti-patterns the round verdicts look for:
                         broadcast = O(n·m) predicate evaluation).
 * ``row_python_udf``  — BatchEvalPython (row-at-a-time Python UDF; the
                         one in udf_kit is deliberate surface parity).
+* ``hof_filter_recompute`` — a Filter whose condition embeds a
+                        lambdafunction: the InferFiltersFromGenerate
+                        pathology (round 13) where a non-outer Generate
+                        over a computed array drags the entire inlined
+                        array computation into a pushed-down filter,
+                        re-running it per row below the exchange.
 
 Output: ONE JSON line {query: [flags...]} for flagged queries plus a
 summary, and a markdown table on stderr for the round log. The audit is
@@ -79,6 +85,20 @@ def audit_plan(plan: str) -> list[str]:
             flags.append("bnlj_non_cross")
     if "BatchEvalPython" in plan:
         flags.append("row_python_udf")
+    # Filter re-evaluating a higher-order function: the round-13
+    # InferFiltersFromGenerate pathology — a non-outer Generate over a
+    # computed array infers `size(expr) > 0`, and filter pushdown can
+    # drag the ENTIRE inlined array computation below an exchange,
+    # re-running it (interpreted, possibly single-threaded) per row.
+    # Measured 103 s vs 3 s on the band-key operator. Any Filter whose
+    # condition embeds a lambdafunction is that class (registry-wide
+    # sweep at adoption: zero benign hits).
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Filter") and "lambdafunction" in block.split(
+            "Condition :"
+        )[-1].split("\n")[0]:
+            if "hof_filter_recompute" not in flags:
+                flags.append("hof_filter_recompute")
     return flags
 
 
