@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os as _os
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -23,6 +26,108 @@ def rnd(col: Column | str, n: int = 2) -> Column:
     return F.floor(col * p + F.lit(0.5)) / F.lit(p)
 
 
+# Logical nodes that preserve the scan's partitioning (narrow, 1:1 on
+# partitions). Anything else (Join/Aggregate/Window/Repartition/Union/
+# LogicalRDD from a checkpoint/...) falls back to the exact probe.
+_NARROW_NODES = frozenset(
+    {"Project", "Filter", "Relation", "SubqueryAlias", "View", "Generate", "LocalLimit"}
+)
+
+
+def _parse_byte_conf(s: str) -> int:
+    """Parse Spark byte-size conf strings ("128MB", "4194304b", "1g")."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            mult = m
+            s = s[: -len(suffix)]
+            break
+    return int(float(s) * mult)
+
+
+def _narrow_scan_splits(df) -> int | None:
+    """Partition count of a narrow-over-local-file-scan plan, computed
+    driver-side in Python by replaying Spark's FilePartition packing
+    formula over the scan's file sizes.
+
+    The exact probe (``df.rdd.getNumPartitions()``) costs a full
+    optimization + physical-planning pass of the (often wide, text-heavy)
+    plan — measured 0.1-0.3 s per call at the driver, and the plan is then
+    planned AGAIN when the real query runs. For the overwhelmingly common
+    spread() input — a parquet scan plus narrow ops — the partition count
+    is a pure function of (file sizes, session conf), so it can be
+    computed without touching the JVM planner: analysis-only plan-shape
+    check + ``inputFiles()`` + ``os.path.getsize``. Returns None whenever
+    the plan has any non-narrow node, a non-local file, or an empty file
+    list — the caller then falls back to the exact probe, so this is an
+    optimization with a correctness-preserving escape hatch.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    for line in plan.splitlines():
+        m = _re.match(r"^[\s:+|-]*([A-Za-z][A-Za-z0-9]*)", line)
+        if m and m.group(1) not in _NARROW_NODES:
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        if f.startswith("file:"):
+            p = "/" + f[len("file:"):].lstrip("/")
+        elif f.startswith("/"):
+            p = f
+        else:
+            return None  # non-local filesystem: fall back to exact probe
+        try:
+            sizes.append(_os.path.getsize(p))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    sc = df.sparkSession.sparkContext
+    try:
+        max_pb = _parse_byte_conf(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        open_cost = _parse_byte_conf(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+        min_pn_s = conf.get(
+            "spark.sql.files.minPartitionNum",
+            conf.get("spark.sql.leafNodeDefaultParallelism", None),
+        )
+    except Exception:
+        return None
+    min_pn = int(min_pn_s) if min_pn_s else sc.defaultParallelism
+    # FilePartition.maxSplitBytes + getFilePartitions, replayed exactly:
+    total = sum(sizes) + len(sizes) * open_cost
+    bytes_per_core = total / max(min_pn, 1)
+    max_split = int(min(float(max_pb), max(float(open_cost), bytes_per_core)))
+    max_split = max(max_split, 1)
+    splits: list[int] = []
+    for fsize in sizes:
+        off = 0
+        while off < fsize:
+            splits.append(min(max_split, fsize - off))
+            off += max_split
+    splits.sort(reverse=True)
+    n_parts, cur = 0, 0
+    for s in splits:
+        if cur + s > max_split and cur > 0:
+            n_parts += 1
+            cur = 0
+        cur += s + open_cost
+    if cur > 0:
+        n_parts += 1
+    return n_parts
+
+
 def spread(df, min_partitions: int | None = None, force: bool = False):
     """Ensure CPU-heavy downstream per-row work sees enough partitions.
 
@@ -38,16 +143,69 @@ def spread(df, min_partitions: int | None = None, force: bool = False):
     is ALSO a CollapseProject barrier protecting a materialized column
     from being inlined into a higher-order-function lambda (see
     dedup.shingles).
+
+    The input-partition probe takes the cheap Python-side path
+    (:func:`_narrow_scan_splits`) when the plan is narrow-over-scan — the
+    exact ``df.rdd`` probe costs a redundant full planning pass per call
+    (0.1-0.3 s each on wide text plans; ~15 calls across the headline
+    bench). The max() stays load-bearing at scale: a forced barrier must
+    never SHRINK a widely-split scan to driver-parallelism-sized
+    partitions.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if force or df.rdd.getNumPartitions() < target:
-        # The df.rdd partition probe costs ~0.1-0.3 s of driver-side
-        # planning on wide text plans, but the max() is load-bearing at
-        # scale: a forced barrier must never SHRINK a widely-split scan
-        # to driver-parallelism-sized partitions.
-        return df.repartition(max(target, df.rdd.getNumPartitions()))
+    cur = _narrow_scan_splits(df)
+    if cur is None:
+        # Non-narrow (post-shuffle / checkpointed) input. The old probe
+        # (`df.rdd.getNumPartitions()`) re-planned the whole query AND —
+        # under AQE — executed its upstream shuffle stages at plan time
+        # (measured 1.2 s inside flag_contaminated's spread alone, plus
+        # the duplicated stage work). Statically: a post-shuffle frame is
+        # at least as wide as AQE's coalescing floor, and the session
+        # sets `coalescePartitions.minPartitionSize` low enough that
+        # `parallelismFirst` keeps >= defaultParallelism partitions for
+        # any input above ~cores x 64 KB (session.py). So a plain spread
+        # is a no-op here, and a forced barrier re-shards to the static
+        # shuffle width — never narrower than what the upstream exchange
+        # was planned at, so it cannot shrink a wide frame at scale.
+        if not force:
+            return df
+        width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return df.repartition(max(target, width))
+    if force or cur < target:
+        return df.repartition(max(target, cur))
     return df
+
+
+def once(col: Column | str) -> Column:
+    """Evaluate-once barrier for an expensive derived column.
+
+    Catalyst's filter pushdown inlines a filtered alias's defining
+    expression into the pushed predicate (PushPredicateThroughNonJoin
+    substitutes the alias), so `withColumn("q", <heavy HOF blend>)
+    .filter("q >= t")` evaluates the heavy expression TWICE — once inside
+    a Filter pushed below every exchange (serially, in the scan stage of
+    a one-split source) and once in the surviving projection. The same
+    mechanism the optimization guide describes for Python UDFs (§4.4,
+    asNondeterministic) applies to built-in expression trees: tagging the
+    column non-deterministic makes `fields.forall(_.deterministic)` fail,
+    so the predicate stays ABOVE the projection and the expression is
+    evaluated exactly once, where the plan put it.
+
+    Implementation: ``element_at(shuffle(array(col)), 1)`` — a random
+    permutation of a ONE-element array is the element itself, so the
+    VALUE is bit-identical to ``col`` for every row (any type, null
+    included) and the DuckDB oracle is untouched; ``shuffle`` only
+    poisons the determinism flag. (``when(rand() > -1, col)`` does NOT
+    work: Catalyst range-folds the always-true rand comparison away.)
+    Apply to the expensive gate columns, not blanket — the taint also
+    blocks pushdown of cheap sibling predicates through the same
+    projection (pre-filter simple predicates BEFORE the tainted
+    projection, as the call sites do).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.element_at(F.shuffle(F.array(col)), 1)
 
 
 def epoch_micros(col: Column | str, ntz: bool = True) -> Column:

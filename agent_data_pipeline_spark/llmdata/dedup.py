@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..fns import rnd, spread
+from ..fns import once, rnd, spread
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -227,8 +227,17 @@ def minhash_signatures(
     ANSI arithmetic).
     """
     mersenne = (1 << 31) - 1
-    sh = shingle_hashes(df, text_col, shingle_n).select(
-        F.col(id_col).alias("id"), F.explode("sh_hashes").alias("h1")
+    # explode_outer + generated-attr filter: non-outer explode makes
+    # InferFiltersFromGenerate duplicate the whole inlined shingle-hash
+    # computation into a pushed Filter below the spread exchange
+    # (hof_filter_recompute — the round-13 band-key pathology).
+    # sh_hashes is never empty/null (shingle_hashes' when/otherwise),
+    # so outer emits identical rows; the isNotNull pin cannot be pushed
+    # below the Generate.
+    sh = (
+        shingle_hashes(df, text_col, shingle_n)
+        .select(F.col(id_col).alias("id"), F.explode_outer("sh_hashes").alias("h1"))
+        .filter(F.col("h1").isNotNull())
     )
     # The wide expression lists are built as SQL strings (one F.expr per
     # aggregate) rather than nested Column calls: the plans are
@@ -321,8 +330,13 @@ def minhash_lsh_pairs(
         ),
         lambda p: p["a"]["id"] < p["b"]["id"],
     )
+    # explode_outer + null-filter (see minhash_signatures): buckets pass
+    # size(ms) > 1 with per-band-distinct ids, so >= 1 ordered pair always
+    # exists — outer emits identical rows while keeping the infer rule
+    # from evaluating the whole pair expansion twice per bucket.
     cand = (
-        members.select(F.explode(pair_structs).alias("p"))
+        members.select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),
@@ -341,7 +355,11 @@ def minhash_lsh_pairs(
         6,
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        # fns.once: without the taint the threshold gate inlines the
+        # zip_with/aggregate signature comparison into the Filter AND the
+        # output projection — the 64-lane compare ran twice per candidate
+        # pair (hof_filter_recompute).
+        cand.withColumn("est_jaccard", once(est))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..fns import bounded_collect, rnd, spread
+from ..fns import bounded_collect, once, rnd, spread
 
 _WORD_RE = r"\s+"
 # BPE-ish token split: runs of letters, runs of digits, or single
@@ -73,7 +73,12 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("stopword_ratio", rnd(sw_ratio, 6))
         .withColumn("punct_ratio", rnd(punct_ratio(text), 6))
-        .withColumn("quality_score", quality)
+        # once(): quality gates downstream (`.filter("quality_score >=
+        # t")`) must not re-inline this whole HOF blend into a pushed
+        # Filter below the spread exchange — that evaluated the blend
+        # twice, once serially in the scan stage (fns.once docstring;
+        # plan_audit `hof_filter_recompute`). Value is unchanged.
+        .withColumn("quality_score", once(quality))
     )
 
 

@@ -202,7 +202,14 @@ def ewma(
             *keys,
             F.arrays_zip(F.col("_series"), F.col("_ys")).alias("_z"),
         )
-        .select(*keys, F.explode("_z").alias("_e"))
+        # explode_outer + generated-attr filter: the non-outer form makes
+        # InferFiltersFromGenerate duplicate the ENTIRE zipped EWMA fold
+        # into an inferred `size(_z) > 0` Filter (plan_audit
+        # hof_filter_recompute) — every key's recurrence ran twice.
+        # Groups are never empty, so outer emits the same rows; the
+        # isNotNull filter (un-pushable below the Generate) pins equality.
+        .select(*keys, F.explode_outer("_z").alias("_e"))
+        .filter(F.col("_e").isNotNull())
         .select(
             *keys,
             F.col("_e._series.o").alias(order_col),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..fns import (  # noqa: F401  (re-exported for query modules)
     assert_grid_headroom,
     bounded_collect,
+    once,
     rnd,
 )
 

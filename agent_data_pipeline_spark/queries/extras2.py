@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, once, rnd, t
 
 _IO_TMP = "/tmp/adps_io"
 
@@ -129,9 +129,12 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = e.select("vec_id", emb.alias("emb"))
-    scale = (F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(127.0)).alias(
-        "scale"
-    )
+    # fns.once: the `scale > 0` gate otherwise re-inlines the whole
+    # array_max(transform(abs)) fold into a pushed-down Filter below the
+    # scan projection — evaluated twice per row (hof_filter_recompute).
+    scale = once(
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
     e = e.select("vec_id", "emb", scale).where(F.col("scale") > 0)
     q = lambda x: F.floor(x / F.col("scale") + F.lit(0.5))  # noqa: E731
     return e.select(

@@ -46,7 +46,15 @@ def _with_unit(df: DataFrame, *keep: str) -> DataFrame:
 
 def _embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_unit(t(spark, sf_dir, "embeddings"), "label")
-    comp = emb.select("label", F.posexplode("u").alias("dim", "c"))
+    # posexplode_outer + null-filter on the GENERATED attribute: the
+    # non-outer form makes InferFiltersFromGenerate re-evaluate the whole
+    # inlined normalize fold inside a pushed-down Filter (plan_audit
+    # hof_filter_recompute; SCALING.md round-13 pathology). Outer skips
+    # the rule; the dim filter drops the same empty-array rows and cannot
+    # be pushed below the Generate.
+    comp = emb.select("label", F.posexplode_outer("u").alias("dim", "c")).filter(
+        F.col("dim").isNotNull()
+    )
     sums = comp.groupBy("label", "dim").agg(
         F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
     )
@@ -99,7 +107,10 @@ def _embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "is_a",
     )
-    comp = emb.select("label", "is_a", F.posexplode("u").alias("dim", "c"))
+    # posexplode_outer + generated-attr filter: see _embedding_diversity
+    comp = emb.select(
+        "label", "is_a", F.posexplode_outer("u").alias("dim", "c")
+    ).filter(F.col("dim").isNotNull())
     sums = comp.groupBy("label", "dim").agg(
         F.sum(F.when(F.col("is_a"), F.col("c")).otherwise(0.0)).alias("sa"),
         F.sum(F.when(~F.col("is_a"), F.col("c")).otherwise(0.0)).alias("sb"),

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 from pyspark.sql.window import Window as W
 
+from ..fns import spread
 from .core import QuerySpec, rnd, t
 
 _WIN_W = 4  # winnowing window (over gram positions)
@@ -61,7 +62,11 @@ _POS_CAP = 4096  # tie-break encoding domain: pos must stay below this
 
 
 def _winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # spread BEFORE building grams: the tokenize + 3-gram transform is
+    # interpreted (CodegenFallback) HOF work that otherwise runs in the
+    # scan stage — one task on a one-split parquet source (the round-13
+    # band-key pathology, SCALING.md). No-op on a well-split scan.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
     )
@@ -78,8 +83,13 @@ def _winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # posexplode_outer: the non-outer form lets InferFiltersFromGenerate
+    # duplicate the whole inlined gram computation into a pushed Filter
+    # (hof_filter_recompute). The existing `pos < cap` predicate on the
+    # GENERATED attribute already drops outer's null rows (NULL < cap is
+    # NULL) and cannot be pushed below the Generate.
     g = d.select(
-        "doc_id", "source", F.posexplode(grams).alias("pos", "gram")
+        "doc_id", "source", F.posexplode_outer(grams).alias("pos", "gram")
     ).filter(F.col("pos") < _POS_CAP)
     h = F.pmod(
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),

@@ -44,6 +44,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Keep AQE's parallelismFirst coalescing from collapsing small
+        # post-shuffle frames below core count: with the default 1 MB
+        # floor, a ~5 MB intermediate coalesces to ~5 partitions and any
+        # CPU-heavy per-row work downstream (HOF tokenization, Arrow
+        # featurization) serializes on them. 64 KB keeps >= parallelism
+        # partitions for anything above ~cores x 64 KB while remaining
+        # pure floor semantics at scale (target size is still
+        # max(total/parallelism, floor) — on TB shuffles the ratio term
+        # dominates and this floor is inert). Parameterised for cluster
+        # tuning; see OPTIMIZATION_r13.md.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -51,6 +65,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Every Generate in this engine explodes a COMPUTED array (HOF
+        # shingles, band keys, normalized vectors) — never a cheap stored
+        # column. InferFiltersFromGenerate therefore only ever duplicates
+        # the full array computation into an inferred `size(e) > 0`
+        # Filter that pushdown then drags below the spread exchange
+        # (measured 103 -> 5 s on the round-13 band-key operators; the
+        # plan_audit `hof_filter_recompute` detector polices code-level
+        # regressions). Excluding the rule removes the same class for
+        # non-lambda computed arrays (split/array_distinct) the detector
+        # cannot see. Plan-only: results are unchanged in any session.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
