@@ -160,14 +160,14 @@ def spread(df, min_partitions: int | None = None, force: bool = False):
         # (`df.rdd.getNumPartitions()`) re-planned the whole query AND —
         # under AQE — executed its upstream shuffle stages at plan time
         # (measured 1.2 s inside flag_contaminated's spread alone, plus
-        # the duplicated stage work). Statically: a post-shuffle frame is
-        # at least as wide as AQE's coalescing floor, and the session
-        # sets `coalescePartitions.minPartitionSize` low enough that
-        # `parallelismFirst` keeps >= defaultParallelism partitions for
-        # any input above ~cores x 64 KB (session.py). So a plain spread
-        # is a no-op here, and a forced barrier re-shards to the static
-        # shuffle width — never narrower than what the upstream exchange
-        # was planned at, so it cannot shrink a wide frame at scale.
+        # the duplicated stage work). Statically: a post-shuffle frame
+        # keeps parallelism via AQE's parallelismFirst coalescing (floor
+        # 1 MB), and every CPU-heavy HOF stage over possibly-small frames
+        # uses force=True, which repartitions unconditionally. So a plain
+        # spread is a no-op here, and a forced barrier re-shards to the
+        # static shuffle width — never narrower than what the upstream
+        # exchange was planned at, so it cannot shrink a wide frame at
+        # scale.
         if not force:
             return df
         width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))

@@ -35,6 +35,7 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..fns import spread
 from . import codecs
 
 cloudpickle.register_pickle_by_value(codecs)
@@ -247,7 +248,12 @@ def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+    # spread: per-row Python synthesis is CPU-bound scan-stage work; on a
+    # one-split source it ran in ONE worker. The exchange carries ids
+    # only. No-op on a well-split input.
+    return spread(
+        df.select(F.col(id_col).cast("long").alias("_media_src_id"))
+    ).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
 
@@ -331,7 +337,12 @@ def synthesize_tonal_audio(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+    # spread: per-row Python synthesis is CPU-bound scan-stage work; on a
+    # one-split source it ran in ONE worker. The exchange carries ids
+    # only. No-op on a well-split input.
+    return spread(
+        df.select(F.col(id_col).cast("long").alias("_media_src_id"))
+    ).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
 
@@ -437,7 +448,12 @@ def synthesize_fft_audio(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+    # spread: per-row Python synthesis is CPU-bound scan-stage work; on a
+    # one-split source it ran in ONE worker. The exchange carries ids
+    # only. No-op on a well-split input.
+    return spread(
+        df.select(F.col(id_col).cast("long").alias("_media_src_id"))
+    ).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
 
@@ -547,7 +563,12 @@ def synthesize_gradient_images(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+    # spread: per-row Python synthesis is CPU-bound scan-stage work; on a
+    # one-split source it ran in ONE worker. The exchange carries ids
+    # only. No-op on a well-split input.
+    return spread(
+        df.select(F.col(id_col).cast("long").alias("_media_src_id"))
+    ).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
 
@@ -682,7 +703,12 @@ def synthesize_block_wavs(
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("_media_src_id")).mapInPandas(
+    # spread: per-row Python synthesis is CPU-bound scan-stage work; on a
+    # one-split source it ran in ONE worker. The exchange carries ids
+    # only. No-op on a well-split input.
+    return spread(
+        df.select(F.col(id_col).cast("long").alias("_media_src_id"))
+    ).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
 

@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..fns import spread
 from . import codecs
 
 
@@ -195,6 +196,9 @@ def synthesize_textured_images(
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("_img_src_id")).mapInPandas(
+    # spread (see multimodal.py): parallelize per-row synthesis kernels
+    return spread(
+        df.select(F.col(id_col).cast("long").alias("_img_src_id"))
+    ).mapInPandas(
         run, schema="media_id long, payload binary, is_planted_dup boolean"
     )

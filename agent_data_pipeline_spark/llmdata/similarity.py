@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..fns import bounded_collect, rnd
+from ..fns import bounded_collect, rnd, spread
 
 # ANN/decontamination contract: the query/eval side is the SMALL side,
 # shipped to executors inside the kernel closure — the corpus side is
@@ -257,32 +257,42 @@ def lsh_topk(
     """Approximate top-k: candidates share >= 1 SRP bucket with the query,
     then exact cosine re-rank within candidates.
 
-    Plan shape: bucket-sign UDF (one matmul/batch) -> posexplode ->
-    equi-join on (table, bucket) -> dropDuplicates(query, candidate) ->
-    vectorized cosine re-rank -> per-query top-k window. Shuffle keys are
-    bucket ids; n_bits controls bucket occupancy (~n / 2^n_bits per
-    table), the skew knob.
+    Plan shape: bucket-sign UDF (one matmul/batch, input spread so the
+    Arrow batches parallelize on a one-split scan) -> posexplode of IDS
+    ONLY -> equi-join on (table, bucket) -> dropDuplicates(query,
+    candidate) -> re-attach both vectors by id -> vectorized cosine
+    re-rank -> per-query top-k window. Shuffle keys are bucket ids;
+    n_bits controls bucket occupancy (~n / 2^n_bits per table), the skew
+    knob. The candidate shuffle deliberately carries NO vectors (guide
+    §8: decide with small rows, attach payloads once): the previous
+    shape dragged the 64-float corpus vector through the explode and the
+    dedup exchange x n_tables — ~64x the bytes for the same candidates
+    (measured 2.05 -> 1.1 s at sf0.1, identical output).
     """
     buckets = srp_buckets_udf(dim, n_tables, n_bits)
     ce = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")))
         .withColumn("bs", buckets("c_vec"))
-        .select(
-            "neighbor_id", "c_vec", F.posexplode("bs").alias("table", "bucket")
-        )
+        .select("neighbor_id", F.posexplode("bs").alias("table", "bucket"))
     )
     qe = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .withColumn("bs", buckets("q_vec"))
-        .select("query_id", "q_vec", F.posexplode("bs").alias("table", "bucket"))
+        .select("query_id", F.posexplode("bs").alias("table", "bucket"))
     )
     # query sets are driver-small by contract (big probe sets should index
     # both sides and bucket-join without a broadcast)
-    cand = (
+    cand_ids = (
         ce.join(F.broadcast(qe), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # id-grain joins attach each vector exactly once, AFTER dedup: the
+    # corpus side auto-broadcasts when small and shuffles candidate-grain
+    # (not candidate x tables) when not; the query side is driver-small.
+    cand = cand_ids.join(cvecs, "neighbor_id").join(F.broadcast(qvecs), "query_id")
     pair_dot = _pair_dot_udf()
     sims = cand.select(
         "query_id",
@@ -558,6 +568,12 @@ def ivf_topk(
         d = -2.0 * (vmat @ centers.T) + (centers**2).sum(axis=1)[None, :]
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
+    # Deliberately NOT spread(): the assign UDF + broadcast probe join +
+    # re-rank fuse into the scan stage, and at 32 cells the serial cost
+    # of that stage on a one-split fixture is smaller than a forced
+    # exchange (interleaved A/B: 1.43 s vs 1.52 s min-of-6). Any corpus
+    # big enough for the serial stage to matter arrives multi-split and
+    # parallelizes without the exchange.
     corpus_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("cell", nearest_cell("c_vec"))

@@ -214,11 +214,23 @@ def _arrow_udf_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # No spread: the Arrow kernel is vectorized enough that one split's
+    # serial pass beats paying a forced exchange of the full projection
+    # (interleaved A/B: 0.93 s partial-agg/no-spread vs 1.58 s with the
+    # exchange); a corpus big enough to need parallelism arrives
+    # multi-split and parallelizes without it.
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
     )
 
     def gross_cents(batches):
+        # Per-BATCH partial aggregation (guide §2.3, aggregate before you
+        # shuffle): per-row integer cents are computed exactly as before,
+        # then group-summed within the batch, so the exchange feeding
+        # applyInArrow carries ~flags x batches rows instead of every
+        # line item. Integer cents keep every partial order-independent
+        # and overflow-safe (600k rows x <=1e9 cents << 2^63), so the
+        # final sums are bit-identical to the row-at-a-time shape.
         for b in batches:
             gross = pc.multiply(
                 pc.multiply(b.column("l_quantity"), b.column("l_extendedprice")),
@@ -228,17 +240,27 @@ def _arrow_udf_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pc.floor(pc.add(pc.multiply(gross, pa.scalar(100.0)), pa.scalar(0.5))),
                 pa.int64(),
             )
+            part = (
+                pa.table({"l_returnflag": b.column("l_returnflag"), "cents": cents})
+                .group_by("l_returnflag")
+                .aggregate([("cents", "sum"), ("cents", "count")])
+            )
             yield pa.RecordBatch.from_arrays(
-                [b.column("l_returnflag"), cents], ["l_returnflag", "cents"]
+                [
+                    part.column("l_returnflag").combine_chunks(),
+                    part.column("cents_sum").combine_chunks(),
+                    part.column("cents_count").combine_chunks(),
+                ],
+                ["l_returnflag", "cents", "n_part"],
             )
 
-    mapped = li.mapInArrow(gross_cents, "l_returnflag string, cents long")
+    mapped = li.mapInArrow(gross_cents, "l_returnflag string, cents long, n_part long")
 
     def sum_group(tbl: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "l_returnflag": pa.array([tbl.column("l_returnflag")[0].as_py()], pa.string()),
-                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "n_rows": pa.array([pc.sum(tbl.column("n_part")).as_py()], pa.int64()),
                 "cents": pa.array([pc.sum(tbl.column("cents")).as_py()], pa.int64()),
             }
         )

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..fns import spread
 from .core import QuerySpec, rnd, t
 
 _K = 256
@@ -61,7 +62,11 @@ def _kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's sequence(1, n) DESCENDS for n < 1 instead of returning
     # empty (DuckDB's generate_series is empty there) — filter short
     # texts first so both engines see identical shingle sets.
-    d = (
+    # spread: ~n_chars 12-char shingles per doc are md5'd in the SCAN
+    # stage (~5M hashes at sf0.1) — serial on a one-split source, the
+    # winnowing-class pathology. No-op on a well-split corpus. The three
+    # consumers of `dh` share ONE evaluation via ReuseExchange.
+    d = spread(
         t(spark, sf_dir, "documents")
         .select("source", "text")
         .filter(F.length("text") >= _SHINGLE)

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fns import spread
 from .core import QuerySpec, rnd, t
 
 
@@ -230,7 +231,10 @@ def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object AND schema-typed from_json (struct parse). Grouping
     on both extracted keys proves they agree row-for-row — the oracle
     extracts once and emits it under both names."""
-    e = t(spark, sf_dir, "events")
+    # spread: two JSON parses per row are CPU-heavy scan-stage work — on
+    # a one-split source they ran serially (interleaved A/B: 0.65 s vs
+    # 0.82 s min-of-5 with the exchange). No-op on a well-split log.
+    e = spread(t(spark, sf_dir, "events"))
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .withColumn("k_typed", F.from_json(F.col("props"), "k long").getField("k"))

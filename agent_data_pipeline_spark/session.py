@@ -38,26 +38,33 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # Shuffle files on tmpfs: guide §2.1 — local disk bandwidth for
+    # shuffle files is often the tighter limit. On this box /tmp is
+    # disk-backed and /dev/shm is a 126 GiB tmpfs; one trivial 32-part
+    # shuffle measured 0.55 s via /tmp vs 0.34 s via /dev/shm (the
+    # suite's queries run 2-6 shuffles each). Production analog:
+    # provision fast local NVMe (or ramdisk for small-shuffle tiers) as
+    # spark.local.dir. Parameterised; falls back to the system default
+    # when no tmpfs exists. Memory safety: shuffle volumes here are MBs
+    # (sf0.1) to low GBs (10x stress) against 126 GiB capacity, and
+    # Spark removes its blockmgr dirs on session stop.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else "",
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Keep AQE's parallelismFirst coalescing from collapsing small
-        # post-shuffle frames below core count: with the default 1 MB
-        # floor, a ~5 MB intermediate coalesces to ~5 partitions and any
-        # CPU-heavy per-row work downstream (HOF tokenization, Arrow
-        # featurization) serializes on them. 64 KB keeps >= parallelism
-        # partitions for anything above ~cores x 64 KB while remaining
-        # pure floor semantics at scale (target size is still
-        # max(total/parallelism, floor) — on TB shuffles the ratio term
-        # dominates and this floor is inert). Parameterised for cluster
-        # tuning; see OPTIMIZATION_r13.md.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"),
-        )
+        # AQE partition coalescing stays at its defaults (parallelismFirst
+        # + 1 MB minPartitionSize). A 64 KB floor was measured this round
+        # and REJECTED: it multiplies task counts on every small shuffle,
+        # which compounds across iterative ops (k_core peel: 18 s -> 30+ s
+        # at sf0.1). CPU-heavy HOF stages that need parallelism on small
+        # data get it from their explicit spread(force=True) barriers,
+        # which AQE never coalesces.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -80,6 +87,8 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
