@@ -222,6 +222,9 @@ def k_core(
     a: str = "src",
     b: str = "dst",
     max_iters: int = 50,
+    pre_canonical: bool = False,
+    materialize: bool = True,
+    init_deg: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Extract the k-core of an undirected graph: the (unique) maximal
     subgraph in which every node has degree >= k, by synchronous
@@ -262,66 +265,113 @@ def k_core(
     an endpoint dies).
 
     Edge list is canonicalized (lo < hi, deduplicated) first; degree
-    counts each neighbor once.
+    counts each neighbor once. ``pre_canonical=True`` skips that pass
+    for callers whose input is ALREADY (lo < hi, distinct, loop-free) —
+    e.g. nested peels seeded from a previous core — and
+    ``materialize=False`` additionally skips the edge checkpoint when
+    the input is already checkpoint/cache-backed (a lazy edge plan
+    would otherwise re-execute once per peel round).
+
+    Round-14 job-cadence rework (guide §7.3 — driver-side actions are
+    the iterative-op cost floor): each round materializes the updated
+    degree table ONCE (a ``localCheckpoint``) and reads the fixpoint
+    test (n_alive, n_bad) with one trivial aggregate over the cached
+    rows. The previous shape checkpointed ``bad`` (one job, which on
+    un-checkpointed rounds re-executed the whole update chain), counted
+    it (another), and checkpointed ``deg`` every other round (a third,
+    executing the update chain a SECOND time). ``bad`` is now a plain
+    filter over the checkpointed degree table. The checkpoint (not a
+    bare ``persist``) is load-bearing for the DRIVER, not just the
+    executors: each round's logical plan references the previous degree
+    table four times (three ``bad`` joins + the update), so an
+    RDD-backed truncation is what keeps analysis cost linear in rounds
+    — a persist-only variant was measured to blow up the analyzer
+    exponentially (4^rounds logical tree) by the second nested peel.
+    Results are identical — same update expression, same round
+    boundaries, same ``d > 0`` drop rule.
     """
-    e = (
-        edges.select(
-            F.least(F.col(a), F.col(b)).alias("lo"),
-            F.greatest(F.col(a), F.col(b)).alias("hi"),
-        )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        e.select(F.col("lo").alias("n"))
-        .unionAll(e.select(F.col("hi").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
-    )
-    rounds = 0
-    for _ in range(max_iters):
-        # localCheckpoint the (node-grain, usually tiny) peel list: it
-        # feeds one count, two equi-joins and one anti-join. The count
-        # we need anyway for the fixpoint test doubles as an EXACT
-        # broadcast decision: checkpoint-backed frames report default
-        # (huge) size stats, so without the hint every join against
-        # `bad` plans as a sort-merge join that shuffles the full edge
-        # list per round — the cost this rework exists to remove.
-        bad = deg.filter(F.col("d") < k).select("n").localCheckpoint()
-        n_bad = bad.count()
-        if n_bad == 0:
-            break
-        bad_j = F.broadcast(bad) if n_bad <= _BROADCAST_NODE_CAP else bad
-        lost = (
-            e.join(bad_j, e.lo == bad.n, "inner")
-            .select(F.col("hi").alias("m"))
-            .unionAll(
-                e.join(bad_j, e.hi == bad.n, "inner")
-                .select(F.col("lo").alias("m"))
+    if pre_canonical:
+        e = edges.select(F.col(a).alias("lo"), F.col(b).alias("hi"))
+        if materialize:
+            e = e.localCheckpoint()
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(a), F.col(b)).alias("lo"),
+                F.greatest(F.col(a), F.col(b)).alias("hi"),
             )
-            .groupBy("m")
-            .agg(F.count(F.lit(1)).alias("lost"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+    if init_deg is not None:
+        # caller-supplied (n, d) degree table of the SAME edge list,
+        # already materialized — e.g. the scale-adaptive-k percentile
+        # pass computes it anyway; recomputing it here would be a pure
+        # duplicate job
+        deg = init_deg
+    else:
+        deg = (
+            e.select(F.col("lo").alias("n"))
+            .unionAll(e.select(F.col("hi").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint()
+        )
+    _fix_stats = [
+        F.count(F.lit(1)).alias("alive"),
+        F.coalesce(F.sum((F.col("d") < k).cast("long")), F.lit(0)).alias("nbad"),
+    ]
+    stats = deg.agg(*_fix_stats).collect()[0]
+    rounds = 0
+    while int(stats["nbad"]) > 0 and rounds < max_iters:
+        n_bad = int(stats["nbad"])
+        # node-grain peel list: a plain filter over the CHECKPOINTED
+        # degree table (each reference is a cached-scan filter; the
+        # identical broadcast subtrees dedupe via ReuseExchange within
+        # the round's job). The fixpoint count from the previous
+        # round's aggregate doubles as an EXACT broadcast decision:
+        # checkpoint-backed frames report default (huge) size stats, so
+        # without the hint every join against `bad` would plan as a
+        # sort-merge join that shuffles the full edge list per round.
+        bad = deg.filter(F.col("d") < k).select(F.col("n").alias("bn"))
+        bad_j = F.broadcast(bad) if n_bad <= _BROADCAST_NODE_CAP else bad
+        # ONE shuffle per round: survivors (= NOT bad = d >= k, a plain
+        # filter — not an anti-join) and the per-neighbor loss events
+        # (edges incident to a peeled node, keyed by the SURVIVING
+        # endpoint) ride the same tagged union into a single groupBy.
+        # max(d) recovers the survivor's degree (exactly one non-null d
+        # per key), sum(l) counts its lost neighbors — each edge to a
+        # peeled node is counted once, in the round its other endpoint
+        # dies, exactly as the previous join formulation; keys with a
+        # NULL max(d) are loss events for nodes peeled this same round
+        # and are dropped, as the anti-join/filter dropped them.
+        surv = deg.filter(F.col("d") >= k).select(
+            "n", "d", F.lit(0).alias("l")
+        )
+        hits = (
+            e.join(bad_j, e.lo == F.col("bn"), "inner")
+            .select(F.col("hi").alias("n"))
+            .unionAll(
+                e.join(bad_j, e.hi == F.col("bn"), "inner")
+                .select(F.col("lo").alias("n"))
+            )
+            .select("n", F.lit(None).cast("long").alias("d"), F.lit(1).alias("l"))
         )
         deg = (
-            deg.join(bad_j, deg.n == bad.n, "left_anti")
-            .join(lost, deg.n == lost.m, "left")
-            .select(
-                deg.n, (deg.d - F.coalesce(F.col("lost"), F.lit(0))).alias("d")
-            )
+            surv.unionAll(hits)
+            .groupBy("n")
+            .agg(F.max("d").alias("d0"), F.sum("l").alias("lost"))
+            .filter(F.col("d0").isNotNull())
+            .select("n", (F.col("d0") - F.col("lost")).alias("d"))
             .filter(F.col("d") > 0)
+            .localCheckpoint()
         )
-        # Checkpoint the node-grain degree table every OTHER round:
-        # each round's `bad` checkpoint already materializes a filter
-        # over the current deg, and an un-checkpointed round adds only
-        # two node-grain joins to the lineage (bad and lost are
-        # checkpoint-backed), so alternating halves the per-round job
-        # count without any exponential-plan risk.
-        if rounds % 2 == 1:
-            deg = deg.localCheckpoint()
+        # one trivial aggregate over the just-cached node-grain rows
+        # returns both the fixpoint test and the final alive count
+        stats = deg.agg(*_fix_stats).collect()[0]
         rounds += 1
-    n_alive = deg.count()
+    n_alive = int(stats["alive"])
     alive_lo = deg.select(F.col("n").alias("_alo"))
     alive_hi = deg.select(F.col("n").alias("_ahi"))
     if n_alive <= _BROADCAST_NODE_CAP:

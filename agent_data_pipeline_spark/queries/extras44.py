@@ -385,6 +385,7 @@ def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("p2").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     pct = deg.agg(
         F.expr("percentile(d, array(0.02, 0.05, 0.10))").alias("p")
@@ -400,11 +401,27 @@ def _k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = edges.select(
         F.col("p1").alias("lo"), F.col("p2").alias("hi")
     )
+    # The frontier is canonical by construction (p1 < p2, distinct, and
+    # every later frontier is a subset of it), so each peel skips
+    # k_core's least/greatest + distinct re-canonicalization pass
+    # (~1 s × 3 peels of pure re-derivation at sf0.1). The FIRST
+    # frontier is a narrow alias over the checkpointed edge list, so it
+    # also skips the edge re-materialization; later frontiers are lazy
+    # semi-join plans and keep it.
+    first_peel = True
     for label, k in sorted(ks, key=lambda x: x[1]):
         # n_nodes comes straight from the peel's final degree table
         # (every alive node has in-core degree > 0), saving the
         # distinct-endpoint count the round-12 version ran per peel.
-        core, rounds, n_nodes = k_core(frontier, k, a="lo", b="hi")
+        core, rounds, n_nodes = k_core(
+            frontier, k, a="lo", b="hi",
+            pre_canonical=True, materialize=not first_peel,
+            # the percentile pass already materialized the full graph's
+            # degree table — peel 1 starts from it instead of
+            # rebuilding it; later peels derive their own
+            init_deg=deg if first_peel else None,
+        )
+        first_peel = False
         stats = core.agg(F.count(F.lit(1)).alias("n_edges")).collect()[0]
         n_edges = int(stats["n_edges"])
         rows.append((label, k, n_nodes, n_edges, rounds))
