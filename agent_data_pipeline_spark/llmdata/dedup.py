@@ -551,10 +551,17 @@ def connected_components(
 
     Returns (node, component) — component is the min node id reachable.
     """
+    # Checkpoint the symmetrized edge list ONCE: `pairs` is typically an
+    # EXPENSIVE mining subtree (token-Jaccard pair join, Levenshtein
+    # candidate generation), and every propagation round joins the edge
+    # list — without materialization each round's job re-executed the
+    # whole mining DAG from scratch (measured: the dominant cost of
+    # component_label_propagation / dup_components at sf0.1).
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -568,21 +575,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # carry the convergence flag on the row: the fixpoint test is
+        # then one trivial aggregate over the just-checkpointed rows
+        # instead of a second join-shaped job per round
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0))
+        ).collect()[0][0]
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels

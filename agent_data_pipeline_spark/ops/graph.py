@@ -74,7 +74,17 @@ def pagerank(
             "~2^checkpoint_every (the folded dangling-mass branch "
             "references the previous ranks subtree twice); keep it <= 5"
         )
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Checkpoint the distinct edge list FIRST: `edges` is typically an
+    # expensive fact-join subtree (lineitem x orders for the trade
+    # graph), and without materialization every frame derived from it —
+    # nodes, the out-degree table, flow_edges, and ABOVE ALL the
+    # per-iteration broadcast of out_deg inside the dangling-mass
+    # anti-join — re-executed that subtree once per checkpoint job.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -85,7 +95,11 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # node-grain, scanned by every iteration's dangling anti-join —
+    # materialize once so each broadcast build is a cached scan
+    out_deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    )
     # edges with the sender's out-degree attached — static across
     # iterations, checkpoint once so each round replans from here
     flow_edges = e.join(out_deg, "src").localCheckpoint()

@@ -134,9 +134,22 @@ def bfs_hops(
     edges: DataFrame, seed: int, max_hops: int = 30
 ) -> DataFrame:
     """Frontier BFS over an undirected canonical edge list (lo, hi).
-    Returns (node, hop). One equi-join + anti-join per round,
-    localCheckpoint per round; rounds bounded by the diameter."""
+    Returns (node, hop). One equi-join + anti-join per round; rounds
+    bounded by the diameter.
+
+    Round-14 shape: the frontier and visited sets are NODE-grain and
+    their exact sizes are known from the previous round's count, so
+    both joins carry an exact-decision broadcast hint (checkpoint-backed
+    frames report default huge size stats — without the hint every
+    round planned a sort-merge join that shuffled the full symmetric
+    edge list). One materialization per round: the new frontier is
+    checkpointed and counted (trivial, cached); `visited` stays a lazy
+    union of checkpointed per-hop frames (depth = diameter, each leaf
+    cached) instead of being re-checkpointed — re-copied — every round.
+    """
     spark = edges.sparkSession
+    from ..ops.graph import _BROADCAST_NODE_CAP
+
     sym = edges.select(
         F.col("lo").alias("u"), F.col("hi").alias("v")
     ).unionAll(
@@ -146,20 +159,27 @@ def bfs_hops(
         [(int(seed), 0)], "node LONG, hop INT"
     ).localCheckpoint()
     frontier = visited
+    n_frontier, n_visited = 1, 1
     for h in range(1, max_hops + 1):
+        f = frontier.select(F.col("node").alias("u"))
+        if n_frontier <= _BROADCAST_NODE_CAP:
+            f = F.broadcast(f)
+        seen = visited.select("node")
+        if n_visited <= _BROADCAST_NODE_CAP:
+            seen = F.broadcast(seen)
         nxt = (
-            sym.join(
-                frontier.select(F.col("node").alias("u")), "u"
-            )
+            sym.join(f, "u")
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen, "node", "left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint()
         )
-        if nxt.count() == 0:
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt)
+        n_visited += n_frontier
         frontier = nxt
     return visited
 
