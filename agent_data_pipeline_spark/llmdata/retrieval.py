@@ -68,6 +68,7 @@ def bm25_scores(
     b: float = 0.75,
     max_df_ratio: float | None = None,
     weight_col: str | None = None,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(query, doc) BM25 scores for a small query set.
 
@@ -92,6 +93,12 @@ def bm25_scores(
     double-count the term (ADVICE r10); max is the natural resolution
     for RM3-style inputs where the original query's 1.0 should win
     over a lower expansion weight for the same term.
+
+    ``tokenized``: optional pre-tokenized corpus (doc_id, toks, dl) —
+    the EXACT frame this function would derive from ``docs`` — so a
+    multi-pass caller (PRF's two corpus passes) tokenizes the corpus
+    once, materializes it, and shares it (guide §8: one heavy pass,
+    lightweight reuse). Values are identical by construction.
     """
     if weight_col:
         qt = (
@@ -107,7 +114,7 @@ def bm25_scores(
             F.col(token_col).alias("_tok"),
         ).distinct()
 
-    toks = docs.select(
+    toks = tokenized if tokenized is not None else docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
     ).withColumn("dl", F.size("toks").cast("long"))
     # global scalars: one row, broadcast into the scoring join
@@ -171,6 +178,21 @@ def bm25_topk(
         scores.withColumn("bm25_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("bm25_rank") <= k)
     )
+
+
+def tokenized_corpus(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, toks, dl) for the whole corpus — the shared tokenize
+    pass of every BM25 scorer (identical expression to the inline
+    derivation in ``bm25_scores``). Callers that run MULTIPLE corpus
+    passes (PRF, hybrid) ``localCheckpoint`` this once and pass it via
+    ``tokenized=``: the regex split + lower + trim of every document is
+    the single most expensive per-row step, and re-deriving it per pass
+    multiplies that work by the pass count."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.size("toks").cast("long"))
 
 
 def query_terms_from_docs(
@@ -298,6 +320,11 @@ def hybrid_bm25_ann_rerank(
             F.coalesce("from_lex", F.lit(False)).alias("from_lex"),
         )
     )
+    # NOT materialized (round-14 measured-and-rejected): localCheckpoint
+    # here moved the arm DAGs into an eager job but the single lazy job
+    # was FASTER (2.9 -> 5.7 s at sf0.1) — the downstream consumers'
+    # re-executions share broadcast/exchange work within one job, which
+    # the checkpoint boundary forfeits.
 
     # uniform exact cosine over the bounded candidate pairs: broadcast
     # the pair list into the embeddings scan twice (neighbor side, then
@@ -389,7 +416,22 @@ def bm25_prf_topk(
     are fns.rnd-rounded to 6dp with a term-asc tie-break before the
     top-``n_exp`` cut, so the selected expansion set — and hence the
     whole second pass — is engine-exact (DuckDB-oracled).
+
+    Round-14: the corpus is tokenized ONCE (``tokenized_corpus`` +
+    ``localCheckpoint``) and every downstream consumer — both BM25
+    passes' (dl, g, tf) derivations, the feedback-doc term stats, and
+    the candidate-vocabulary df pass — reads the materialized
+    (doc_id, toks, dl) frame. The previous shape re-ran the regex
+    tokenize of the full corpus ~6x per call (guide §8: run the heavy
+    decode pass once, decide on the lightweight proxy). Values are
+    identical: the shared frame is the exact expression each pass
+    derived inline.
     """
+    toks = tokenized_corpus(docs, id_col=id_col, text_col=text_col).localCheckpoint()
+    # the expanded query-term set is n_queries x (|q| + n_exp) rows;
+    # the second pass broadcasts it TWICE (term prune + weighted score
+    # attach) — materialize so each build is a bounded cached scan, not
+    # a re-run of the whole first pass + expansion DAG
     q1 = prf_expanded_query_terms(
         docs,
         query_ids,
@@ -398,9 +440,11 @@ def bm25_prf_topk(
         fb_k=fb_k,
         n_exp=n_exp,
         exp_weight=exp_weight,
-    )
+        tokenized=toks,
+    ).localCheckpoint()
     rescored = bm25_scores(
-        docs, q1, id_col=id_col, text_col=text_col, weight_col="qw"
+        docs, q1, id_col=id_col, text_col=text_col, weight_col="qw",
+        tokenized=toks,
     ).filter(F.col("doc_id") != F.col("query_id"))
     w2 = W.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id")
@@ -427,6 +471,7 @@ def prf_expanded_query_terms(
     fb_k: int = 10,
     n_exp: int = 5,
     exp_weight: float = 0.5,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """The PRF FIRST PASS factored out (round 11, so the hybrid can
     consume expanded queries too): original terms at weight 1.0 plus
@@ -434,13 +479,16 @@ def prf_expanded_query_terms(
     top-``fb_k`` feedback docs at weight ``exp_weight``. Returns
     (query_id, token, qw). Same scale shape as documented on
     ``bm25_prf_topk`` — everything after the posting-list-pruned
-    feedback pass is n_queries-bounded."""
+    feedback pass is n_queries-bounded. ``tokenized``: optional
+    materialized (doc_id, toks, dl) corpus shared across every pass
+    (see ``bm25_prf_topk``)."""
     q0 = query_terms_from_docs(
         docs, query_ids, id_col=id_col, text_col=text_col
     )
     fb = (
         bm25_topk(
-            docs, q0, k=fb_k + 1, id_col=id_col, text_col=text_col
+            docs, q0, k=fb_k + 1, id_col=id_col, text_col=text_col,
+            tokenized=tokenized,
         )
         .filter(F.col("doc_id") != F.col("query_id"))
         .withColumn(
@@ -453,27 +501,39 @@ def prf_expanded_query_terms(
         )
         .filter(F.col("_r") <= fb_k)
         .select("query_id", "doc_id")
+        # n_queries x fb_k rows, referenced by THREE consumers below
+        # (two broadcast builds + the per-doc join) — without
+        # materialization each broadcast build re-executed the entire
+        # first BM25 corpus pass (measured: the dominant cost of
+        # bm25_prf_topk at sf0.1, multiplying pass 1 ~4-6x)
+        .localCheckpoint()
     )
-    # term stats of the FEEDBACK docs only (n_queries × fb_k rows)
+    # term stats of the FEEDBACK docs only (n_queries × fb_k rows):
+    # prune to feedback docs BEFORE the explode — the previous shape
+    # exploded (and without `tokenized`, re-tokenized) the ENTIRE
+    # corpus only to keep ~n_queries × fb_k docs of it
+    fb_src = (
+        tokenized
+        if tokenized is not None
+        else tokenized_corpus(docs, id_col=id_col, text_col=text_col)
+    )
+    # feedback-doc term stats: (n_queries x fb_k) docs' tokens — bounded.
+    # Materialized because both the candidate-vocabulary broadcast and
+    # the expansion scorer consume it.
     fb_tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokenize(F.col(text_col))).alias("tok"),
-        )
-        .join(F.broadcast(fb.select("doc_id").distinct()), "doc_id")
+        fb_src.join(F.broadcast(fb.select("doc_id").distinct()), "doc_id")
+        .select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .join(F.broadcast(fb), "doc_id")
+        .localCheckpoint()
     )
     # corpus df for the candidate expansion vocabulary (term-bounded)
     cand_vocab = fb_tf.select("tok").distinct()
-    n_docs = docs.count()
+    n_docs = fb_src.count() if tokenized is not None else docs.count()
     df_t = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                tokenize(F.col(text_col), distinct=True)
-            ).alias("tok"),
+        fb_src.select(
+            "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
         )
         .join(F.broadcast(cand_vocab), "tok")
         .groupBy("tok")
