@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..fns import bounded_collect, rnd, spread
+from ..fns import bounded_collect, rnd
 
 # ANN/decontamination contract: the query/eval side is the SMALL side,
 # shipped to executors inside the kernel closure — the corpus side is
@@ -257,21 +257,29 @@ def lsh_topk(
     """Approximate top-k: candidates share >= 1 SRP bucket with the query,
     then exact cosine re-rank within candidates.
 
-    Plan shape: bucket-sign UDF (one matmul/batch, input spread so the
-    Arrow batches parallelize on a one-split scan) -> posexplode of IDS
+    Plan shape: bucket-sign UDF (one matmul/batch) -> posexplode of IDS
     ONLY -> equi-join on (table, bucket) -> dropDuplicates(query,
     candidate) -> re-attach both vectors by id -> vectorized cosine
     re-rank -> per-query top-k window. Shuffle keys are bucket ids;
     n_bits controls bucket occupancy (~n / 2^n_bits per table), the skew
     knob. The candidate shuffle deliberately carries NO vectors (guide
-    §8: decide with small rows, attach payloads once): the previous
-    shape dragged the 64-float corpus vector through the explode and the
-    dedup exchange x n_tables — ~64x the bytes for the same candidates
-    (measured 2.05 -> 1.1 s at sf0.1, identical output).
+    §8: decide with small rows, attach payloads once): the r12 shape
+    dragged the 64-float corpus vector through the explode and the
+    dedup exchange x n_tables — ~64x the bytes for the same candidates.
+
+    Round-14 (settling the r13 driver-measured regression): the
+    ``spread()`` the r13 rework added before the bucket UDF is REMOVED.
+    A cold-JVM interleaved A/B at driver conditions showed the forced
+    exchange was the entire deficit vs the r12 shape (id-only+spread
+    2.94 s, id-only no-spread 2.46 s in one window; no-spread 1.195 vs
+    r12 1.181 s in another — parity), because the id-only kernel input
+    is (id, vec) only and one matmul per batch: too little serial work
+    to repay an exchange. At real scale the scan arrives multi-split
+    and spread was a no-op there anyway — nothing is lost at 100 TB.
     """
     buckets = srp_buckets_udf(dim, n_tables, n_bits)
     ce = (
-        spread(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")))
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .withColumn("bs", buckets("c_vec"))
         .select("neighbor_id", F.posexplode("bs").alias("table", "bucket"))
     )
