@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llmdata import dedup
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, duck_materialize, rnd, t
 
 
 def _component_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +207,7 @@ FROM seeds GROUP BY fold ORDER BY fold
 QUERIES: dict[str, QuerySpec] = {
     "component_label_propagation": QuerySpec(
         _component_label_propagation,
-        _PROPAGATION_SQL,
+        duck_materialize(_PROPAGATION_SQL),
         "majority label transfer through near-dup connected components",
     ),
     "weighted_reservoir_sample": QuerySpec(

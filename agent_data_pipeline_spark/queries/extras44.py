@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, bounded_collect, rnd, t
+from .core import QuerySpec, duck_materialize, bounded_collect, rnd, t
 
 
 # --------------------------------------------------------------------------
@@ -754,14 +754,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "k_core_decomposition": QuerySpec(
         _k_core_decomposition,
-        _k_core_sql(),
+        duck_materialize(_k_core_sql()),
         "k-cores of the co-purchase graph at degree-quantile-adaptive "
         "k by synchronous peeling (oracled r12: integer-exact peel "
         "replayed by nested recursive CTEs; Spark-formula percentile)",
     ),
     "pacf_lags": QuerySpec(
         _pacf_lags,
-        _PACF_SQL,
+        duck_materialize(_PACF_SQL),
         "Partial autocorrelation of daily revenue, lags 1..12, by "
         "Durbin-Levinson on the distributed lag-join ACF "
         "(integer-cents moments make the unrolled oracle hash-exact)",

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, bounded_collect, rnd, t
+from .core import QuerySpec, duck_materialize, bounded_collect, rnd, t
 
 _ALPHA, _BETA, _GAMMA, _M = 0.2, 0.05, 0.1, 7
 
@@ -478,7 +478,7 @@ _HW_SQL = _hw_sql()
 QUERIES: dict[str, QuerySpec] = {
     "holt_winters_daily": QuerySpec(
         _holt_winters_daily,
-        _HW_SQL,
+        duck_materialize(_HW_SQL),
         "Additive Holt-Winters (weekly season) over daily revenue: "
         "last-14 fitted + 7-day forecast; bounded driver-side recursion "
         "(oracle: bit-exact recursive-CTE replay of the smoothing chain)",

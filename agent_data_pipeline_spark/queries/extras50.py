@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, assert_grid_headroom, rnd, t
+from .core import QuerySpec, duck_materialize, assert_grid_headroom, rnd, t
 
 _GATE = 300
 
@@ -459,7 +459,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "platt_scaling_irls": QuerySpec(
         _platt_scaling_irls,
-        _PLATT_SQL,
+        duck_materialize(_PLATT_SQL),
         "Platt logistic calibration by Newton-IRLS: 8 one-aggregate "
         "iterations with 2 scalars of state; log-loss vs baseline "
         "(2^-24 term grid makes the unrolled oracle hash-exact)",

@@ -41,7 +41,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, bounded_collect, rnd, t
+from .core import QuerySpec, duck_materialize, bounded_collect, rnd, t
 
 _MIN_SEG = 30
 _MAX_BREAKS = 5
@@ -426,7 +426,7 @@ FROM est e CROSS JOIN exact x
 QUERIES: dict[str, QuerySpec] = {
     "binseg_changepoints": QuerySpec(
         _binseg_changepoints,
-        _BINSEG_SQL,
+        duck_materialize(_BINSEG_SQL),
         "Multiple changepoints on daily revenue by binary segmentation "
         "(prefix-sum SSE, bounded driver-side search, <=5 breaks; "
         "HUGEINT-exact prefix sums make the unrolled oracle hash-exact)",

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .core import QuerySpec, assert_grid_headroom, bounded_collect, rnd, t
+from .core import QuerySpec, duck_materialize, assert_grid_headroom, bounded_collect, rnd, t
 
 
 def _wasserstein_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +551,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dtw_priority_series": QuerySpec(
         _dtw_priority_series,
-        _DTW_SQL,
+        duck_materialize(_DTW_SQL),
         "Pairwise DTW (L1) between weekly revenue profiles of the 5 "
         "priorities; Manhattan distance alongside (DTW <= L1; "
         "anti-diagonal recursive-CTE oracle, bit-exact DP)",

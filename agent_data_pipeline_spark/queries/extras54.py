@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, bounded_collect, rnd, t
+from .core import QuerySpec, duck_materialize, bounded_collect, rnd, t
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,7 +274,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "bfs_hops_from_hub": QuerySpec(
         _bfs_hops_from_hub,
-        _BFS_SQL,
+        duck_materialize(_BFS_SQL),
         "BFS hop census from the highest-degree part: frontier "
         "equi-join + anti-join per round, diameter-bounded "
         "(oracle: hop-capped recursive-CTE walk, min(hop) per node)",

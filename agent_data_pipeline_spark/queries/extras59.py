@@ -41,7 +41,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import QuerySpec, bounded_collect, rnd, t
+from .core import QuerySpec, duck_materialize, bounded_collect, rnd, t
 
 _HAAR_N = 256
 
@@ -346,7 +346,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ljung_box_hw_residuals": QuerySpec(
         _ljung_box_hw_residuals,
-        _LB_SQL,
+        duck_materialize(_LB_SQL),
         "Ljung-Box Q at 14 lags on Holt-Winters one-step residuals — "
         "the residual-whiteness diagnostic closing the forecast loop "
         "(oracle: the extras48 bit-exact HW walk CTE + ACF in SQL)",

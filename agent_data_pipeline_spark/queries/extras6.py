@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..fns import rnd, spread
 from ..llmdata import hygiene, similarity, textstats
 from ..ops import graph, timeseries
-from .core import QuerySpec, t
+from .core import QuerySpec, duck_materialize, t
 
 
 def _neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +374,7 @@ QUERIES: dict[str, QuerySpec] = {
         _xml_roundtrip, _XML_ROUNDTRIP_SQL, "Spark-4 native XML to_xml/from_xml round trip"
     ),
     "ewma_daily_value": QuerySpec(
-        _ewma_daily_value, _EWMA_DAILY_SQL, "per-key EWMA smoothing (HOF fold)"
+        _ewma_daily_value, duck_materialize(_EWMA_DAILY_SQL), "per-key EWMA smoothing (HOF fold)"
     ),
     "ccnet_quality_buckets": QuerySpec(
         _ccnet_quality_buckets, _CCNET_BUCKETS_SQL,
@@ -382,7 +382,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pagerank_entities": QuerySpec(
         _pagerank_entities,
-        _pagerank_sql(),
+        duck_materialize(_pagerank_sql()),
         "PageRank over derived trade graph (oracled r12: 2^-40 "
         "share/rank grid makes the power iteration order-free; "
         "6-stage unrolled SQL replay)",

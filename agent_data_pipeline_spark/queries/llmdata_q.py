@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llmdata import dedup, hygiene, multimodal, similarity, textstats
-from .core import QuerySpec, rnd, t
+from .core import QuerySpec, duck_materialize, rnd, t
 
 
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,7 +1261,7 @@ FROM comp GROUP BY comp
 
 QUERIES: dict[str, QuerySpec] = {
     "dup_components": QuerySpec(
-        _dup_components, _DUP_COMPONENTS_SQL, "connected components of near-dup pairs"
+        _dup_components, duck_materialize(_DUP_COMPONENTS_SQL), "connected components of near-dup pairs"
     ),
     "vocab_top20": QuerySpec(_vocab_top20, _VOCAB_TOP20_SQL, "global token frequency top-k"),
     "tfidf_top_terms": QuerySpec(

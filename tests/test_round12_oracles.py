@@ -103,8 +103,14 @@ def test_pagerank_spark_equals_duckdb_replay_on_random_graphs(
         iters=6, edges_sql=f"SELECT * FROM (VALUES {vals}) v(src, dst)"
     )
     # registry output is top-20 rounded; compare the FULL rank vector
-    # instead: strip the top/limit tail and round every node
-    core = sql[: sql.index(", top AS (")]
+    # instead: strip the top/limit tail and round every node.
+    # duck_materialize: same planner hint the registry oracle ships
+    # with (r14) — DuckDB re-executes inlined CTEs per reference, which
+    # made this replay the slowest test in the suite.
+    from agent_data_pipeline_spark.queries.core import duck_materialize
+
+    sql = duck_materialize(sql)
+    core = sql[: sql.index(", top AS MATERIALIZED (")]
     want = dict(
         duckdb.sql(
             core
