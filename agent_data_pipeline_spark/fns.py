@@ -89,6 +89,14 @@ def _narrow_scan_splits(df) -> int | None:
             p = f
         else:
             return None  # non-local filesystem: fall back to exact probe
+        # Decline on partitioned layouts and non-splittable formats
+        # (ADVICE r14): inputFiles() lists ALL files of a hive-
+        # partitioned table BEFORE partition pruning, so the replay
+        # would overestimate the split count after a partition filter;
+        # and the packing formula assumes splittable files, which only
+        # parquet guarantees here. Both fall back to the exact probe.
+        if not p.endswith(".parquet") or "=" in p.rsplit("/", 2)[-2]:
+            return None
         try:
             sizes.append(_os.path.getsize(p))
         except OSError:
@@ -148,9 +156,13 @@ def spread(df, min_partitions: int | None = None, force: bool = False):
     (:func:`_narrow_scan_splits`) when the plan is narrow-over-scan — the
     exact ``df.rdd`` probe costs a redundant full planning pass per call
     (0.1-0.3 s each on wide text plans; ~15 calls across the headline
-    bench). The max() stays load-bearing at scale: a forced barrier must
-    never SHRINK a widely-split scan to driver-parallelism-sized
-    partitions.
+    bench). On narrow inputs the max() keeps the invariant that a forced
+    barrier never SHRINKS a widely-split scan. On NON-narrow inputs the
+    partition count is not probed (see the branch comment below): a
+    plain spread is a no-op there, and a forced spread re-shards to
+    max(cores, static shuffle width) — full machine parallelism, but a
+    deliberately wider layout is not preserved; pass ``min_partitions``
+    when that matters.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
@@ -169,7 +181,25 @@ def spread(df, min_partitions: int | None = None, force: bool = False):
         # exchange was planned at, so it cannot shrink a wide frame at
         # scale.
         if not force:
+            # Caller contract (ADVICE r13): a plain spread() is a no-op
+            # on non-narrow input — AQE's parallelismFirst coalescing
+            # keeps post-shuffle parallelism for ordinary frames, and
+            # every CPU-heavy kernel over a possibly-TINY frame (the
+            # synthesize_*/mapInPandas library paths) must pass
+            # force=True, which always inserts the barrier.
             return df
+        # force + non-narrow: re-shard to max(cores, static shuffle
+        # width). NOT the exact probe — `df.rdd.getNumPartitions()`
+        # here re-plans the query and under AQE EXECUTES its upstream
+        # shuffle stages at plan time (the 1.2 s/call pathology r13
+        # removed; flag_contaminated hits this branch). The documented
+        # contract (ADVICE r14) is therefore: a forced barrier on a
+        # non-narrow input re-shards to AT LEAST full machine
+        # parallelism — a frame deliberately partitioned WIDER than
+        # that (e.g. AQE skew splits) is narrowed to cores-wide, which
+        # keeps every core busy for the CPU-heavy kernel the barrier
+        # protects; callers needing to preserve an extra-wide layout
+        # should pass min_partitions explicitly.
         width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         return df.repartition(max(target, width))
     if force or cur < target:

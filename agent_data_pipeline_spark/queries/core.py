@@ -73,10 +73,42 @@ def duck_materialize(sql: str) -> str:
     return _re.sub(r"WINDOW (\w+) AS MATERIALIZED \(", r"WINDOW \1 AS (", out)
 
 
+# Schema catalog (round 14, guide §7.3 driver-side cost): a bare
+# ``spark.read.parquet(path)`` re-infers the schema from file footers on
+# EVERY call — measured 70-264 ms per call at sf0.1 vs 14-22 ms with the
+# schema supplied, and the bench's 50 queries construct ~130 table reads
+# per pass. A production engine reads table schemas from a catalog, not
+# from footers per query; this is that catalog: METADATA only (a
+# StructType keyed on path + mtime + size — never data, never plans, and
+# a rewritten fixture invalidates the key), so every query still scans
+# and computes from the parquet inputs.
+_SCHEMA_CACHE: dict = {}
+_EVENTS_READ_CACHE: dict = {}
+
+
+def _schema_key(path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return read_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = _schema_key(path)
+    if key is None:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -97,11 +129,29 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
         micros = F.timestamp_micros(F.expr("ts div 1000"))
         return df.withColumn("ts", F.to_utc_timestamp(micros, tz))
 
+    # same schema-catalog treatment as t(): remember (schema, needs the
+    # nanos fix, needs the legacy conf) per (path, mtime, size) so the
+    # probe-read + exception dance and the footer inference run once per
+    # fixture, not once per query construction. The legacy conf is
+    # re-set per call (idempotent, per-session) because the cache can
+    # outlive the session that populated it.
+    key = _schema_key(path)
+    cached = _EVENTS_READ_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        schema, fix, legacy = cached
+        if legacy:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(schema).parquet(path)
+        return _fix_ts(df) if fix else df
+
     try:
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = _fix_ts(df)
-        return df
+        fix = dict(df.dtypes).get("ts") == "bigint"
+        legacy = False
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _fix_ts(spark.read.parquet(path))
+        df = spark.read.parquet(path)
+        fix, legacy = True, True
+    if key is not None:
+        _EVENTS_READ_CACHE[key] = (df.schema, fix, legacy)
+    return _fix_ts(df) if fix else df

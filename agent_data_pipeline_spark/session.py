@@ -48,10 +48,24 @@ def get_spark(
     # when no tmpfs exists. Memory safety: shuffle volumes here are MBs
     # (sf0.1) to low GBs (10x stress) against 126 GiB capacity, and
     # Spark removes its blockmgr dirs on session stop.
-    local_dir = os.environ.get(
-        "SPARK_GRAFT_LOCAL_DIR",
-        "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else "",
-    )
+    def _tmpfs_default() -> str:
+        # Gate the tmpfs default on actual capacity (ADVICE r14):
+        # /dev/shm exists on ~every Linux host, but shuffle files and
+        # disk spills consuming a SMALL tmpfs turn graceful spill into
+        # ENOSPC job failures. Only default to tmpfs when it has
+        # comfortable headroom for this engine's shuffle volumes
+        # (MBs at sf0.1, low GBs at 10x stress); boxes below the bar —
+        # and any deployment with real shuffle volume — set
+        # SPARK_GRAFT_LOCAL_DIR explicitly (production: local NVMe).
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 * 1024**3:
+                return "/dev/shm/spark-graft-local"
+        except OSError:
+            pass
+        return ""
+
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", _tmpfs_default())
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -178,6 +178,15 @@ def stream_to_memory(
     around ``start()``: Structured Streaming clones the session (and its
     conf) at query start — verified: restoring before the first batch
     still runs the stream at the width set here.
+
+    Concurrency caveat (ADVICE r14): the set/restore mutates the
+    SESSION-global ``spark.sql.shuffle.partitions`` for the duration of
+    ``start()``, so a query planned CONCURRENTLY on the same session in
+    that window would pick up the narrow stream width (a performance
+    nuance, never a correctness one — results are width-independent).
+    The engine's harnesses (bench, oracle differential, tests) drain
+    streams single-threaded; a multi-threaded caller should set the env
+    override to its session-wide width so set == restore.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism

@@ -52,11 +52,17 @@ def _canon_cell(v) -> str:
 
 
 def _canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    # column-wise iteration: `df.iloc[i][c]` builds a row Series per
+    # cell (O(cols) each) and dominated the suite's wall time on wide
+    # 60k-row kits (math_scalars ~45 s of pure canon). Iterating each
+    # column Series yields the same scalar objects (np.float64 is a
+    # float, datetime64 iterates as pd.Timestamp), so _canon_cell
+    # behaves identically.
     cols = sorted(df.columns)
-    rows = [
-        tuple(_canon_cell(df.iloc[i][c]) for c in cols) for i in range(len(df))
-    ]
-    return sorted(rows)
+    canon_cols = [[_canon_cell(v) for v in df[c]] for c in cols]
+    if not canon_cols:
+        return []
+    return sorted(zip(*canon_cols))
 
 
 def compare(spark_df, duck_df: pd.DataFrame, name: str = "query") -> None:

@@ -39,14 +39,28 @@ def test_no_unadjudicated_scale_antipatterns(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    violations: dict[str, list[str]] = {}
-    for name, spec in REGISTRY.items():
+
+    def flags_for(item):
+        name, spec = item
         plan = (
             spec.spark(spark, SF)._jdf.queryExecution().explainString(mode)
         )
-        extra = set(audit_plan(plan)) - ALLOWED.get(name, set())
-        if extra:
-            violations[name] = sorted(extra)
+        return name, set(audit_plan(plan)) - ALLOWED.get(name, set())
+
+    # The sweep is driver-bound (py4j construction + Catalyst planning,
+    # ~0.5 s x 377 queries serially — the slowest test in the suite by
+    # far); overlap it across a small thread pool (guide §2.6 — jobs
+    # submitted from several driver threads interleave fine, and the
+    # audited FLAGS are width/partitioning-independent, so concurrent
+    # construction cannot change an adjudication).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from agent_data_pipeline_spark.fns import release_persists
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(flags_for, REGISTRY.items()))
+    release_persists()
+    violations = {name: sorted(extra) for name, extra in results if extra}
     assert not violations, (
         "unadjudicated scale anti-patterns (see PLAN_AUDIT.md):\n"
         + "\n".join(f"  {n}: {f}" for n, f in sorted(violations.items()))
