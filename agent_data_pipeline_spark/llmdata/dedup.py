@@ -252,17 +252,20 @@ def minhash_signatures(
         # the affine family never degenerates to a constant
         F.expr(f"((h1 * 2654435761) % {mersenne}) | 1").alias("h2"),
     )
-    agg = base.groupBy("id").agg(
-        *[
-            F.expr(f"min((h1 + {i} * h2) % {mersenne}) AS h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return agg.select(
-        "id",
+    # The whole signature is ONE aggregate expression (array of mins)
+    # built as a single F.expr: one py4j call and one JVM analysis pass
+    # instead of num_hashes exprs + a follow-up wide select that
+    # re-analyzed the 64-column aggregate (~0.4 s of plan construction
+    # per caller). Partial aggregation economics are unchanged — the
+    # array is assembled from the same min() aggregates.
+    return base.groupBy("id").agg(
         F.expr(
-            "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
-        ).alias("signature"),
+            "array("
+            + ",".join(
+                f"min((h1 + {i} * h2) % {mersenne})" for i in range(num_hashes)
+            )
+            + ") AS signature"
+        )
     )
 
 

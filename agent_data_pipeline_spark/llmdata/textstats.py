@@ -63,22 +63,27 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     quality = rnd(
         0.4 * len_score + 0.3 * F.least(sw_ratio * 4, F.lit(1.0)) + 0.3 * ttr, 6
     )
-    return (
-        df.withColumn("n_chars_calc", n_chars)
-        .withColumn("n_tokens", n_tok)
-        .withColumn("n_distinct_tokens", n_distinct)
-        .withColumn(
-            "avg_token_len",
-            rnd(F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0), 6),
-        )
-        .withColumn("stopword_ratio", rnd(sw_ratio, 6))
-        .withColumn("punct_ratio", rnd(punct_ratio(text), 6))
-        # once(): quality gates downstream (`.filter("quality_score >=
-        # t")`) must not re-inline this whole HOF blend into a pushed
-        # Filter below the spread exchange — that evaluated the blend
-        # twice, once serially in the scan stage (fns.once docstring;
-        # plan_audit `hof_filter_recompute`). Value is unchanged.
-        .withColumn("quality_score", once(quality))
+    # ONE select, not seven chained withColumn calls: every DataFrame
+    # transformation re-analyzes the whole (text-heavy) plan in the JVM
+    # eagerly, so the chained form paid 7 growing analysis passes of
+    # pure plan-construction latency per caller (bench plan_queries made
+    # it visible; the produced Project collapses identically either way).
+    # once(): the quality gate downstream (`.filter("quality_score >=
+    # t")`) must not re-inline the whole HOF blend into a pushed Filter
+    # below the spread exchange — that evaluated the blend twice, once
+    # serially in the scan stage (fns.once docstring; plan_audit
+    # `hof_filter_recompute`). Value is unchanged.
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        rnd(
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0), 6
+        ).alias("avg_token_len"),
+        rnd(sw_ratio, 6).alias("stopword_ratio"),
+        rnd(punct_ratio(text), 6).alias("punct_ratio"),
+        once(quality).alias("quality_score"),
     )
 
 
