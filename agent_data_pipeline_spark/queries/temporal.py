@@ -176,7 +176,19 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         stream_dir = sf_dir
         reader = spark.readStream.option("pathGlobFilter", "events.parquet")
-    if dict(spark.read.parquet(path).dtypes).get("ts") == "bigint":
+    # "raw ts surfaces as bigint" is exactly the `fix` bit the events
+    # schema catalog already probed (queries/core.read_events) — reuse
+    # it instead of paying another footer-inference read per stream
+    # construction.
+    from .core import _EVENTS_READ_CACHE, _schema_key
+
+    cached = _EVENTS_READ_CACHE.get(_schema_key(path))
+    raw_ts_long = (
+        cached[1]
+        if cached is not None
+        else dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    )
+    if raw_ts_long:
         tz = spark.conf.get("spark.sql.session.timeZone")
         raw = reader.schema(
             "event_id long, ts long, user_id long, event_type string, "
