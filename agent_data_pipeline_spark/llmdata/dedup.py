@@ -548,7 +548,8 @@ def connected_components(
     components are shallow (dup clusters, not long paths), so 3-5 rounds
     is typical. Lineage is truncated with localCheckpoint each round so
     the plan does not grow unboundedly (the classic iterative-algorithm
-    trap); the convergence probe is one count() per round. This is the
+    trap); the convergence count rides each round's
+    checkpoint job as an ``observe`` metric (one driver action/round). This is the
     DataFrame rendering of the map-reduce CC algorithm (cf. small-star/
     large-star, Kiveris et al.); GraphFrames is not assumed present.
 
@@ -572,15 +573,18 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
-        # carry the convergence flag on the row: the fixpoint test is
-        # then one trivial aggregate over the just-checkpointed rows
-        # instead of a second join-shaped job per round
+        # the convergence count rides the checkpoint job itself as an
+        # observe() metric (the k_core pattern): one driver action per
+        # round, and the checkpointed rows no longer carry the _chg flag
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
@@ -588,12 +592,17 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
                 (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias("_chg"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("_chg").cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
+            .drop("_chg")
             .localCheckpoint()
         )
-        changed = new_labels.agg(
-            F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0))
-        ).collect()[0][0]
-        labels = new_labels.drop("_chg")
+        changed = int(obs.get["changed"])
+        labels = new_labels
         if changed == 0:
             break
     return labels

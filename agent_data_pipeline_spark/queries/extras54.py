@@ -142,12 +142,16 @@ def bfs_hops(
     both joins carry an exact-decision broadcast hint (checkpoint-backed
     frames report default huge size stats — without the hint every
     round planned a sort-merge join that shuffled the full symmetric
-    edge list). One materialization per round: the new frontier is
-    checkpointed and counted (trivial, cached); `visited` stays a lazy
-    union of checkpointed per-hop frames (depth = diameter, each leaf
-    cached) instead of being re-checkpointed — re-copied — every round.
+    edge list). ONE driver action per round: the new frontier is
+    checkpointed with its size riding the same job as an ``observe``
+    metric (the k_core pattern — a separate count per hop was a second
+    job over cached rows); `visited` stays a lazy union of checkpointed
+    per-hop frames (depth = diameter, each leaf cached) instead of
+    being re-checkpointed — re-copied — every round.
     """
     spark = edges.sparkSession
+    from pyspark.sql import Observation
+
     from ..ops.graph import _BROADCAST_NODE_CAP
 
     sym = edges.select(
@@ -167,15 +171,17 @@ def bfs_hops(
         seen = visited.select("node")
         if n_visited <= _BROADCAST_NODE_CAP:
             seen = F.broadcast(seen)
+        obs = Observation()
         nxt = (
             sym.join(f, "u")
             .select(F.col("v").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")
             .withColumn("hop", F.lit(h))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_frontier = nxt.count()
+        n_frontier = int(obs.get["n"])
         if n_frontier == 0:
             break
         visited = visited.unionAll(nxt)
@@ -186,22 +192,22 @@ def bfs_hops(
 
 def _bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    # the degree table IS the distinct-node enumeration (one row per
+    # node) — materialize it once so the hub lookup reads cached rows
+    # and the node count is a trivial count of the same cache, instead
+    # of a second full union+distinct aggregation over the edge list
     deg = (
         e.select(F.col("lo").alias("n"))
         .unionAll(e.select(F.col("hi").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     hub = deg.orderBy(F.col("d").desc(), F.col("n").asc()).limit(1).collect()[
         0
     ]["n"]
     visited = bfs_hops(e, int(hub))
-    n_nodes = (
-        e.select(F.col("lo").alias("n"))
-        .unionAll(e.select(F.col("hi").alias("n")))
-        .distinct()
-        .count()
-    )
+    n_nodes = deg.count()
     hist = bounded_collect(
         visited.groupBy("hop")
         .agg(F.count(F.lit(1)).cast("long").alias("n_at_hop")),
